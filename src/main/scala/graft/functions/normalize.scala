@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** Text-normalization Column functions (SURVEY.md §2.7 F4-F7).
+  *
+  * Composed from built-ins around the one custom expression ([[Unaccent]])
+  * so Catalyst can still constant-fold / push around the pieces — NOT a
+  * monolithic UDF (SURVEY §2.9).
+  */
+object normalize {
+
+  /** F4/F5: unidecode-style ASCII transliteration. */
+  def unaccent(c: Column): Column = Bridge.column(Unaccent(Bridge.expression(c)))
+
+  /** F6 — the matching key everything joins on
+    * (`/root/reference/src/util.py:14-16`):
+    * `unidecode → lower → drop literal "(live)" → strip [^a-zA-Z0-9]+`.
+    * Order matters and is pinned by goldens in NormalizeSpec.
+    */
+  def searchKey(c: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(unaccent(c)), "\\(live\\)", ""),
+      "[^a-zA-Z0-9]+", "")
+
+  /** The SQL-side alias normalizer the reference *stores* with
+    * (`/root/reference/sql/4:32`): `LOWER(REGEXP_REPLACE(UNACCENT(x), '\W', '', 'g'))`.
+    * Kept for documentation/tests of the store-vs-probe divergence
+    * (`\W` keeps underscore; no "(live)" strip) — the engine itself uses
+    * [[searchKey]] on BOTH sides (SURVEY §7.4.3).
+    */
+  def searchKeySqlSide(c: Column): Column =
+    lower(regexp_replace(unaccent(c), "\\W", ""))
+
+  /** F7: typographic-punctuation folding for display strings
+    * (`/root/reference/src/benchmark.py:14-21`). */
+  def cleanPunct(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, "…", "..."),
+            "’", "'"),
+          "“", "\""),
+        "”", "\""),
+      "‐", "-")
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operator patterns distilled from the reference
+  * (SURVEY.md §2). Each is a reusable DataFrame→DataFrame combinator; the
+  * shuffles they imply are the minimum the semantics require:
+  *
+  *  - [[topOnePerGroup]] / argmin-per-group (SURVEY A3/W1,
+  *    `/root/reference/src/main.py:242`): one hash-partition shuffle on the
+  *    group keys, then a per-partition sort — no global sort, no collect.
+  *  - [[relativeThresholdTopOne]] (SURVEY A4, `src/benchmark.py:128-133`):
+  *    the group max is a window over the SAME partitioning as the final
+  *    rank, so Catalyst reuses a single Exchange for both window steps.
+  *  - [[lastWriteWins]] (SURVEY A5/S7, `src/main.py:295-325`): the
+  *    reference's `ON CONFLICT DO UPDATE` loop made "last writer" an
+  *    artifact of iteration order; here conflict resolution is an explicit,
+  *    deterministic priority order (SURVEY §7.4.1).
+  *  - [[unionDistinct]] (SURVEY U1/U2, `sql/4:4-28`, `sql/5:4-32`):
+  *    Spark `union` is UNION ALL — the explicit distinct is the parity point.
+  */
+object Relational {
+
+  /** Keep exactly one row per group: the first under `order`. Deterministic
+    * iff `order` is a total order within each group (callers append a unique
+    * id as the last sort key). Implemented as a rank-window rather than
+    * `groupBy(min_by)` so ALL columns of the winning row survive without
+    * packing into a struct; at scale this is one shuffle on `partitionBy`.
+    */
+  def topOnePerGroup(df: DataFrame, partitionBy: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** SURVEY A4 (`src/benchmark.py:43-49,128-133`): within each group, drop
+    * rows whose `score` is below max(score)/factor, then keep the single
+    * best row under `order`. Both windows share one partitioning → one
+    * shuffle total.
+    */
+  def relativeThresholdTopOne(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      score: Column,
+      factor: Double,
+      order: Seq[Column]): DataFrame = {
+    val wAll = Window.partitionBy(partitionBy: _*)
+    val kept = df
+      .withColumn("__maxscore", max(score).over(wAll))
+      .filter(score * factor >= col("__maxscore"))
+      .drop("__maxscore")
+    topOnePerGroup(kept, partitionBy, order)
+  }
+
+  /** SURVEY A5/S7: resolve key conflicts deterministically — the row ranked
+    * first by `priority` wins. Replaces the reference's order-dependent
+    * upsert (`src/main.py:295-325` + loop order `:352`).
+    */
+  def lastWriteWins(df: DataFrame, keys: Seq[Column], priority: Seq[Column]): DataFrame =
+    topOnePerGroup(df, keys, priority)
+
+  /** SURVEY U1/U2: n-branch UNION with set semantics (Postgres UNION
+    * deduplicates; Spark `union` does not — `.distinct()` restores parity).
+    * All branches must share a schema.
+    */
+  def unionDistinct(branches: Seq[DataFrame]): DataFrame =
+    branches.reduce(_ union _).distinct()
+
+  /** SURVEY J4 (`sql/1:8-20`): depth-bounded parent walk — unrolled chain of
+    * left joins against `edges` (child→parent), taking the first non-null
+    * `attr` along the path, else `default`. `hops` is the bound (the
+    * reference uses 3). Each hop is one (broadcastable) join; no graph
+    * engine, no iteration.
+    *
+    * @param start   DataFrame holding `startKey`
+    * @param edges   (childCol, parentCol) relation
+    * @param attrs   key→attribute relation (attrKeyCol, attrValCol); the
+    *                attribute may be null (that is what makes the walk walk)
+    */
+  def hierarchyCoalesceWalk(
+      start: DataFrame,
+      startKey: String,
+      edges: DataFrame,
+      childCol: String,
+      parentCol: String,
+      attrs: DataFrame,
+      attrKeyCol: String,
+      attrValCol: String,
+      hops: Int,
+      default: Column,
+      outCol: String): DataFrame = {
+    // level 0 attribute
+    var cur = start.join(
+      attrs.select(col(attrKeyCol).as("__k0"), col(attrValCol).as("__v0")),
+      col(startKey) === col("__k0"), "left").drop("__k0")
+    var prevKey: Column = col(startKey)
+    for (i <- 1 to hops) {
+      val e = edges.select(col(childCol).as(s"__c$i"), col(parentCol).as(s"__p$i"))
+      val a = attrs.select(col(attrKeyCol).as(s"__k$i"), col(attrValCol).as(s"__v$i"))
+      cur = cur
+        .join(e, prevKey === col(s"__c$i"), "left")
+        .join(a, col(s"__p$i") === col(s"__k$i"), "left")
+        .drop(s"__c$i", s"__k$i")
+      prevKey = col(s"__p$i")
+    }
+    val coalesced = coalesce(((0 to hops).map(i => col(s"__v$i")) :+ default): _*)
+    cur.withColumn(outCol, coalesced)
+      .drop(((0 to hops).map(i => s"__v$i") ++ (1 to hops).map(i => s"__p$i")): _*)
+  }
+}

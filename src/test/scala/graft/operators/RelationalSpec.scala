@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topOnePerGroup picks the first row under the given total order") {
+    val df = Seq(
+      ("a", 3, "x"), ("a", 1, "y"), ("a", 2, "z"),
+      ("b", 5, "p")).toDF("k", "v", "tag")
+    val got = Relational.topOnePerGroup(df, Seq(col("k")), Seq(col("v").asc))
+      .orderBy("k").collect()
+    assert(got.toSeq == Seq(Row("a", 1, "y"), Row("b", 5, "p")))
+  }
+
+  test("relativeThresholdTopOne drops below max/factor then ranks") {
+    // reference semantics: src/benchmark.py:128-133 — candidates with
+    // relevance < max/10 are discarded BEFORE the (year asc, rel desc) pick.
+    val df = Seq(
+      // group g: max score 100 → threshold 10. The earliest year (1990)
+      // has score 5 < 10 so it must NOT win despite being earliest.
+      ("g", 1990, 5.0, "tooWeak"),
+      ("g", 2001, 100.0, "strong"),
+      ("g", 1995, 20.0, "winner")).toDF("k", "year", "score", "tag")
+    val got = Relational.relativeThresholdTopOne(
+      df, Seq(col("k")), col("score"), 10.0,
+      Seq(col("year").asc, col("score").desc)).collect()
+    assert(got.length == 1 && got(0).getAs[String]("tag") == "winner")
+  }
+
+  test("unionDistinct applies set semantics across branches") {
+    val a = Seq("x", "y").toDF("name")
+    val b = Seq("y", "z").toDF("name")
+    val c = Seq("z", "z").toDF("name")
+    val got = Relational.unionDistinct(Seq(a, b, c)).as[String].collect().sorted
+    assert(got.toSeq == Seq("x", "y", "z"))
+  }
+
+  test("hierarchyCoalesceWalk climbs until first non-null attr, else default") {
+    // chain: 1 -> 2 -> 3 -> 4 ; attrs only on 3. node 9 has no edges/attr.
+    val start = Seq(1, 9).toDF("id")
+    val edges = Seq((1, 2), (2, 3), (3, 4)).toDF("c", "p")
+    val attrs = Seq((3, "hit"), (4, "beyond")).toDF("k", "v")
+    val got = Relational.hierarchyCoalesceWalk(
+      start, "id", edges, "c", "p", attrs, "k", "v",
+      hops = 3, default = lit("none"), outCol = "out")
+      .select("id", "out").orderBy("id").collect()
+    assert(got.toSeq == Seq(Row(1, "hit"), Row(9, "none")))
+  }
+
+  test("lastWriteWins resolves key conflicts deterministically") {
+    val df = Seq((1, 10, "old"), (1, 20, "new"), (2, 5, "only"))
+      .toDF("id", "prio", "payload")
+    val got = Relational.lastWriteWins(df, Seq(col("id")), Seq(col("prio").desc))
+      .orderBy("id").select("payload").as[String].collect()
+    assert(got.toSeq == Seq("new", "only"))
+  }
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local pre-flight mimic of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <out_dir>/<name>/ parquet result (written by graft.Verify),
+runs the matching SQL from <out_dir>/oracle_sql.json in DuckDB against the
+sf_dir parquet tables, and compares: column names (sorted), row counts, and
+values (rows sorted by all columns). Not part of the Scala library —
+dev-only tooling using the driver-side python stack.
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize for stable compare
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); fail += 1; continue
+        got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        try:
+            exp = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); fail += 1; continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(exp.columns)}"); fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}"); fail += 1; continue
+        try:
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+            print(f"OK   {name} ({len(got)} rows)"); ok += 1
+        except AssertionError as e:
+            print(f"FAIL {name}: value mismatch\n{str(e)[:500]}"); fail += 1
+    # queries without an oracle → rows-only check (driver's weaker path)
+    import os
+    for p in sorted(glob.glob(f"{out_dir}/*/")):
+        name = p.rstrip("/").split("/")[-1]
+        if name not in oracles:
+            files = glob.glob(f"{p}/*.parquet")
+            n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+            print(f"ROWS {name}: {n} rows {'OK' if n > 0 else 'FAIL(empty)'}")
+            if n == 0: fail += 1
+    print(f"\n{ok} ok, {fail} fail")
+    sys.exit(1 if fail else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
