@@ -30,7 +30,26 @@ object Transliterate {
       '…' -> "...", '’' -> "'", '‘' -> "'", '‚' -> ",",
       '“' -> "\"", '”' -> "\"", '„' -> "\"",
       '‐' -> "-", '‑' -> "-", '–' -> "-", '—' -> "-", '―' -> "-",
-      ' ' -> " ", '’' -> "'")
+      ' ' -> " ") ++
+      // Cyrillic (unidecode-style romanization; SURVEY F5, ADVICE r01).
+      // Without these, Cyrillic names survive NFD verbatim and searchKey's
+      // alnum-strip reduces them to "" — distinct names colliding on one key.
+      "абвгдежзийклмнопрстуфхцчшщъыьэюяё".zip(Seq(
+        "a","b","v","g","d","e","zh","z","i","i","k","l","m","n","o","p",
+        "r","s","t","u","f","kh","ts","ch","sh","shch","","y","","e","yu",
+        "ya","e")) ++
+      "АБВГДЕЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯЁ".zip(Seq(
+        "A","B","V","G","D","E","Zh","Z","I","I","K","L","M","N","O","P",
+        "R","S","T","U","F","Kh","Ts","Ch","Sh","Shch","","Y","","E","Yu",
+        "Ya","E")) ++
+      // Greek (NFD strips tonos accents first, so base letters suffice)
+      "αβγδεζηθικλμνξοπρστυφχψω".zip(Seq(
+        "a","b","g","d","e","z","e","th","i","k","l","m","n","x","o","p",
+        "r","s","t","u","ph","kh","ps","o")) ++
+      Seq('ς' -> "s") ++
+      "ΑΒΓΔΕΖΗΘΙΚΛΜΝΞΟΠΡΣΤΥΦΧΨΩ".zip(Seq(
+        "A","B","G","D","E","Z","E","Th","I","K","L","M","N","X","O","P",
+        "R","S","T","U","Ph","Kh","Ps","O"))
     pairs.foreach { case (c, s) => m.put(c, s) }
     m
   }

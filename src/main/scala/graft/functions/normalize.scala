@@ -19,11 +19,19 @@ object normalize {
     * (`/root/reference/src/util.py:14-16`):
     * `unidecode → lower → drop literal "(live)" → strip [^a-zA-Z0-9]+`.
     * Order matters and is pinned by goldens in NormalizeSpec.
+    *
+    * A key that normalizes to "" (e.g. a name in a script [[Transliterate]]
+    * has no mapping for, or pure punctuation) is returned as NULL so it can
+    * never equi-join: otherwise every such name would collide on the one
+    * empty key and spuriously match (ADVICE r01). Null keys fall out of
+    * inner/semi joins naturally — exactly "non-matchable".
     */
-  def searchKey(c: Column): Column =
-    regexp_replace(
+  def searchKey(c: Column): Column = {
+    val k = regexp_replace(
       regexp_replace(lower(unaccent(c)), "\\(live\\)", ""),
       "[^a-zA-Z0-9]+", "")
+    nullif(k, lit(""))
+  }
 
   /** The SQL-side alias normalizer the reference *stores* with
     * (`/root/reference/sql/4:32`): `LOWER(REGEXP_REPLACE(UNACCENT(x), '\W', '', 'g'))`.

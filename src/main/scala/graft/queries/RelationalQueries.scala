@@ -132,7 +132,7 @@ object RelationalQueries {
       Relational.topOnePerGroup(
         Tables.orders(s, d),
         Seq(col("o_custkey")),
-        Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+        Seq(col("o_orderdate").asc_nulls_last, col("o_orderkey").asc))
         .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
           col("o_orderdate").as("first_date"))
     }),
@@ -144,7 +144,7 @@ object RelationalQueries {
         Tables.orders(s, d),
         Seq(col("o_custkey")),
         col("o_totalprice"), 10.0,
-        Seq(col("o_orderdate").asc, col("o_totalprice").desc, col("o_orderkey").asc))
+        Seq(col("o_orderdate").asc_nulls_last, col("o_totalprice").desc, col("o_orderkey").asc))
         .select(col("o_custkey"), col("o_orderkey").as("pick_orderkey"))
     }),
 
@@ -254,13 +254,13 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q10_argmin_group" ->
       """SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_date
-        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey) AS rn
         |      FROM orders) t
         |WHERE rn = 1""".stripMargin,
     "q11_threshold_rank" ->
       """SELECT o_custkey, o_orderkey AS pick_orderkey
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
-        |        ORDER BY o_orderdate, o_totalprice DESC, o_orderkey) AS rn
+        |        ORDER BY o_orderdate NULLS LAST, o_totalprice DESC, o_orderkey) AS rn
         |      FROM (SELECT *, max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx FROM orders) t0
         |      WHERE o_totalprice * 10 >= mx) t
         |WHERE rn = 1""".stripMargin,

@@ -36,6 +36,26 @@ class NormalizeSpec extends SparkSpec {
     assert(key("__under_score__") == "underscore") // python [^a-zA-Z0-9] drops _
   }
 
+  private def keyOpt(s: String): Option[String] = {
+    val df = Seq(s).toDF("v").select(normalize.searchKey(col("v")).as("k"))
+    df.as[Option[String]].head()
+  }
+
+  test("non-Latin scripts transliterate to distinct keys (ADVICE r01)") {
+    assert(Transliterate.ascii("Кино") == "Kino")
+    assert(Transliterate.ascii("Щёлково") == "Shchelkovo") // ё NFD-decomposes to е + mark
+    assert(key("Ленинград") == "leningrad")
+    assert(key("Μάριος") == "marios") // tonos stripped by NFD before mapping
+    assert(key("Кино") != key("Ленинград"))
+  }
+
+  test("keys that normalize to empty are null — non-matchable, never ''") {
+    assert(keyOpt("!!!").isEmpty)
+    assert(keyOpt("(Live)").isEmpty)
+    assert(keyOpt("永遠").isEmpty) // unmapped CJK strips to nothing → null
+    assert(keyOpt("Pearl Jam").contains("pearljam"))
+  }
+
   test("store-vs-probe divergence is pinned (SURVEY §7.4.3)") {
     // the reference's SQL side (\W) KEEPS underscores; probe side drops them
     val df = Seq("a_b").toDF("v")
