@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY J14 (`/root/reference/src/benchmark.py:69-79, 87-91`): the
+  * reference's fuzzy lookup is `levenshtein_less_equal(alias, q, 1) < 2`
+  * against the whole alias table — a θ-join a B-tree cannot help with and
+  * Spark would execute as a cartesian product.
+  *
+  * Rewrite (SURVEY §7.4.2): **deletion-neighborhood blocking**. For a string
+  * `s`, its neighborhood is `s` plus every single-character deletion of `s`
+  * (|s|+1 strings). For any two strings, `lev(a,b) ≤ 1` implies the
+  * neighborhoods intersect:
+  *   - equal        → share `a` itself
+  *   - substitution → deleting the differing position from each gives the
+  *                    same string
+  *   - insert/delete→ the shorter string IS a deletion variant of the longer
+  * The converse does not hold (`"ab"`/`"ba"` share variant `"a"` at distance
+  * 2), so shared-variant pairs are candidates, re-verified with the built-in
+  * bounded `levenshtein`. Net effect: cartesian θ-join → explode(≤len+1) +
+  * hash-partitioned equi-join + cheap verify. At 100 TB both sides shuffle
+  * on the variant key and nothing is quadratic except within a variant
+  * bucket (bounded by key-collision width, not table size).
+  */
+object SimilarityJoin {
+
+  /** `s` plus all single-character deletions of `s`, deduplicated.
+    * Pure built-ins (transform/sequence stay in the optimized plan and
+    * pipeline inside the same stage as the scan — no UDF, no shuffle).
+    */
+  def deletionVariants(s: Column): Column = {
+    val n = length(s)
+    val deletions = transform(
+      sequence(lit(0), n - 1),
+      i => concat(s.substr(lit(1), i), s.substr(i + 2, n)))
+    when(s.isNull, lit(null))
+      .when(n === 0, array(s))
+      .otherwise(array_union(array(s), deletions))
+  }
+
+  /** All (left row, right row) pairs with `lev(leftStr, rightStr) ≤ 1`,
+    * as an equi-join on exploded deletion variants + re-verification.
+    * Output columns = left columns ++ right columns (must be disjoint);
+    * duplicate candidate pairs (two strings can share several variants,
+    * e.g. equal strings share all of them) are collapsed with a full-row
+    * distinct, so callers should project ids + the strings before calling.
+    *
+    * `maxLen` mirrors the reference's `LENGTH(alias) < 255` guard
+    * (`src/benchmark.py:76,89`) and bounds the explode factor.
+    */
+  def levenshtein1Join(
+      left: DataFrame,
+      leftStr: String,
+      right: DataFrame,
+      rightStr: String,
+      maxLen: Int = 255): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"left/right column names must be disjoint, both have: $overlap")
+    val l = left
+      .filter(length(col(leftStr)) < maxLen)
+      .withColumn("__lv", explode(deletionVariants(col(leftStr))))
+    val r = right
+      .filter(length(col(rightStr)) < maxLen)
+      .withColumn("__rv", explode(deletionVariants(col(rightStr))))
+    l.join(r, col("__lv") === col("__rv"))
+      .drop("__lv", "__rv")
+      .filter(levenshtein(col(leftStr), col(rightStr), 1) >= 0) // -1 = over threshold
+      .distinct()
+  }
+}
