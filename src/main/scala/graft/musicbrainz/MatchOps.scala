@@ -1,0 +1,168 @@
+package graft.musicbrainz
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.normalize
+import graft.operators.{Relational, SimilarityJoin}
+
+/** The fuzzy search/eval engine (`/root/reference/src/benchmark.py`)
+  * re-expressed as a **batch matcher**: a DataFrame of (artist, title)
+  * queries joined against the export tables, instead of one Postgres
+  * round-trip per query (SURVEY §3.2).
+  *
+  * Pipeline per query row:
+  *   artist lookup (lev ≤ 1 via the blocked similarity join J14)
+  *   → duo-split fallback for unmatched artists (F14)
+  *   → two-phase song lookup (prefix LIKE, else lev ≤ 1) — both phases
+  *     computed set-based, phase 1 preferred per query (`benchmark.py:124-126`)
+  *   → multiplicative relevance + relative-threshold argmax (A4).
+  */
+object MatchOps {
+
+  /** Artist lookup (`benchmark.py:69-79`): DISTINCT artist ids whose alias
+    * is within edit distance 1 of the normalized query name. The reference's
+    * `levenshtein_less_equal` θ-scan becomes the deletion-neighborhood
+    * equi-join. → (query_id, artist_id).
+    */
+  def searchArtists(queries: DataFrame, mbArtistAlias: DataFrame): DataFrame = {
+    val probes = queries
+      .select(col("query_id").as("qa_id"), normalize.searchKey(col("qname")).as("qkey"))
+      .filter(col("qkey").isNotNull)
+    SimilarityJoin.levenshtein1Join(
+      probes, "qkey",
+      mbArtistAlias.select(col("artist_id"), col("alias")).distinct(), "alias",
+      maxLen = 255)
+      .select(col("qa_id").as("query_id"), col("artist_id"))
+      .distinct()
+  }
+
+  /** Full matcher. `queries` columns: query_id, artist_name,
+    * artist2_name (nullable), title.
+    * Returns one row per query_id that matched:
+    * (query_id, song_mb_id, matched_alias, title, album_title, album_mb_id,
+    *  release_year, artist_name_mb, artist_mb_id, country_id, relevance).
+    */
+  def matchSongs(queries: DataFrame, export: GenerateDataset.Export): DataFrame = {
+    // display name "A & B" when a second artist exists (`benchmark.py:159-162`)
+    val q = queries.select(
+      col("query_id"), col("title"),
+      when(col("artist2_name").isNotNull,
+        concat(col("artist_name"), lit(" & "), col("artist2_name")))
+        .otherwise(col("artist_name")).as("full_name"),
+      col("artist_name"), col("artist2_name"))
+
+    // pass 1: whole display name
+    val direct = searchArtists(
+      q.select(col("query_id"), col("full_name").as("qname")), export.mbArtistAlias)
+
+    // fallback (`benchmark.py:176-183`): split on "&" — head vs tail rejoined
+    // — and require BOTH main and second artist to match (F14)
+    val unmatched = q.join(direct.select(col("query_id").as("m_id")).distinct(),
+      col("query_id") === col("m_id"), "left_anti")
+    val parts = unmatched.select(
+      col("query_id"),
+      split(col("full_name"), "&").as("parts"))
+    val mainHits = searchArtists(
+      parts.select(col("query_id"), element_at(col("parts"), 1).as("qname")),
+      export.mbArtistAlias)
+    val secondHits = searchArtists(
+      parts.select(col("query_id"),
+        array_join(slice(col("parts"), 2, 1000), "&").as("qname")),
+      export.mbArtistAlias)
+      .select(col("query_id").as("s_id"), col("artist_id").as("second_artist_ok"))
+
+    // candidate (query, artist[, required second artist]) pairs
+    val directPairs = direct.withColumn("second_required", lit(false))
+      .withColumn("second_ids", lit(null).cast("array<int>"))
+    // reference `benchmark.py:92-95,183`: the second-artist IN-constraint is
+    // only added when the second lookup found ids (`if second_artist_ids:`
+    // is falsy for an empty list) — a missing second artist does NOT veto
+    val fallbackPairs = mainHits
+      .join(secondHits.groupBy(col("s_id")).agg(collect_set(col("second_artist_ok")).as("second_ids")),
+        col("query_id") === col("s_id"), "left")
+      .drop("s_id")
+      .withColumn("second_required", col("second_ids").isNotNull && size(col("second_ids")) > 0)
+    val artistPairs = directPairs.unionByName(fallbackPairs)
+
+    // the 4-join serving query (`benchmark.py:96-117`)
+    val songs = export.mbSong.select(
+      col("id").as("song_id"), col("mb_id").as("song_mb_id"), col("title").as("song_title"),
+      col("artist_id").as("s_artist_id"), col("second_artist_id"),
+      col("album_id"), col("is_single").as("single_relationship"), col("score").as("recording_score"))
+    val albums = export.mbAlbum.select(
+      col("id").as("a_id"), col("mb_id").as("album_mb_id"), col("title").as("album_title"),
+      col("release_year"), col("is_single"), col("is_soundtrack"), col("is_main_album"))
+    val artists = export.mbArtist.select(
+      col("id").as("ar_id"), col("name").as("artist_name_mb"),
+      col("mb_id").as("artist_mb_id"), col("country_id"))
+
+    val qk = q.select(col("query_id").as("qq_id"), normalize.searchKey(col("title")).as("tkey"))
+      .filter(col("tkey").isNotNull)
+
+    val cand = artistPairs
+      .join(qk, col("query_id") === col("qq_id"))
+      .join(songs, col("artist_id") === col("s_artist_id"))
+      .filter(!col("second_required") ||
+        (col("second_artist_id").isNotNull && array_contains(col("second_ids"), col("second_artist_id"))))
+      .join(export.mbSongAlias.select(col("song_id").as("al_song"), col("alias")),
+        col("song_id") === col("al_song"))
+      .join(albums, col("album_id") === col("a_id"))
+      .join(artists, col("s_artist_id") === col("ar_id"))
+      // two phases in one pass: 1 = prefix match (`benchmark.py:85`),
+      // 2 = bounded edit distance with the length guard (`:87-91`)
+      .withColumn("phase",
+        when(col("alias").startsWith(col("tkey")), 1)
+          .when(length(col("alias")) < 255 && levenshtein(col("alias"), col("tkey"), 1) >= 0, 2))
+      .filter(col("phase").isNotNull)
+      // DISTINCT of the serving query's projection (`benchmark.py:97`)
+      .select(
+        col("query_id"), col("tkey"), col("phase"),
+        col("song_mb_id"), col("alias").as("matched_alias"), col("song_title"),
+        col("single_relationship"), col("recording_score"),
+        col("album_title"), col("release_year"), col("is_single"), col("is_soundtrack"),
+        col("is_main_album"), col("album_mb_id"),
+        col("artist_name_mb"), col("artist_mb_id"), col("country_id"))
+      .distinct()
+
+    // phase-1 rows win when any exist for the query (`benchmark.py:124-126`)
+    val wPhase = Window.partitionBy(col("query_id"))
+    val phased = cand
+      .withColumn("min_phase", min(col("phase")).over(wPhase))
+      .filter(col("phase") === col("min_phase"))
+
+    // relevance (`benchmark.py:43-49`): score × 10^[single_from] ×
+    // 10^[main_album] × 10^[exact alias match]
+    val relevance = col("recording_score") *
+      when(col("single_relationship"), 10).otherwise(1) *
+      when(col("is_main_album"), 10).otherwise(1) *
+      when(normalize.searchKey(col("matched_alias")) === col("tkey"), 10).otherwise(1)
+
+    // A4: keep ≥ max/10, pick (earliest year, highest relevance); Python's
+    // `max` tie-break is list-order-nondeterministic — pinned by ids
+    Relational.relativeThresholdTopOne(
+      phased.withColumn("relevance", relevance),
+      Seq(col("query_id")),
+      col("relevance"), 10.0,
+      Seq(col("release_year").asc_nulls_last, col("relevance").desc,
+        col("album_mb_id").asc, col("song_mb_id").asc, col("matched_alias").asc))
+      .drop("tkey", "phase", "min_phase")
+  }
+
+  /** Eval counters (A6, `benchmark.py:245-274`): join matches back to the
+    * golden expectations and count Total / Correct / Missing / Wrong.
+    * `golden` columns: query_id, musicbrainz_id (expected album MBID).
+    */
+  def accuracy(golden: DataFrame, matches: DataFrame): DataFrame = {
+    val joined = golden
+      .join(matches.select(col("query_id").as("mq_id"), col("album_mb_id")),
+        col("query_id") === col("mq_id"), "left")
+    joined.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("album_mb_id").isNull, 1).otherwise(0)).as("missing"),
+      sum(when(col("album_mb_id").isNotNull && col("album_mb_id") =!= col("musicbrainz_id"), 1)
+        .otherwise(0)).as("wrong"),
+      sum(when(col("album_mb_id") === col("musicbrainz_id"), 1).otherwise(0)).as("correct"))
+  }
+}
