@@ -1,0 +1,126 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused tokenize → n-gram → [[RollingHash]] kernels. Semantically equal to
+  * the Column composition
+  * `transform(array_distinct(transform(seq, slice+concat_ws)), rollingHash)`
+  * but those higher-order functions evaluate interpreted (no whole-stage
+  * codegen), and profiling showed the HOF chain dominating the dedup
+  * queries (~2.5 s per pass over 5000 docs at sf0.1, recomputed per join
+  * side). One native expression = one tight loop per row.
+  *
+  * Tokenization matches Java/RE2 `\s+` on ASCII: space, \t, \n, \u000B,
+  * \f, \r — the same set the DuckDB oracle's `string_split_regex` uses.
+  */
+object TextHashes {
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private def tokenBounds(s: String): mutable.ArrayBuffer[(Int, Int)] = {
+    val bounds = new mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(s.charAt(i))) i += 1
+      if (i > start) bounds += ((start, i))
+    }
+    bounds
+  }
+
+  /** Rolling-hash fold of s[from,until) continuing from state (h, first). */
+  @inline private def foldRange(s: String, from: Int, until: Int, h0: Long, first0: Boolean): (Long, Boolean) = {
+    var h = h0
+    var first = first0
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      h = if (first) cp % RollingHash.Mod else (h * 31 + cp) % RollingHash.Mod
+      first = false
+      i += Character.charCount(cp)
+    }
+    (h, first)
+  }
+
+  /** [[RollingHash]] of every whitespace token, duplicates kept (term
+    * frequency is the SimHash weight). */
+  def tokenHashes(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val bounds = tokenBounds(s)
+    val out = new Array[Any](bounds.length)
+    var i = 0
+    while (i < bounds.length) {
+      val (a, b) = bounds(i)
+      out(i) = foldRange(s, a, b, 0L, first0 = true)._1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct [[RollingHash]] values of all space-joined word n-grams,
+    * first-occurrence order (= `array_distinct` semantics). */
+  def shingleHashes(u: UTF8String, n: Int): ArrayData = {
+    val s = u.toString
+    val bounds = tokenBounds(s)
+    if (bounds.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new mutable.LinkedHashSet[Long]()
+    var g = 0
+    while (g <= bounds.length - n) {
+      var h = 0L
+      var first = true
+      var t = 0
+      while (t < n) {
+        if (t > 0) { // the joining space, cp 32
+          h = if (first) 32L else (h * 31 + 32L) % RollingHash.Mod
+          first = false
+        }
+        val (a, b) = bounds(g + t)
+        val r = foldRange(s, a, b, h, first)
+        h = r._1; first = r._2
+        t += 1
+      }
+      seen += h
+      g += 1
+    }
+    new GenericArrayData(seen.toArray.map(_.asInstanceOf[Any]))
+  }
+}
+
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_hashes requires a string argument, got ${child.dataType.catalogString}")
+  override def prettyName: String = "token_hashes"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.tokenHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.tokenHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType] && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires a string argument and n >= 1")
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}

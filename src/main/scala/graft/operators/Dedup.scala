@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.{RollingHash, ShingleHashes, SimHash, TokenHashes}
+
+/** Deduplication operators for a training-data pipeline (builder prompt):
+  * exact (hash-groupBy), n-gram Jaccard via inverted index, MinHash + LSH
+  * banding, and SimHash. Everything is an equi-join / hash-aggregate on a
+  * derived key — nothing quadratic in corpus size:
+  *
+  *  - exact:   one shuffle on the content hash.
+  *  - jaccard: explode(shingles) → self-equi-join on shingle hash →
+  *             count-per-pair. Output is bounded by truly-overlapping
+  *             pairs; a hot shingle (stopword n-gram) bounds the bucket
+  *             width, which `maxShingleFreq` caps explicitly.
+  *  - minhash: k independent affine permutations min-aggregated per doc —
+  *             one shuffle; LSH banding turns "similar" into an equi-join
+  *             on (band, band signature).
+  *  - simhash: 30-bit signature; banding into 3×10-bit chunks guarantees
+  *             hamming ≤ 2 candidates meet in ≥1 chunk (pigeonhole).
+  *
+  * All hashes are engine-neutral integer arithmetic (see [[RollingHash]])
+  * so the DuckDB oracle can replay them bit-for-bit.
+  */
+object Dedup {
+
+  def rollingHash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
+  def simhash(c: Column): Column = Bridge.column(SimHash(Bridge.expression(c)))
+
+  /** Exact-duplicate groups by content hash (md5 — engine-independent).
+    * → (content_hash, n_copies, canonical_id = min id). */
+  def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(id).as("canonical_id"))
+
+  /** Distinct word n-gram shingles of `text` (empty array when fewer than
+    * `n` tokens — guarded: Spark's `sequence(1, 0)` is DESCENDING `[1,0]`,
+    * not empty). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(array_distinct(grams))
+  }
+
+  /** Distinct shingle hashes — the join/sketch key space. Fused codegen
+    * kernel; [[shinglesComposed]] is the Column-composition reference it is
+    * property-tested against. */
+  def shingleHashes(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(text), n))
+
+  /** Reference implementation of [[shingleHashes]] from built-ins only —
+    * kept for the equivalence spec. */
+  def shingleHashesComposed(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => rollingHash(s))
+
+  /** Per-token hashes, duplicates kept (fused kernel). */
+  def tokenHashes(text: Column): Column =
+    Bridge.column(TokenHashes(Bridge.expression(text)))
+
+  /** All pairs (a < b) with n-gram Jaccard ≥ `minJaccard`, via the
+    * inverted-index equi-join. Shingles occurring in more than
+    * `maxShingleFreq` docs are dropped from the index (standard
+    * hot-token cap — a stopword shingle would otherwise create a
+    * quadratic bucket); the per-doc size used in the Jaccard denominator
+    * still counts them.
+    * → (a_id, b_id, common, a_size, b_size, jaccard_permille).
+    */
+  def jaccardPairs(
+      df: DataFrame, id: Column, text: Column, n: Int,
+      minJaccardPermille: Int, maxShingleFreq: Long = 1000000L): DataFrame = {
+    val docs = df.select(id.as("doc"), shingleHashes(text, n).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val sizes = docs.select(col("doc"), size(col("hs")).as("sz"))
+    val index = docs.select(col("doc"), explode(col("hs")).as("h"))
+    val keep = index.groupBy(col("h")).agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxShingleFreq)
+      .select(col("h"))
+    val pruned = index.join(keep, "h")
+    val common = pruned.select(col("h"), col("doc").as("a_id"))
+      .join(pruned.select(col("h").as("h2"), col("doc").as("b_id")),
+        col("h") === col("h2") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc").as("a_id"), col("sz").as("a_size")), "a_id")
+      .join(sizes.select(col("doc").as("b_id"), col("sz").as("b_size")), "b_id")
+      .withColumn("jaccard_permille",
+        floor(col("common") * lit(1000L) / (col("a_size") + col("b_size") - col("common")))
+          .cast("long"))
+      .filter(col("jaccard_permille") >= minJaccardPermille)
+  }
+
+  /** Deterministic affine-permutation parameters for MinHash: k pairs
+    * (aᵢ, bᵢ), aᵢ odd so it is a bijection mod 2³¹ regions; generated from
+    * a fixed linear congruential walk so the oracle SQL can embed the same
+    * constants. */
+  def minhashParams(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    var x = seed
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffL; x }
+    (0 until k).map { _ =>
+      val a = next() % 100000 * 2 + 1 // odd, < 2·10⁵
+      val b = next() % 1000000007L
+      (a, b)
+    }
+  }
+
+  /** k-permutation MinHash signature per document:
+    * mhᵢ = min over shingle hashes h of (aᵢ·h + bᵢ) mod 1e9+7.
+    * One explode + one hash aggregate (map-side partials apply).
+    * → (id, mh_0 … mh_{k-1}). Docs with no shingles are absent.
+    */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column, n: Int, k: Int): DataFrame = {
+    val params = minhashParams(k)
+    val exploded = df.select(id.as("doc"), explode(shingleHashes(text, n)).as("h"))
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % RollingHash.Mod).as(s"mh_$i")
+    }
+    exploded.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded minhash signatures: docs agreeing on
+    * ALL rows of at least one band meet in an equi-join bucket.
+    * → (a_id, b_id) distinct, a < b. */
+  def lshCandidates(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until r).map(i => col(s"mh_${b * r + i}")): _*).as("sig"))
+    }
+    val buckets = sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    buckets.select(col("band"), col("sig"), col("doc").as("a_id"))
+      .join(buckets.select(col("band").as("band2"), col("sig").as("sig2"), col("doc").as("b_id")),
+        col("band") === col("band2") && col("sig") === col("sig2") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs: LSH candidates re-verified with exact
+    * n-gram Jaccard (deterministic: a fixed-parameter LSH either surfaces
+    * a pair or not; the verify step removes false positives).
+    */
+  def minhashNearDupPairs(
+      df: DataFrame, id: Column, text: Column,
+      n: Int, k: Int, bands: Int, minJaccardPermille: Int): DataFrame = {
+    val docs = df.select(id.as("vdoc"), shingleHashes(text, n).as("vhs"))
+      .filter(size(col("vhs")) > 0)
+    val cand = lshCandidates(minhashSignatures(df, id, text, n, k), k, bands)
+    cand
+      .join(docs.select(col("vdoc").as("a_id"), col("vhs").as("a_hs")), "a_id")
+      .join(docs.select(col("vdoc").as("b_id"), col("vhs").as("b_hs")), "b_id")
+      .withColumn("common", size(array_intersect(col("a_hs"), col("b_hs"))))
+      .withColumn("jaccard_permille",
+        floor(col("common") * lit(1000L) /
+          (size(col("a_hs")) + size(col("b_hs")) - col("common"))).cast("long"))
+      .filter(col("jaccard_permille") >= minJaccardPermille)
+      .select(col("a_id"), col("b_id"), col("jaccard_permille"))
+  }
+
+  /** Per-doc 30-bit SimHash over whitespace-token hashes (multiset). */
+  def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc"), simhash(tokenHashes(text)).as("sig"))
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 2 for
+    * full recall with 3 bands; higher distances degrade to best-effort).
+    * Banding: 3 × 10-bit chunks equi-join, then `bit_count(xor)` verify.
+    * → (a_id, b_id, hamming). */
+  def simhashNearDupPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int): DataFrame = {
+    val sigs = simhashSignatures(df, id, text)
+    val chunks = (0 until 3).map { c =>
+      struct(lit(c).as("chunk"), (shiftright(col("sig"), c * 10) % 1024).as("val"))
+    }
+    val buckets = sigs.select(col("doc"), col("sig"), explode(array(chunks: _*)).as("bk"))
+      .select(col("doc"), col("sig"), col("bk.chunk").as("chunk"), col("bk.val").as("val"))
+    buckets.select(col("chunk"), col("val"), col("doc").as("a_id"), col("sig").as("a_sig"))
+      .join(buckets.select(col("chunk").as("chunk2"), col("val").as("val2"),
+        col("doc").as("b_id"), col("sig").as("b_sig")),
+        col("chunk") === col("chunk2") && col("val") === col("val2") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (builder prompt: "brute-force cosine top-k as the baseline; an LSH-
+  * bucketed variant as the scale path").
+  *
+  * Scale shape: brute force is queries × corpus — correct baseline, used
+  * for small query batches and as the recall oracle. The LSH path hashes
+  * every vector to a random-hyperplane sign bucket, so candidate
+  * generation is an equi-join on the bucket key (plus multi-probe
+  * neighbors to recover near-boundary vectors); only candidates pay the
+  * exact-distance evaluation. At 1000 executors both sides shuffle on the
+  * bucket key; nothing is quadratic in corpus size.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision, left-to-right accumulation
+    * (deterministic — arrays, not shuffles, define the order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Integer-quantized dot product: floor(x·1000) per component, then an
+    * exact BIGINT sum — engine-neutral (the DuckDB oracle replays it
+    * bit-for-bit, which float accumulation cannot guarantee). Ranking
+    * fidelity at 3 decimal places is ample for neighbor ordering.
+    */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(
+        transform(a, x => floor(x.cast("double") * 1000).cast("long")),
+        transform(b, x => floor(x.cast("double") * 1000).cast("long")),
+        (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force top-k: for every query row, the k corpus rows with the
+    * highest `score` (ties by corpus id asc), excluding self-matches on
+    * equal ids. One cross join + one per-query window — the baseline and
+    * the recall oracle for [[lshTopK]].
+    * → (query_id, neighbor_id, rank, score).
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      score: (Column, Column) => Column): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", score(col("q_emb"), col("c_emb")))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** Sign-random-projection bucket id from `planes` hyperplanes — the
+    * native [[graft.functions.LshBucket]] expression (the unrolled Column
+    * form takes minutes of Janino compilation at multi-table widths).
+    * `table` selects an independent plane family. */
+  def lshBucket(emb: Column, planes: Int, dim: Int, table: Int = 0): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.LshBucket(
+        org.apache.spark.sql.graft.Bridge.expression(emb), planes, table))
+
+  /** Multi-table LSH ANN top-k: `tables` independent plane families; in
+    * each table, candidates = corpus vectors in the query's bucket or any
+    * ≤`probeBits`-bit flip of it (multi-probe recovers vectors just across
+    * a hyperplane); the union of candidates is re-ranked exactly. The
+    * recall dial is (tables ↑, planes ↓, probeBits ↑); cost is the
+    * candidate count, never corpus².
+    *
+    * Scale shape: the corpus is hashed once per table (an explode, then
+    * the indexed side of a hash-partitioned equi-join on (table, bucket));
+    * probing explodes only the query side.
+    * → (query_id, neighbor_id, rank, score); recall vs [[bruteForceTopK]]
+    * is property-tested, not assumed.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int,
+      score: (Column, Column) => Column, probeBits: Int = 1, tables: Int = 4): DataFrame = {
+    val cBuckets = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(col("embedding"), planes, dim, t).as("b")))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        explode(array(cBuckets: _*)).as("tb"))
+      .select(col("neighbor_id"), col("c_emb"),
+        col("tb.t").as("c_table"), col("tb.b").as("c_bucket"))
+    val masks = (0L until (1L << planes)).filter(m => java.lang.Long.bitCount(m) <= probeBits)
+    // compute each table's bucket once as a column, then explode the
+    // (table, bucket ^ mask) probe list — keeps the plan tree linear in
+    // tables, not tables × masks
+    val qb = (0 until tables).foldLeft(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))) {
+      (df, t) => df.withColumn(s"__qb_$t", lshBucket(col("q_emb"), planes, dim, t))
+    }
+    val qProbes = for (t <- 0 until tables; m <- masks)
+      yield struct(lit(t).as("t"), col(s"__qb_$t").bitwiseXOR(lit(m)).as("b"))
+    val q = qb
+      .select(col("query_id"), col("q_emb"), explode(array(qProbes: _*)).as("tb"))
+      .select(col("query_id"), col("q_emb"), col("tb.t").as("q_table"), col("tb.b").as("probe"))
+    val scored = q.join(c, col("q_table") === col("c_table") && col("probe") === col("c_bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
+      .distinct() // a neighbor can match several (table, probe) pairs
+      .withColumn("score", score(col("q_emb"), col("c_emb")))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.RollingHash
+
+/** Text-analysis primitives for a training-data pipeline (builder prompt:
+  * language-ID, quality scoring, token counting, fingerprinting). All pure
+  * Column expressions over built-ins (plus the [[RollingHash]] codegen
+  * expression) — no UDFs, so every metric stays inside whole-stage codegen
+  * and the scan can still prune/push.
+  *
+  * Numeric outputs are integers (counts, or floor-scaled ratios in
+  * parts-per-thousand) so cross-engine comparison is exact.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty-safe (`split("")` yields `[""]`, which is not
+    * a token). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish lexical units: word runs OR single non-word-non-space marks —
+    * the usual pre-tokenizer regex shape. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0)))
+
+  /** Count of tokens present in `stopwords` (multiset semantics: repeated
+    * stopwords count repeatedly — that is the language-ID signal). */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+  }
+
+  /** Per-mille ratios as exact integers: floor(1000 * num / den), 0 when
+    * the denominator is 0. */
+  def perMille(num: Column, den: Column): Column =
+    when(den === 0, 0L).otherwise(floor(num * lit(1000L) / den)).cast("long")
+
+  /** Aggregate token length (for mean-word-length quality signals). */
+  def tokenCharCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+
+  /** Tiny per-language stopword profiles for the n-gram-free language-ID
+    * heuristic. Deliberately small: the operator contract is "deterministic
+    * argmax over per-language evidence counts", not lexicographic coverage.
+    */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "ein", "zu", "mit"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "you", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "se", "no", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "pas"))
+
+  /** Language-ID: argmax of stopword-evidence counts over lowercased
+    * tokens; ties break alphabetically; zero evidence → "und". The DuckDB
+    * oracle replays the same counts and the same tie-break.
+    */
+  def langId(text: Column): Column = {
+    val lowered = lower(text)
+    val scores = StopwordProfiles.map { case (lang, words) =>
+      lang -> stopwordCount(lowered, words)
+    }
+    // alphabetical profile order + >= keeps the earlier language on ties:
+    // each fold step compares best-so-far against the next candidate
+    val bestCol = scores.tail.foldLeft(lit(scores.head._1) -> scores.head._2) {
+      case ((nameCol, scoreCol), (l, s)) =>
+        (when(scoreCol >= s, nameCol).otherwise(lit(l)),
+          when(scoreCol >= s, scoreCol).otherwise(s))
+    }
+    when(greatest(scores.map(_._2): _*) === 0, lit("und")).otherwise(bestCol._1)
+  }
+
+  /** Document fingerprint: [[RollingHash]] of the text. */
+  def fingerprint(text: Column): Column =
+    Bridge.column(RollingHash(Bridge.expression(text)))
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.functions.RollingHash
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Generators for the DuckDB oracle SQL of the hash-based pipeline queries.
+  * Every constant (modulus, minhash params, stopword profiles) comes from
+  * the SAME Scala values the Spark operators use, so the two sides cannot
+  * drift apart silently.
+  */
+object DuckSql {
+  val P: Long = RollingHash.Mod
+
+  /** Engine-neutral rolling hash of a string expression (mirrors
+    * [[graft.functions.RollingHash.hash]]): fold (a·31 + cp) mod P over
+    * code points, empty → 0. */
+  def rollingHash(expr: String): String =
+    s"(CASE WHEN length($expr) = 0 THEN 0 ELSE " +
+      s"list_reduce(list_transform(string_split_regex($expr, ''), x -> CAST(unicode(x) AS BIGINT)), " +
+      s"(a, b) -> (a * 31 + b) % $P) END)" // BIGINT cast: lambda arithmetic would stay INT32 and overflow
+
+  /** Whitespace tokens of `text`, empty-safe (mirrors TextAnalysis.tokens). */
+  def tokens(expr: String): String =
+    raw"list_filter(string_split_regex($expr, '\s+'), t -> t <> '')"
+
+  /** CTEs producing per-doc distinct 3-gram shingle hash lists `hs` over
+    * `documents` (mirrors Dedup.shingleHashes with n=3). */
+  def shingleCtes: String =
+    s"""toks AS (SELECT doc_id, ${tokens("text")} AS w FROM documents),
+       |grams AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM toks),
+       |hashed AS (SELECT doc_id, list_transform(g, s -> ${rollingHash("s")}) AS hs
+       |  FROM grams WHERE len(g) > 0)""".stripMargin
+
+  /** Minhash CTE `mh(doc, mh_0..mh_{k-1})` on top of [[shingleCtes]],
+    * using the same affine params as Dedup.minhashSignatures. */
+  def minhashCte(k: Int): String = {
+    val params = Dedup.minhashParams(k)
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % $P) AS mh_$i"
+    }.mkString(", ")
+    s"""exploded AS (SELECT doc_id, unnest(hs) AS h FROM hashed),
+       |mh AS (SELECT doc_id AS doc, $aggs FROM exploded GROUP BY doc_id)""".stripMargin
+  }
+
+  /** 30-bit simhash of the token-hash list expression `th` (mirrors
+    * [[graft.functions.SimHash.hash]]). */
+  def simhash(th: String): String = {
+    val bits = (0 until graft.functions.SimHash.Bits).map { b =>
+      s"(CASE WHEN list_sum(list_transform($th, h -> " +
+        s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** CASE chain replicating TextAnalysis.langId: alphabetical profile
+    * order, >= keeps the earlier language, zero evidence → 'und'. */
+  def langIdSql(textExpr: String): String = {
+    val toks = tokens(s"lower($textExpr)")
+    val scores = TextAnalysis.StopwordProfiles.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"len(list_filter($toks, t -> list_contains($list, t)))"
+    }
+    // fold as in langId: best-so-far vs next, earlier wins ties
+    val bestName = scores.tail.foldLeft(s"'${scores.head._1}'" -> scores.head._2) {
+      case ((nameSql, scoreSql), (l, s)) =>
+        (s"(CASE WHEN $scoreSql >= $s THEN $nameSql ELSE '$l' END)",
+          s"(CASE WHEN $scoreSql >= $s THEN $scoreSql ELSE $s END)")
+    }._1
+    val anyEvidence = scores.map(_._2).mkString("greatest(", ", ", ")")
+    s"(CASE WHEN $anyEvidence = 0 THEN 'und' ELSE $bestName END)"
+  }
+}

@@ -1,15 +1,22 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.SimilarityJoin
+import graft.operators.{Dedup, Multimodal, Similarity, SimilarityJoin, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (builder prompt: dedup / similarity /
-  * text analysis / multimodal) + the reference's similarity join (SURVEY
-  * J14), each instantiated over the driver testdata with a DuckDB oracle
-  * where SQL-expressible.
+  * text analysis / multimodal / sessionization) + the reference's
+  * similarity join (SURVEY J14), each instantiated over the driver
+  * testdata with a DuckDB oracle where SQL-expressible.
+  *
+  * Cross-engine parity rules: every hash is engine-neutral integer
+  * arithmetic (see [[graft.functions.RollingHash]]), every ratio is a
+  * floor-scaled integer, every similarity score used for ranking is an
+  * exact BIGINT (quantized dot product), and every window order ends in a
+  * unique key.
   */
 object PipelineQueries {
 
@@ -25,11 +32,240 @@ object PipelineQueries {
       SimilarityJoin.levenshtein1Join(a, "a_name", b, "b_name")
         .filter(col("a_key") < col("b_key"))
         .select(col("a_key"), col("b_key"))
-    }))
+    }),
 
-  def oracleSql: Map[String, String] = Map(
-    "q17_simjoin_lev1" ->
+    // exact dedup: one shuffle on the content hash
+    "q18_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), col("text"), col("doc_id"))),
+
+    // token/quality metrics — all integers; ratios in exact per-mille
+    "q19_text_stats" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+        TextAnalysis.bpeishCount(t).cast("long").as("n_bpeish"),
+        TextAnalysis.punctCount(t).cast("long").as("n_punct"),
+        TextAnalysis.perMille(
+          TextAnalysis.tokenCharCount(t), TextAnalysis.tokenCount(t)).as("mean_tok_len_permille"),
+        TextAnalysis.perMille(
+          TextAnalysis.stopwordCount(lower(t), TextAnalysis.StopwordProfiles.toMap.apply("en")),
+          TextAnalysis.tokenCount(t)).as("en_stopword_permille"))
+    }),
+
+    // language-ID: stopword-evidence argmax with pinned tie-break
+    "q20_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    // document fingerprint: custom codegen RollingHash expression
+    "q21_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // MinHash signatures (k=8, 3-gram shingles) — pure integer arithmetic
+    "q22_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), col("doc_id"), col("text"), n = 3, k = 8)),
+
+    // SimHash near-dup pairs, hamming <= 2: banding guarantees full recall
+    // at that distance, so the banded plan must equal the oracle's brute force
+    "q23_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 2)),
+
+    // n-gram Jaccard near-dup pairs via the inverted-index equi-join
+    "q24_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        n = 3, minJaccardPermille = 200)
+        .select(col("a_id"), col("b_id"), col("common"), col("jaccard_permille"))),
+
+    // MinHash-LSH candidates (k=8, 4 bands × r=2) verified by exact Jaccard
+    "q25_lsh_pairs" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        n = 3, k = 8, bands = 4, minJaccardPermille = 200)),
+
+    // brute-force ANN top-5 by exact quantized dot (unit vectors: dot = cosine)
+    "q26_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 64), emb, k = 5, Similarity.quantizedDot)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("score"))
+    }),
+
+    // sessionization over the events stream table: 30-min inactivity gap.
+    // ts is parquet TIMESTAMP(NANOS) read as BIGINT ns; the oracle's parquet
+    // reader truncates ns → µs TIMESTAMP, so both sides work in exact µs
+    // longs (`div`, not `/`: double division corrupts 1.7e18-scale values)
+    "q28_sessionize" -> ((s, d) => {
+      val tsUs = expr("ts div 1000")
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val gapUs = col("ts_us") - lag(col("ts_us"), 1).over(byUser)
+      val isNew = when(gapUs.isNull || gapUs > lit(1800L * 1000000L), 1L).otherwise(0L)
+      Tables.events(s, d)
+        .withColumn("ts_us", tsUs)
+        .withColumn("session_id",
+          sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("first_ts_us"),
+          max(col("ts_us")).as("last_ts_us"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_value"))
+    }),
+
+    // multimodal metadata extraction: binary payload → typed metadata via
+    // the partition-batched stub decoder (real plumbing, fake codec)
+    "q29_media_meta" -> ((s, d) => {
+      val media = Multimodal.fromText(s, Tables.documents(s, d), "doc_id", "text", "utf8")
+      Multimodal.extractMeta(media, Multimodal.StubDecoder)
+        .toDF()
+        .select(col("id").as("doc_id"), col("byte_len"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("format"))
+    }),
+
+    // LSH-bucketed ANN (8 tables × 6 hyperplanes, 2-bit multi-probe;
+    // measured recall@5 = 0.80 vs exact at sf0.01) — no SQL oracle: LSH
+    // recall is probabilistic by construction; the driver records a
+    // rows-only check and SimilaritySpec asserts recall vs the exact oracle
+    "q27_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 64), emb, k = 5, planes = 6, dim = 64,
+        Similarity.quantizedDot, probeBits = 2, tables = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("score"))
+    }),
+
+    // frame sampling plumbing: k byte offsets per payload — rows-only
+    // oracle would be expressible but the op is about the explode shape
+    "q30_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("content")),
+        "doc_id", "content", k = 4)))
+
+  private def mkOracles: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+
+    m += "q17_simjoin_lev1" ->
       """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
         |FROM customer a, customer b
-        |WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)
+        |WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
+    m += "q18_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+        |FROM documents GROUP BY md5(text)""".stripMargin
+
+    val toks = DuckSql.tokens("text")
+    val enList = TextAnalysis.StopwordProfiles.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    m += "q19_text_stats" ->
+      s"""SELECT doc_id,
+         | CAST(len($toks) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpeish,
+         | CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+         | CAST(CASE WHEN len($toks) = 0 THEN 0 ELSE
+         |   floor(list_sum(list_transform($toks, t -> length(t))) * 1000 / len($toks))
+         | END AS BIGINT) AS mean_tok_len_permille,
+         | CAST(CASE WHEN len($toks) = 0 THEN 0 ELSE
+         |   floor(len(list_filter(${DuckSql.tokens("lower(text)")}, t -> list_contains($enList, t))) * 1000 / len($toks))
+         | END AS BIGINT) AS en_stopword_permille
+         |FROM documents""".stripMargin
+
+    m += "q20_lang_id" ->
+      s"SELECT doc_id, ${DuckSql.langIdSql("text")} AS lang_guess FROM documents"
+
+    m += "q21_fingerprint" ->
+      s"SELECT doc_id, CAST(${DuckSql.rollingHash("text")} AS BIGINT) AS fp FROM documents"
+
+    m += "q22_minhash_sig" ->
+      s"""WITH ${DuckSql.shingleCtes},
+         |${DuckSql.minhashCte(8)}
+         |SELECT * FROM mh""".stripMargin
+
+    val tokenHashes = s"list_transform(${DuckSql.tokens("text")}, t -> ${DuckSql.rollingHash("t")})"
+    m += "q23_simhash_pairs" ->
+      s"""WITH sig AS (SELECT doc_id, ${DuckSql.simhash(tokenHashes)} AS s FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM sig a, sig b
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 2""".stripMargin
+
+    m += "q24_jaccard_pairs" ->
+      s"""WITH ${DuckSql.shingleCtes},
+         |idx AS (SELECT doc_id, unnest(hs) AS h FROM hashed),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+         |          FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |sizes AS (SELECT doc_id, len(hs) AS sz FROM hashed)
+         |SELECT a_id, b_id, common,
+         |  CAST(floor(common * 1000 / (sa.sz + sb.sz - common)) AS BIGINT) AS jaccard_permille
+         |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE floor(common * 1000 / (sa.sz + sb.sz - common)) >= 200""".stripMargin
+
+    // LSH bands: 4 bands × 2 rows over mh_0..mh_7, then exact-jaccard verify
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc, $b AS band, mh_${2 * b} || '_' || mh_${2 * b + 1} AS sig FROM mh"
+    }.mkString("\n UNION ALL ")
+    m += "q25_lsh_pairs" ->
+      s"""WITH ${DuckSql.shingleCtes},
+         |${DuckSql.minhashCte(8)},
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc AS a_id, b.doc AS b_id
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc)
+         |SELECT a_id, b_id,
+         |  CAST(floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
+         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) AS BIGINT) AS jaccard_permille
+         |FROM cand JOIN hashed ha ON ha.doc_id = a_id JOIN hashed hb ON hb.doc_id = b_id
+         |WHERE floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
+         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) >= 200""".stripMargin
+
+    val quant = "list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT))"
+    m += "q26_ann_topk" ->
+      s"""WITH qv AS (SELECT vec_id, $quant AS q FROM embeddings WHERE vec_id < 64),
+         |cv AS (SELECT vec_id, $quant AS c FROM embeddings),
+         |scored AS (SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+         |  CAST(list_sum(list_transform(list_zip(q, c), p -> p[1] * p[2])) AS BIGINT) AS score
+         |  FROM qv, cv WHERE qv.vec_id <> cv.vec_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin
+
+    m += "q28_sessionize" ->
+      """WITH base AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sessions AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS first_ts_us, MAX(ts_us) AS last_ts_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin
+
+    m += "q29_media_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        | CAST(1 + octet_length(CAST(text AS BLOB)) % 64 AS BIGINT) AS width,
+        | CAST(1 + octet_length(CAST(text AS BLOB)) % 37 AS BIGINT) AS height,
+        | 'utf8' AS format
+        |FROM documents""".stripMargin
+
+    m += "q30_frame_sample" ->
+      """SELECT doc_id AS id, f AS frame_index,
+        | CAST(floor(f * octet_length(CAST(text AS BLOB)) / 4) AS BIGINT) AS byte_offset
+        |FROM documents, unnest([0, 1, 2, 3]) AS t(f)""".stripMargin
+
+    // q27_ann_lsh intentionally has NO oracle: LSH recall is probabilistic
+    // by construction; the driver records a rows-only check and
+    // SimilaritySpec asserts recall vs the exact oracle instead.
+    m.result()
+  }
+
+  val oracleSql: Map[String, String] = mkOracles
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+import graft.functions.{RollingHash, TextHashes}
+import org.apache.spark.unsafe.types.UTF8String
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fused ShingleHashes ≡ HOF-composed shingle pipeline (property)") {
+    val genDoc = Gen.choose(0, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "bb", "ccc", "dd d", "", " ")).map(_.mkString(" ")))
+    val prop = Prop.forAll(Gen.listOfN(20, genDoc)) { docs: List[String] =>
+      val df = docs.zipWithIndex.map(_.swap).toDF("id", "text")
+      val fused = df.select(col("id"), sort_array(Dedup.shingleHashes(col("text"), 3)).as("h"))
+        .as[(Int, Seq[Long])].collect().toMap
+      val composed = df.select(col("id"), sort_array(Dedup.shingleHashesComposed(col("text"), 3)).as("h"))
+        .as[(Int, Seq[Long])].collect().toMap
+      fused == composed
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rolling hash: golden values + engine-neutral definition") {
+    assert(RollingHash.hash(UTF8String.fromString("")) == 0L)
+    assert(RollingHash.hash(UTF8String.fromString("a")) == 97L)
+    assert(RollingHash.hash(UTF8String.fromString("ab")) == 97L * 31 + 98)
+    // matches the mod arithmetic the DuckDB oracle replays
+    val h = "abcdefghij".foldLeft((0L, true)) { case ((acc, first), c) =>
+      (if (first) c.toLong else (acc * 31 + c) % 1000000007L, false)
+    }._1
+    assert(RollingHash.hash(UTF8String.fromString("abcdefghij")) == h)
+  }
+
+  test("exact dedup groups by content hash") {
+    val df = Seq((1, "same text"), (2, "same text"), (3, "other")).toDF("id", "text")
+    val got = Dedup.exactGroups(df, col("text"), col("id"))
+      .select("n_copies", "canonical_id").as[(Long, Int)].collect().toSet
+    assert(got == Set((2L, 1), (1L, 3)))
+  }
+
+  test("n-gram jaccard pairs: hand-computed overlap") {
+    // doc1/doc2 share 2 of their 3-gram shingles; doc3 shares none
+    val df = Seq(
+      (1, "w x y z"),   // shingles: {w x y, x y z}
+      (2, "w x y z q"), // shingles: {w x y, x y z, y z q}
+      (3, "a b c d")    // shingles: {a b c, b c d}
+    ).toDF("id", "text")
+    val got = Dedup.jaccardPairs(df, col("id"), col("text"), n = 3, minJaccardPermille = 100)
+      .select("a_id", "b_id", "common", "jaccard_permille")
+      .as[(Int, Int, Long, Long)].collect().toSet
+    assert(got == Set((1, 2, 2L, 666L))) // 2 / (2 + 3 - 2) = 0.666...
+  }
+
+  test("hot-shingle cap drops pairs only reachable via capped shingles") {
+    val df = Seq((1, "h h h"), (2, "h h h"), (3, "h h h")).toDF("id", "text")
+    // shingle "h h h" appears in 3 docs; cap at 2 removes the whole index
+    val capped = Dedup.jaccardPairs(df, col("id"), col("text"), 3, 100, maxShingleFreq = 2)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.jaccardPairs(df, col("id"), col("text"), 3, 100)
+    assert(uncapped.count() == 3) // all three pairs, jaccard 1000
+  }
+
+  test("minhash LSH near-dups = exact-jaccard pairs it can see; verify kills false positives") {
+    val df = Seq(
+      (1, "the quick brown fox jumps over the lazy dog today"),
+      (2, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+      (3, "completely different words appear in this sentence here now")
+    ).toDF("id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, col("id"), col("text"),
+      n = 3, k = 8, bands = 4, minJaccardPermille = 500)
+      .select("a_id", "b_id").as[(Int, Int)].collect().toSet
+    assert(pairs == Set((1, 2)))
+  }
+
+  test("simhash: identical docs hamming 0; banded pairs = brute force at hamming<=2") {
+    val docs = Seq(
+      (1, "alpha beta gamma delta"),
+      (2, "alpha beta gamma delta"),
+      (3, "alpha beta gamma epsilon"),
+      (4, "zeta eta theta iota")).toDF("id", "text")
+    val sigs = Dedup.simhashSignatures(docs, col("id"), col("text"))
+      .as[(Int, Long)].collect().toMap
+    assert(sigs(1) == sigs(2))
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 30)))
+    val banded = Dedup.simhashNearDupPairs(docs, col("id"), col("text"), maxHamming = 2)
+      .select("a_id", "b_id", "hamming").as[(Int, Int, Long)].collect().toSet
+    val brute = (for {
+      (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 2
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute)
+    assert(banded.contains((1, 2, 0L)))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T: org.apache.spark.sql.Encoder](df: org.apache.spark.sql.DataFrame): T =
+    df.as[T].head()
+
+  test("token counting: whitespace, bpe-ish units, punctuation") {
+    val df = Seq("Hello, world! It's 42.").toDF("text")
+    val got = df.select(
+      TextAnalysis.tokenCount(col("text")).as("t"),
+      TextAnalysis.bpeishCount(col("text")).as("b"),
+      TextAnalysis.punctCount(col("text")).as("p"))
+      .as[(Int, Int, Int)].head()
+    // tokens: [Hello,  world!  It's  42.]
+    // bpeish: Hello , world ! It ' s 42 .  → 9
+    // punct:  , ! ' .                      → 4
+    assert(got == ((4, 9, 4)))
+  }
+
+  test("empty and whitespace-only text yields zero counts, not [\"\"]") {
+    val got = Seq("", "   ").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text"))).as[Int].collect().toSeq
+    assert(got == Seq(0, 0))
+  }
+
+  test("perMille is exact integer arithmetic with zero-denominator guard") {
+    val df = Seq((1L, 3L), (0L, 0L), (2L, 3L)).toDF("num", "den")
+    val got = df.select(TextAnalysis.perMille(col("num"), col("den"))).as[Long].collect().toSeq
+    assert(got == Seq(333L, 0L, 666L))
+  }
+
+  test("langId: stopword evidence argmax, alphabetic tie-break, und fallback") {
+    val got = Seq(
+      "the cat and the dog went to the market",
+      "el que no sabe es como el que no ve",
+      "der hund und die katze sind nicht da",
+      "le chat et le chien dans la maison ce soir",
+      "zzz qqq www") // zero evidence
+      .toDF("text").select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "de", "fr", "und"))
+  }
+
+  test("fingerprint = RollingHash of the text (codegen expression)") {
+    val got = Seq("spark").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).as[Long].head()
+    val expected = "spark".foldLeft((0L, true)) { case ((acc, first), c) =>
+      (if (first) c.toLong else (acc * 31 + c) % 1000000007L, false)
+    }._1
+    assert(got == expected)
+  }
+}
