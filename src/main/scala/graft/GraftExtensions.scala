@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{LshBucket, RollingHash, ShingleHashes, SimHash, TokenHashes, Unaccent}
+
+/** `SparkSessionExtensions` hook exposing the engine's native expressions to
+  * SQL (`spark.sql("SELECT unaccent(name) ...")`) — register with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Everything here is also reachable through the typed Column API; SQL
+  * registration is for `spark.sql` pipelines and external SQL front-ends.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def register(
+      ext: SparkSessionExtensions, name: String, usage: String, arity: Int)(
+      build: Seq[Expression] => Expression): Unit = {
+    val builder: FunctionRegistry.FunctionBuilder = { args =>
+      require(args.length == arity, s"$name expects $arity argument(s), got ${args.length}")
+      build(args)
+    }
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "unaccent",
+      "unaccent(str) - unidecode-style ASCII transliteration (reference UNACCENT parity)", 1) {
+      args => Unaccent(args.head)
+    }
+    register(ext, "rolling_hash",
+      "rolling_hash(str) - engine-neutral polynomial code-point hash mod 1e9+7", 1) {
+      args => RollingHash(args.head)
+    }
+    register(ext, "token_hashes",
+      "token_hashes(str) - rolling_hash of each whitespace token (duplicates kept)", 1) {
+      args => TokenHashes(args.head)
+    }
+    register(ext, "shingle_hashes",
+      "shingle_hashes(str, n) - distinct rolling_hash of word n-grams", 2) {
+      args => ShingleHashes(args.head, foldableInt(args(1), "shingle_hashes n"))
+    }
+    register(ext, "simhash",
+      "simhash(array<bigint>) - 30-bit SimHash signature of a token-hash bag", 1) {
+      args => SimHash(args.head)
+    }
+    register(ext, "lsh_bucket",
+      "lsh_bucket(array<float|double>, planes, table) - sign-random-projection bucket", 3) {
+      args => LshBucket(args.head,
+        foldableInt(args(1), "lsh_bucket planes"), foldableInt(args(2), "lsh_bucket table"))
+    }
+  }
+
+  private def foldableInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"$what must be an integer, got $other")
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration: the native expressions must be callable from
+  * `spark.sql` once the extension is installed. Extensions bind at session
+  * build time, and `getOrCreate` silently reuses any default session — so
+  * this suite clears the default first and restores it after.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var prevDefault: Option[SparkSession] = None
+
+  private lazy val spark: SparkSession = {
+    prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    prevDefault.foreach { s =>
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
+    super.afterAll()
+  }
+
+  test("all graft functions are callable from SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  unaccent('Motörhead') AS u,
+        |  rolling_hash('ab') AS rh,
+        |  size(token_hashes('a b c')) AS nt,
+        |  size(shingle_hashes('a b c d', 3)) AS ns,
+        |  simhash(token_hashes('x y z')) AS sh,
+        |  lsh_bucket(array(cast(1.0 as float), cast(-1.0 as float)), 4, 0) AS lb
+        |""".stripMargin).head()
+    assert(row.getString(0) == "Motorhead")
+    assert(row.getLong(1) == 97L * 31 + 98)
+    assert(row.getInt(2) == 3)
+    assert(row.getInt(3) == 2)
+    assert(row.getLong(4) >= 0 && row.getLong(4) < (1L << 30))
+    assert(row.getLong(5) >= 0 && row.getLong(5) < 16)
+  }
+
+  test("non-literal arity/param misuse fails analysis, not execution") {
+    val e = intercept[Exception](spark.sql("SELECT rolling_hash('a', 'b')").head())
+    assert(e.getMessage.contains("expects 1 argument"))
+  }
+}
