@@ -111,10 +111,18 @@ object Similarity {
     val q = qb
       .select(col("query_id"), col("q_emb"), explode(array(qProbes: _*)).as("tb"))
       .select(col("query_id"), col("q_emb"), col("tb.t").as("q_table"), col("tb.b").as("probe"))
-    val scored = q.join(c, col("q_table") === col("c_table") && col("probe") === col("c_bucket"))
+    // dedupe on the id pair BEFORE touching embedding arrays: a neighbor
+    // can match several (table, probe) pairs, and distinct over wide
+    // float-array rows costs far more than over two longs
+    val candidateIds = q.select(col("query_id"), col("q_table"), col("probe"))
+      .join(c.select(col("neighbor_id"), col("c_table"), col("c_bucket")),
+        col("q_table") === col("c_table") && col("probe") === col("c_bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
-      .distinct() // a neighbor can match several (table, probe) pairs
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val scored = candidateIds
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")), "neighbor_id")
       .withColumn("score", score(col("q_emb"), col("c_emb")))
     scored
       .withColumn("rank", row_number().over(

@@ -49,12 +49,17 @@ object SimilarityJoin {
     * `maxLen` mirrors the reference's `LENGTH(alias) < 255` guard
     * (`src/benchmark.py:76,89`) and bounds the explode factor.
     */
+  /** @param pairFilter optional predicate applied straight after the
+    *        variant equi-join, BEFORE the levenshtein verify and the
+    *        distinct — e.g. `a_key < b_key` in a self-join halves the
+    *        verify and dedup work instead of discarding after. */
   def levenshtein1Join(
       left: DataFrame,
       leftStr: String,
       right: DataFrame,
       rightStr: String,
-      maxLen: Int = 255): DataFrame = {
+      maxLen: Int = 255,
+      pairFilter: Option[Column] = None): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"left/right column names must be disjoint, both have: $overlap")
     val l = left
@@ -63,8 +68,9 @@ object SimilarityJoin {
     val r = right
       .filter(length(col(rightStr)) < maxLen)
       .withColumn("__rv", explode(deletionVariants(col(rightStr))))
-    l.join(r, col("__lv") === col("__rv"))
+    val joined = l.join(r, col("__lv") === col("__rv"))
       .drop("__lv", "__rv")
+    pairFilter.fold(joined)(joined.filter)
       .filter(levenshtein(col(leftStr), col(rightStr), 1) >= 0) // -1 = over threshold
       .distinct()
   }

@@ -29,8 +29,8 @@ object PipelineQueries {
       val c = Tables.customer(s, d)
       val a = c.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"))
       val b = c.select(col("c_custkey").as("b_key"), col("c_name").as("b_name"))
-      SimilarityJoin.levenshtein1Join(a, "a_name", b, "b_name")
-        .filter(col("a_key") < col("b_key"))
+      SimilarityJoin.levenshtein1Join(a, "a_name", b, "b_name",
+        pairFilter = Some(col("a_key") < col("b_key")))
         .select(col("a_key"), col("b_key"))
     }),
 
@@ -143,7 +143,23 @@ object PipelineQueries {
     "q30_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("content")),
-        "doc_id", "content", k = 4)))
+        "doc_id", "content", k = 4)),
+
+    // embedding-cosine near-dup pairs, exact baseline form (bounded query
+    // side; the LSH bucketing of q27 is the full-corpus scale path). τ sits
+    // at the top of this synthetic corpus's similarity distribution —
+    // it has no true duplicates (max pairwise cosine ≈ 0.51)
+    "q31_embed_dup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val a = emb.filter(col("vec_id") < 256)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.crossJoin(b)
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("dot_q", Similarity.quantizedDot(col("a_emb"), col("b_emb")))
+        .filter(col("dot_q") >= 400000L) // unit vectors: cosine ≥ 0.4 at 10⁶ scale
+        .select(col("a_id"), col("b_id"), col("dot_q"))
+    }))
 
   private def mkOracles: Map[String, String] = {
     val m = Map.newBuilder[String, String]
@@ -260,6 +276,14 @@ object PipelineQueries {
       """SELECT doc_id AS id, f AS frame_index,
         | CAST(floor(f * octet_length(CAST(text AS BLOB)) / 4) AS BIGINT) AS byte_offset
         |FROM documents, unnest([0, 1, 2, 3]) AS t(f)""".stripMargin
+
+    m += "q31_embed_dup" ->
+      s"""WITH v AS (SELECT vec_id, $quant AS e FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) AS BIGINT) AS dot_q
+         |FROM v a, v b
+         |WHERE a.vec_id < 256 AND a.vec_id < b.vec_id
+         |  AND CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) AS BIGINT) >= 400000""".stripMargin
 
     // q27_ann_lsh intentionally has NO oracle: LSH recall is probabilistic
     // by construction; the driver records a rows-only check and

@@ -1,0 +1,57 @@
+package graft.musicbrainz
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** End-to-end accuracy harness in the reference's own input format: a
+  * UTF-8-BOM golden CSV (SURVEY S2/§5) replayed through the batch matcher
+  * over the fixture export, counters pinned exactly.
+  */
+class GoldenCsvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val header = "id,title,album_id,album_title,release_year,musicbrainz_id," +
+    "artist_id,artist_name,artist_country_id,artist_musicbrainz_id," +
+    "artist2_id,artist2_name,artist2_country_id,artist2_musicbrainz_id"
+
+  private lazy val csvPath: String = {
+    val rows = Seq(
+      header,
+      // quoted title with comma; correct expectation
+      "1,\"Come as You Are\",11,Nevermind,1991,g-201,1,Nirvana,us,a-1,,,,",
+      // misspelled artist, still expected correct
+      "2,Come as You Are,11,Nevermind,1991,g-201,1,Nirvanna,us,a-1,,,,",
+      // duo row: second artist columns populated
+      "3,Duet Song,30,Shared Album,1995,g-210,3,Alpha,us,a-3,4,Beta,us,a-4",
+      // no match in the corpus → missing
+      "4,Bohemian,99,A Night at the Opera,1975,g-000,9,Queen,gb,a-9,,,,",
+      // wrong expectation → wrong
+      "5,Oldie,12,Latecomer,1992,g-777,1,Nirvana,us,a-1,,,,")
+    val p = Paths.get("/tmp/graft_golden_test.csv")
+    // UTF-8 BOM first — exactly like the reference's benchmark/default.csv
+    Files.write(p, ("﻿" + rows.mkString("\n")).getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  test("BOM'd golden CSV: header parsed clean, quoted fields intact") {
+    val df = GoldenCsv.read(spark, csvPath)
+    assert(df.columns.head == "id") // BOM stripped — not "﻿id"
+    assert(df.count() == 5)
+    val q = GoldenCsv.toQueries(df)
+    val r3 = q.filter($"query_id" === 3).as[(Long, String, String, String)].head()
+    assert(r3 == ((3L, "Alpha", "Beta", "Duet Song")))
+    val r1 = q.filter($"query_id" === 1).select("artist2_name").head()
+    assert(r1.isNullAt(0))
+  }
+
+  test("full harness replica: CSV → matcher → exact counters") {
+    val golden = GoldenCsv.read(spark, csvPath)
+    val matches = MatchOps.matchSongs(
+      GoldenCsv.toQueries(golden), MbFixtureExport.cached(spark))
+    val stats = MatchOps.accuracy(GoldenCsv.toExpectations(golden), matches)
+      .as[(Long, Long, Long, Long)].head()
+    assert(stats == ((5L, 1L, 1L, 3L))) // total, missing, wrong, correct
+  }
+}
