@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{LshBucket, RollingHash, ShingleHashes, SimHash, TokenHashes, Unaccent}
+import graft.functions.{DotProduct, LshBucket, QuantizedDot, RollingHash, ShingleHashes, SimHash, TokenHashes, Unaccent}
 
 /** `SparkSessionExtensions` hook exposing the engine's native expressions to
   * SQL (`spark.sql("SELECT unaccent(name) ...")`) — register with
@@ -50,6 +50,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "simhash",
       "simhash(array<bigint>) - 30-bit SimHash signature of a token-hash bag", 1) {
       args => SimHash(args.head)
+    }
+    register(ext, "dot_product",
+      "dot_product(array<float|double>, array<float|double>) - double dot product", 2) {
+      args => DotProduct(args.head, args(1))
+    }
+    register(ext, "quantized_dot",
+      "quantized_dot(a, b) - exact BIGINT dot of floor(x*1000) components", 2) {
+      args => QuantizedDot(args.head, args(1))
     }
     register(ext, "lsh_bucket",
       "lsh_bucket(array<float|double>, planes, table) - sign-random-projection bucket", 3) {

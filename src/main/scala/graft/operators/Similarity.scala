@@ -17,15 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double precision, left-to-right accumulation
-    * (deterministic — arrays, not shuffles, define the order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def bridge2(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.catalyst.expressions.Expression) =>
+      org.apache.spark.sql.catalyst.expressions.Expression)(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(f(Bridge.expression(a), Bridge.expression(b)))
+  }
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  /** dot(a, b) in double precision, left-to-right accumulation
+    * (deterministic — arrays, not shuffles, define the order). Native
+    * [[graft.functions.DotProduct]]: the HOF form evaluates interpreted
+    * per element and dominated the ANN scans. */
+  def dot(a: Column, b: Column): Column = bridge2(graft.functions.DotProduct(_, _))(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -34,8 +39,13 @@ object Similarity {
     * exact BIGINT sum — engine-neutral (the DuckDB oracle replays it
     * bit-for-bit, which float accumulation cannot guarantee). Ranking
     * fidelity at 3 decimal places is ample for neighbor ordering.
-    */
+    * Native [[graft.functions.QuantizedDot]]; [[quantizedDotComposed]] is
+    * the built-ins reference it is property-tested against. */
   def quantizedDot(a: Column, b: Column): Column =
+    bridge2(graft.functions.QuantizedDot(_, _))(a, b)
+
+  /** Built-ins-only reference form of [[quantizedDot]] (for the spec). */
+  def quantizedDotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(
         transform(a, x => floor(x.cast("double") * 1000).cast("long")),

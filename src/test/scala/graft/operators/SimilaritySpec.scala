@@ -7,6 +7,17 @@ import graft.SparkSpec
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native quantizedDot ≡ built-ins composition on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(40)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+    val diff = pairs.select(
+      Similarity.quantizedDot(col("a"), col("b")).as("x"),
+      Similarity.quantizedDotComposed(col("a"), col("b")).as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(diff == 0)
+  }
+
   test("dot / norm / cosine / quantizedDot on known vectors") {
     val df = Seq((Seq(1.0f, 0.0f, 2.0f), Seq(3.0f, 4.0f, 0.5f))).toDF("a", "b")
     val (d, c, q) = df.select(
