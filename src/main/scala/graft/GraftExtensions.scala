@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // cartesian lev<=1 filters → deletion-neighborhood blocked equi-join
+    ext.injectOptimizerRule(_ => graft.plans.RewriteLevenshteinJoin)
     register(ext, "unaccent",
       "unaccent(str) - unidecode-style ASCII transliteration (reference UNACCENT parity)", 1) {
       args => Unaccent(args.head)

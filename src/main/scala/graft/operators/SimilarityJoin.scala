@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityJoin {
 
-  /** `s` plus all single-character deletions of `s`, deduplicated.
-    * Pure built-ins (transform/sequence stay in the optimized plan and
-    * pipeline inside the same stage as the scan — no UDF, no shuffle).
-    */
-  def deletionVariants(s: Column): Column = {
+  /** `s` plus all single-character deletions of `s`, deduplicated —
+    * the native [[graft.functions.DeletionVariants]] kernel.
+    * [[deletionVariantsComposed]] is the built-ins reference it is
+    * property-tested against. */
+  def deletionVariants(s: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.DeletionVariants(
+        org.apache.spark.sql.graft.Bridge.expression(s)))
+
+  /** Built-ins-only reference form of [[deletionVariants]] (for the spec). */
+  def deletionVariantsComposed(s: Column): Column = {
     val n = length(s)
     val deletions = transform(
       sequence(lit(0), n - 1),
@@ -41,18 +47,22 @@ object SimilarityJoin {
 
   /** All (left row, right row) pairs with `lev(leftStr, rightStr) ≤ 1`,
     * as an equi-join on exploded deletion variants + re-verification.
-    * Output columns = left columns ++ right columns (must be disjoint);
-    * duplicate candidate pairs (two strings can share several variants,
-    * e.g. equal strings share all of them) are collapsed with a full-row
-    * distinct, so callers should project ids + the strings before calling.
+    * Output columns = left columns ++ right columns (must be disjoint).
+    *
+    * Two strings can share several variants (equal strings share all of
+    * them); instead of a full-row `distinct()` — which would need an extra
+    * shuffle AND wrongly collapse genuinely-duplicate input rows — each
+    * pair is kept only on its **minimal common variant**: exactly one
+    * surviving row per (left row, right row), original multiplicities
+    * preserved, no dedup exchange.
     *
     * `maxLen` mirrors the reference's `LENGTH(alias) < 255` guard
     * (`src/benchmark.py:76,89`) and bounds the explode factor.
+    *
+    * @param pairFilter optional predicate applied straight after the
+    *        variant equi-join, before the verify step — e.g.
+    *        `a_key < b_key` in a self-join halves the verify work.
     */
-  /** @param pairFilter optional predicate applied straight after the
-    *        variant equi-join, BEFORE the levenshtein verify and the
-    *        distinct — e.g. `a_key < b_key` in a self-join halves the
-    *        verify and dedup work instead of discarding after. */
   def levenshtein1Join(
       left: DataFrame,
       leftStr: String,
@@ -69,9 +79,14 @@ object SimilarityJoin {
       .filter(length(col(rightStr)) < maxLen)
       .withColumn("__rv", explode(deletionVariants(col(rightStr))))
     val joined = l.join(r, col("__lv") === col("__rv"))
-      .drop("__lv", "__rv")
+    val minCommon = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.MinCommonVariant(
+        org.apache.spark.sql.graft.Bridge.expression(col(leftStr)),
+        org.apache.spark.sql.graft.Bridge.expression(col(rightStr))))
     pairFilter.fold(joined)(joined.filter)
-      .filter(levenshtein(col(leftStr), col(rightStr), 1) >= 0) // -1 = over threshold
-      .distinct()
+      // short-circuit order matters: cheap bounded levenshtein first, the
+      // variant-set kernel only on verified rows
+      .filter(levenshtein(col(leftStr), col(rightStr), 1) >= 0 && col("__lv") === minCommon)
+      .drop("__lv", "__rv")
   }
 }
