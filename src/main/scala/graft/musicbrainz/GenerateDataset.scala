@@ -30,4 +30,38 @@ object GenerateDataset {
       mbSong = song,
       mbSongAlias = SongAliasOps.songAliases(src, song))
   }
+
+  /** Persist the export as parquet, one directory per table — the engine's
+    * replacement for the reference's pg_dump/pg_restore shipping step
+    * (`README.md:206-227`, SURVEY S9). Each table is written atomically
+    * (overwrite), replacing the per-artist upsert transactions (S7).
+    *
+    * Alias tables are repartitioned AND sorted by their lookup key: at
+    * serving scale the matcher's first move is an equi-join on `alias`, so
+    * co-locating equal keys gives downstream readers a ready-made
+    * shuffle-free build side, and key-sorted row groups give parquet
+    * min/max pruning for point probes.
+    */
+  def write(export: Export, dir: String, aliasPartitions: Int = 32): Unit = {
+    export.mbArtist.write.mode("overwrite").parquet(s"$dir/mb_artist")
+    export.mbAlbum.write.mode("overwrite").parquet(s"$dir/mb_album")
+    export.mbSong.write.mode("overwrite").parquet(s"$dir/mb_song")
+    export.mbArtistAlias
+      .repartition(aliasPartitions, org.apache.spark.sql.functions.col("alias"))
+      .sortWithinPartitions("alias")
+      .write.mode("overwrite").parquet(s"$dir/mb_artist_alias")
+    export.mbSongAlias
+      .repartition(aliasPartitions, org.apache.spark.sql.functions.col("alias"))
+      .sortWithinPartitions("alias")
+      .write.mode("overwrite").parquet(s"$dir/mb_song_alias")
+  }
+
+  /** Re-open a written export. */
+  def read(spark: org.apache.spark.sql.SparkSession, dir: String): Export =
+    Export(
+      mbArtist = spark.read.parquet(s"$dir/mb_artist"),
+      mbArtistAlias = spark.read.parquet(s"$dir/mb_artist_alias"),
+      mbAlbum = spark.read.parquet(s"$dir/mb_album"),
+      mbSong = spark.read.parquet(s"$dir/mb_song"),
+      mbSongAlias = spark.read.parquet(s"$dir/mb_song_alias"))
 }

@@ -87,6 +87,15 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact-dedup on event ids — the exactly-once ingestion
+    * primitive for at-least-once sources. `dropDuplicatesWithinWatermark`
+    * keeps dedup state only `watermarkDelay` long (bounded state), unlike
+    * plain `dropDuplicates` whose state grows forever on a stream. */
+  def dedupEvents(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked tumbling-window counts per event type — the canonical
     * `readStream → window agg → append` shape. Late data beyond
     * `watermarkDelay` is dropped; a window is emitted once final. */

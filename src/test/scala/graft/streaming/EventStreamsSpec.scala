@@ -55,6 +55,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = EventStreams.dedupEvents(input.toDF(), "1 hour")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(1, ts(0), 1, "view", 1.0), // same-batch replay
+        Event(2, ts(1), 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(2), 1, "view", 1.0)) // cross-batch replay
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling windows emit finalized counts in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
