@@ -85,6 +85,66 @@ object Similarity {
       graft.functions.LshBucket(
         org.apache.spark.sql.graft.Bridge.expression(emb), planes, table))
 
+  /** IVF (inverted-file) ANN top-k: k-means partitions the corpus into
+    * `nlist` cells; a query probes only its `nprobe` nearest cells and
+    * re-ranks exactly within them. The index build is one MLlib KMeans fit
+    * (seeded — deterministic) + one broadcast-argmin assignment pass; the
+    * query path is two broadcast joins + the exact scorer. Complements
+    * [[lshTopK]]: IVF adapts to the data's cluster structure (higher
+    * recall on clustered corpora), LSH needs no training pass.
+    *
+    * Scale shape: centroids are tiny (`nlist` rows → broadcast); the
+    * corpus shuffles once on cell id; per-query work is
+    * `nprobe/nlist` of the corpus — never corpus².
+    * → (query_id, neighbor_id, rank, score).
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int, nprobe: Int,
+      score: (Column, Column) => Column, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val train = corpus.select(array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+        .toIndexedSeq)
+      .toDF("cell_id", "centroid")
+
+    // nearest-centroid assignment = rank over a broadcast cross join with
+    // the tiny centroid table — the usual topOnePerGroup pattern
+    def assignTopN(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("__dist").asc, col("cell_id").asc)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("__dist", -score(col(embCol), col("centroid")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= n)
+        .select(col(idCol), col(embCol), col("cell_id"))
+    }
+
+    val corpusCells = assignTopN(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+      "neighbor_id", "c_emb", 1)
+    val queryProbes = assignTopN(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", nprobe)
+      .withColumnRenamed("cell_id", "probe_cell")
+
+    val scored = queryProbes
+      .join(corpusCells, col("probe_cell") === corpusCells("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", score(col("q_emb"), col("c_emb")))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
   /** Multi-table LSH ANN top-k: `tables` independent plane families; in
     * each table, candidates = corpus vectors in the query's bucket or any
     * ≤`probeBits`-bit flip of it (multi-probe recovers vectors just across

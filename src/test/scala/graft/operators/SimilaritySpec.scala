@@ -57,6 +57,17 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("ivfTopK recall@5 vs brute force (seeded kmeans, clustered corpus)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5, Similarity.quantizedDot)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, 5, nlist = 8, nprobe = 4, Similarity.quantizedDot)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall@5 = $recall")
+  }
+
   test("lshBucket is deterministic and within [0, 2^planes)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
     val b1 = emb.select(Similarity.lshBucket(col("embedding"), 8, 64)).as[Long].collect().toSeq
