@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, LshBucket, QuantizedDot, RollingHash, ShingleHashes, SimHash, TokenHashes, Unaccent}
+import graft.functions.{DeletionVariants, DotProduct, LshBucket, MinCommonVariant, QuantizedDot, RollingHash, ShingleHashes, SimHash, TokenHashes, Unaccent}
 
 /** `SparkSessionExtensions` hook exposing the engine's native expressions to
   * SQL (`spark.sql("SELECT unaccent(name) ...")`) — register with
@@ -52,6 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "simhash",
       "simhash(array<bigint>) - 30-bit SimHash signature of a token-hash bag", 1) {
       args => SimHash(args.head)
+    }
+    register(ext, "deletion_variants",
+      "deletion_variants(str) - the string plus each single-char deletion (lev<=1 blocking keys)", 1) {
+      args => DeletionVariants(args.head)
+    }
+    register(ext, "min_common_variant",
+      "min_common_variant(a, b) - smallest shared deletion variant, null if neighborhoods disjoint", 2) {
+      args => MinCommonVariant(args.head, args(1))
     }
     register(ext, "dot_product",
       "dot_product(array<float|double>, array<float|double>) - double dot product", 2) {

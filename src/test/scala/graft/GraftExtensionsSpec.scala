@@ -45,7 +45,11 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  size(token_hashes('a b c')) AS nt,
         |  size(shingle_hashes('a b c d', 3)) AS ns,
         |  simhash(token_hashes('x y z')) AS sh,
-        |  lsh_bucket(array(cast(1.0 as float), cast(-1.0 as float)), 4, 0) AS lb
+        |  lsh_bucket(array(cast(1.0 as float), cast(-1.0 as float)), 4, 0) AS lb,
+        |  size(deletion_variants('abc')) AS dv,
+        |  min_common_variant('abc', 'abd') AS mcv,
+        |  quantized_dot(array(cast(1.0 as float)), array(cast(2.0 as float))) AS qd,
+        |  dot_product(array(cast(1.0 as float)), array(cast(2.0 as float))) AS dp
         |""".stripMargin).head()
     assert(row.getString(0) == "Motorhead")
     assert(row.getLong(1) == 97L * 31 + 98)
@@ -53,6 +57,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getInt(3) == 2)
     assert(row.getLong(4) >= 0 && row.getLong(4) < (1L << 30))
     assert(row.getLong(5) >= 0 && row.getLong(5) < 16)
+    assert(row.getInt(6) == 4) // abc + ab/ac/bc
+    assert(row.getString(7) == "ab") // delete the differing position
+    assert(row.getLong(8) == 1000L * 2000)
+    assert(row.getDouble(9) == 2.0)
   }
 
   test("non-literal arity/param misuse fails analysis, not execution") {
