@@ -178,13 +178,21 @@ object Dedup {
     }
     val buckets = sigs.select(col("doc"), col("sig"), explode(array(chunks: _*)).as("bk"))
       .select(col("doc"), col("sig"), col("bk.chunk").as("chunk"), col("bk.val").as("val"))
-    buckets.select(col("chunk"), col("val"), col("doc").as("a_id"), col("sig").as("a_sig"))
+    val joined = buckets
+      .select(col("chunk"), col("val"), col("doc").as("a_id"), col("sig").as("a_sig"))
       .join(buckets.select(col("chunk").as("chunk2"), col("val").as("val2"),
         col("doc").as("b_id"), col("sig").as("b_sig")),
         col("chunk") === col("chunk2") && col("val") === col("val2") && col("a_id") < col("b_id"))
+    // a pair can share up to 3 chunks; keep it only on the FIRST shared
+    // chunk — exactly-once without a distinct() shuffle (both signatures
+    // are in the row, so the first shared chunk is a cheap expression)
+    def chunkEq(c: Int): Column =
+      (shiftright(col("a_sig"), c * 10) % 1024) === (shiftright(col("b_sig"), c * 10) % 1024)
+    val firstShared = when(chunkEq(0), 0).when(chunkEq(1), 1).otherwise(2)
+    joined
+      .filter(col("chunk") === firstShared)
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 }
