@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{RollingHash, ShingleHashes, SimHash, TokenHashes}
+import graft.functions.{MinHashSig, RollingHash, ShingleHashes, SimHash, TokenHashes}
 
 /** Deduplication operators for a training-data pipeline (builder prompt):
   * exact (hash-groupBy), n-gram Jaccard via inverted index, MinHash + LSH
@@ -109,52 +109,87 @@ object Dedup {
     }
   }
 
-  /** k-permutation MinHash signature per document:
-    * mhᵢ = min over shingle hashes h of (aᵢ·h + bᵢ) mod 1e9+7.
-    * One explode + one hash aggregate (map-side partials apply).
-    * → (id, mh_0 … mh_{k-1}). Docs with no shingles are absent.
-    */
+  /** k-permutation MinHash signature array per row (null when no shingles):
+    * mhᵢ = min over shingle hashes h of (aᵢ·h + bᵢ) mod 1e9+7. A pure
+    * per-row expression — NO explode, NO aggregate, NO shuffle (the fused
+    * [[MinHashSig]] kernel; parameter parity with [[minhashParams]] is
+    * spec-pinned). */
+  def minhashSigArray(text: Column, n: Int, k: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingleHashes(text, n)), k))
+
+  /** MinHash signature table → (id, mh_0 … mh_{k-1}). Docs with no shingles
+    * are absent. Narrow-only plan: the signature is computed per row. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column, n: Int, k: Int): DataFrame = {
-    val params = minhashParams(k)
-    val exploded = df.select(id.as("doc"), explode(shingleHashes(text, n)).as("h"))
-    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % RollingHash.Mod).as(s"mh_$i")
-    }
-    exploded.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+    val withSig = df.select(id.as("doc"), minhashSigArray(text, n, k).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    withSig.select(col("doc") +: (0 until k).map(i => col("__sig")(i).as(s"mh_$i")): _*)
   }
 
   /** LSH candidate pairs from banded minhash signatures: docs agreeing on
-    * ALL rows of at least one band meet in an equi-join bucket.
-    * → (a_id, b_id) distinct, a < b. */
+    * ALL rows of at least one band meet in an equi-join bucket. A pair
+    * sharing several bands is emitted exactly once — on its FIRST shared
+    * band, a filter over the carried signature arrays, NOT a distinct()
+    * shuffle. → (a_id, b_id), a < b. */
   def lshCandidates(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until r).map(i => col(s"mh_${b * r + i}")): _*).as("sig"))
-    }
-    val buckets = sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    buckets.select(col("band"), col("sig"), col("doc").as("a_id"))
-      .join(buckets.select(col("band").as("band2"), col("sig").as("sig2"), col("doc").as("b_id")),
-        col("band") === col("band2") && col("sig") === col("sig2") && col("a_id") < col("b_id"))
+    val bandSig = (b: Int) =>
+      concat_ws("_", (0 until r).map(i => col(s"mh_${b * r + i}")): _*)
+    val withB = sig.select(col("doc"), array((0 until bands).map(bandSig): _*).as("bs"))
+    bucketedPairs(withB, bands, Nil)
       .select(col("a_id"), col("b_id"))
-      .distinct()
+  }
+
+  /** Band-bucket self-join core: explode band signatures (carrying `extra`
+    * payload columns), equi-join on (band, sig) with a < b, keep each pair
+    * on its first shared band only. Payload columns surface as a_<name> /
+    * b_<name>. */
+  private def bucketedPairs(withB: DataFrame, bands: Int, extra: Seq[String]): DataFrame = {
+    val payload = Seq("doc", "bs") ++ extra
+    val buckets = withB.select(
+      payload.map(col) :+ posexplode(col("bs")).as(Seq("band", "sig")): _*)
+    def side(p: String) = buckets.select(
+      (Seq(col("band").as(s"${p}band"), col("sig").as(s"${p}sig")) ++
+        payload.map(c => col(c).as(s"${p}_$c"))): _*)
+    // shuffle_hash, not broadcast: both sides are the SAME exploded subplan,
+    // so the shuffle is one exchange materialized once and read twice
+    // (ReusedExchange) — broadcasting would build + ship the array payload
+    // as a hash relation instead. Not merge: sorting rows that carry the
+    // shingle arrays buys nothing the hash table doesn't.
+    val joined = side("a").hint("shuffle_hash").join(side("b"),
+      col("aband") === col("bband") && col("asig") === col("bsig") &&
+        col("a_doc") < col("b_doc"))
+    val firstShared = (0 until bands - 1).foldRight(lit(bands - 1): Column) { (i, rest) =>
+      when(col("a_bs")(i) === col("b_bs")(i), lit(i)).otherwise(rest)
+    }
+    joined.filter(col("aband") === firstShared)
+      .withColumnRenamed("a_doc", "a_id")
+      .withColumnRenamed("b_doc", "b_id")
   }
 
   /** MinHash-LSH near-dup pairs: LSH candidates re-verified with exact
     * n-gram Jaccard (deterministic: a fixed-parameter LSH either surfaces
     * a pair or not; the verify step removes false positives).
+    *
+    * Fully fused single-shuffle plan: signature + bands are per-row
+    * expressions, the shingle array rides along through the ONE exchange on
+    * (band, sig) (reused for both self-join sides), and the Jaccard verify
+    * is an inline array_intersect on the joined row. The aggregate/
+    * candidate-join formulation costs 5 more exchanges for the same result.
     */
   def minhashNearDupPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int, k: Int, bands: Int, minJaccardPermille: Int): DataFrame = {
-    val docs = df.select(id.as("vdoc"), shingleHashes(text, n).as("vhs"))
-      .filter(size(col("vhs")) > 0)
-    val cand = lshCandidates(minhashSignatures(df, id, text, n, k), k, bands)
-    cand
-      .join(docs.select(col("vdoc").as("a_id"), col("vhs").as("a_hs")), "a_id")
-      .join(docs.select(col("vdoc").as("b_id"), col("vhs").as("b_hs")), "b_id")
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    val base = df.select(id.as("doc"), shingleHashes(text, n).as("hs"))
+      .withColumn("__sig", Bridge.column(MinHashSig(Bridge.expression(col("hs")), k)))
+      .filter(col("__sig").isNotNull)
+    val bandSig = (b: Int) =>
+      concat_ws("_", (0 until r).map(i => col("__sig")(b * r + i)): _*)
+    val withB = base.select(col("doc"), col("hs"),
+      array((0 until bands).map(bandSig): _*).as("bs"))
+    bucketedPairs(withB, bands, Seq("hs"))
       .withColumn("common", size(array_intersect(col("a_hs"), col("b_hs"))))
       .withColumn("jaccard_permille",
         floor(col("common") * lit(1000L) /

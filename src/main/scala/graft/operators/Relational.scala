@@ -69,16 +69,23 @@ object Relational {
   def unionDistinct(branches: Seq[DataFrame]): DataFrame =
     branches.reduce(_ union _).distinct()
 
-  /** SURVEY J4 (`sql/1:8-20`): depth-bounded parent walk — unrolled chain of
-    * left joins against `edges` (child→parent), taking the first non-null
-    * `attr` along the path, else `default`. `hops` is the bound (the
-    * reference uses 3). Each hop is one (broadcastable) join; no graph
-    * engine, no iteration.
+  /** SURVEY J4 (`sql/1:8-20`): depth-bounded parent walk — take the first
+    * non-null `attr` climbing `edges` (child→parent) up to `hops` levels,
+    * else `default`.
     *
-    * @param start   DataFrame holding `startKey`
+    * The walk is resolved DIMS-SIDE first: the unrolled left-join chain runs
+    * over the key universe (all edge children ∪ attr keys — dimension-sized),
+    * producing one key→value lookup; the fact table then passes through
+    * exactly ONE (broadcast) join instead of 2·hops+1. At 100 TB the fact
+    * side never shuffles and never widens — the chain cost is confined to
+    * the tiny dimension subtree of the broadcast exchange.
+    *
+    * @param start   DataFrame holding `startKey` (the fact side)
     * @param edges   (childCol, parentCol) relation
     * @param attrs   key→attribute relation (attrKeyCol, attrValCol); the
     *                attribute may be null (that is what makes the walk walk)
+    * @param broadcastLookup hint the resolved lookup as broadcast (default:
+    *                hierarchies are dimensions; disable for a huge edge set)
     */
   def hierarchyCoalesceWalk(
       start: DataFrame,
@@ -91,12 +98,15 @@ object Relational {
       attrValCol: String,
       hops: Int,
       default: Column,
-      outCol: String): DataFrame = {
-    // level 0 attribute
-    var cur = start.join(
+      outCol: String,
+      broadcastLookup: Boolean = true): DataFrame = {
+    val keys = edges.select(col(childCol).as("__key"))
+      .union(attrs.select(col(attrKeyCol).as("__key")))
+      .distinct()
+    var cur = keys.join(
       attrs.select(col(attrKeyCol).as("__k0"), col(attrValCol).as("__v0")),
-      col(startKey) === col("__k0"), "left").drop("__k0")
-    var prevKey: Column = col(startKey)
+      col("__key") === col("__k0"), "left").drop("__k0")
+    var prevKey: Column = col("__key")
     for (i <- 1 to hops) {
       val e = edges.select(col(childCol).as(s"__c$i"), col(parentCol).as(s"__p$i"))
       val a = attrs.select(col(attrKeyCol).as(s"__k$i"), col(attrValCol).as(s"__v$i"))
@@ -106,8 +116,13 @@ object Relational {
         .drop(s"__c$i", s"__k$i")
       prevKey = col(s"__p$i")
     }
-    val coalesced = coalesce(((0 to hops).map(i => col(s"__v$i")) :+ default): _*)
-    cur.withColumn(outCol, coalesced)
-      .drop(((0 to hops).map(i => s"__v$i") ++ (1 to hops).map(i => s"__p$i")): _*)
+    // default is NOT folded into the lookup: a startKey absent from the key
+    // universe must resolve to it too, so it is applied after the fact join.
+    val lookup = cur.select(col("__key"),
+      coalesce((0 to hops).map(i => col(s"__v$i")): _*).as("__resolved"))
+    val hinted = if (broadcastLookup) broadcast(lookup) else lookup
+    start.join(hinted, col(startKey) === col("__key"), "left")
+      .withColumn(outCol, coalesce(col("__resolved"), default))
+      .drop("__key", "__resolved")
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.SparkSpec
-import graft.functions.{RollingHash, TextHashes}
+import graft.functions.{MinHashSigKernel, RollingHash, TextHashes}
 import org.apache.spark.unsafe.types.UTF8String
 
 class DedupSpec extends SparkSpec {
@@ -95,5 +95,20 @@ class DedupSpec extends SparkSpec {
     } yield (a, b, h.toLong)).toSet
     assert(banded == brute)
     assert(banded.contains((1, 2, 0L)))
+  }
+
+  test("MinHashSig kernel: params match Dedup.minhashParams; sig = per-permutation min") {
+    val (as, bs) = MinHashSigKernel.params(8, 42L)
+    assert(as.toSeq.zip(bs.toSeq) == Dedup.minhashParams(8))
+    val docs = Seq((1, "alpha beta gamma delta epsilon"), (2, "x")).toDF("id", "text")
+    val sig = Dedup.minhashSignatures(docs, col("id"), col("text"), n = 3, k = 8)
+    assert(sig.columns.toSeq == ("doc" +: (0 until 8).map(i => s"mh_$i")))
+    val rows = sig.collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1)) // doc 2 has < 3 tokens -> absent
+    val hs = docs.filter(col("id") === 1)
+      .select(Dedup.shingleHashes(col("text"), 3)).as[Seq[Long]].head()
+    val expected = Dedup.minhashParams(8).map { case (a, b) =>
+      hs.map(h => (a * h + b) % RollingHash.Mod).min }
+    assert(rows.head.toSeq.tail == expected)
   }
 }
