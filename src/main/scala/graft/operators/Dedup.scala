@@ -75,20 +75,29 @@ object Dedup {
       minJaccardPermille: Int, maxShingleFreq: Long = 1000000L): DataFrame = {
     val docs = df.select(id.as("doc"), shingleHashes(text, n).as("hs"))
       .filter(size(col("hs")) > 0)
-    val sizes = docs.select(col("doc"), size(col("hs")).as("sz"))
-    val index = docs.select(col("doc"), explode(col("hs")).as("h"))
+    // The per-doc size rides along in the index rows (one long per row), so
+    // the Jaccard denominator never needs a join back to a sizes table —
+    // that join-back is two extra doc-keyed shuffles at corpus scale. The
+    // self-join's h-exchange is planned identically on both sides, so AQE
+    // materializes it once (ReuseExchange); no manual repartition needed.
+    val index = docs
+      .select(col("doc"), size(col("hs")).as("sz"), explode(col("hs")).as("h"))
     val keep = index.groupBy(col("h")).agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") <= maxShingleFreq)
+      // df_count >= 2: a shingle in a single doc cannot form a pair — prune
+      // it before the self-join (pure optimization, output-invariant)
+      .filter(col("df_count") <= maxShingleFreq && col("df_count") >= 2)
       .select(col("h"))
     val pruned = index.join(keep, "h")
-    val common = pruned.select(col("h"), col("doc").as("a_id"))
-      .join(pruned.select(col("h").as("h2"), col("doc").as("b_id")),
+    // shuffle_hash: the posting-list side is never broadcast-built (it is
+    // corpus-sized); the identical exchanges on both sides are materialized
+    // once by AQE's ReuseExchange.
+    pruned.select(col("h"), col("doc").as("a_id"), col("sz").as("a_size"))
+      .hint("shuffle_hash")
+      .join(pruned.select(col("h").as("h2"), col("doc").as("b_id"), col("sz").as("b_size")),
         col("h") === col("h2") && col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc").as("a_id"), col("sz").as("a_size")), "a_id")
-      .join(sizes.select(col("doc").as("b_id"), col("sz").as("b_size")), "b_id")
+      .agg(count(lit(1)).as("common"),
+        first(col("a_size")).as("a_size"), first(col("b_size")).as("b_size"))
       .withColumn("jaccard_permille",
         floor(col("common") * lit(1000L) / (col("a_size") + col("b_size") - col("common")))
           .cast("long"))
