@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair table — the canonical-document
+  * assignment step a dedup pipeline runs AFTER near-dup pair mining
+  * (pairs from [[Dedup.simhashNearDupPairs]] / [[Dedup.minhashNearDupPairs]]
+  * are edges; each document keeps the minimum doc id of its component as
+  * its canonical representative).
+  *
+  * Algorithm: synchronous min-label propagation. Each round is ONE edge
+  * join + ONE min-aggregate (labels only ever decrease); rounds needed =
+  * graph diameter, which for near-dup clusters is small (dup families are
+  * dense — transitively-similar chains longer than a few hops are rare).
+  * Convergence is detected from sum(label), which strictly decreases until
+  * the fixpoint — one scalar aggregate per round, no old-vs-new join.
+  *
+  * Scale notes: per-round lineage is truncated with localCheckpoint so the
+  * plan does not grow with iterations (on a real cluster, swap for a
+  * reliable `checkpoint` against a fault-tolerant store). The per-round
+  * shuffle is edge-sized, the state is vertex-sized; nothing is ever
+  * collected to the driver except the one convergence scalar.
+  */
+object Components {
+
+  /** → (id, component_id = min reachable id). `vertices` must have column
+    * `id`; `edges` columns `src`/`dst` (undirected: both orientations are
+    * generated internally). Isolated vertices keep their own id.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialize the symmetrized edge set once: every round joins against
+    // it, and the caller's edge lineage (e.g. near-dup pair mining) must
+    // not re-execute per iteration
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col("id"), col("id").cast("long").as("comp"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    var converged = false
+    var i = 0
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    while (!converged && i < maxIter) {
+      val msgs = labels.join(sym, col("id") === col("src"))
+        .select(col("dst").as("id"), col("comp"))
+      val prop = msgs.union(labels)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // path halving: comp ← label(comp). Every label is a vertex id, so
+      // the self-join always matches; with it the min label travels 2^i
+      // hops by round i — convergence in O(log diameter) rounds instead of
+      // O(diameter) (near-dup chains measured diameter ~8 at sf0.01).
+      val next = prop
+        .join(prop.select(col("id").as("__cid"), col("comp").as("__ccomp")),
+          col("comp") === col("__cid"), "left")
+        .select(col("id"), coalesce(col("__ccomp"), col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("comp"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+      if (dbg) println(s"[cc] round $i sum=$s")
+    }
+    labels.select(col("id"), col("comp").as("component_id"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, SimilarityJoin, TextAnalysis}
+import graft.operators.{Components, Dedup, Multimodal, Similarity, SimilarityJoin, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (builder prompt: dedup / similarity /
@@ -145,6 +145,21 @@ object PipelineQueries {
         Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("content")),
         "doc_id", "content", k = 4)),
 
+    // canonical-doc assignment: connected components over the VERIFIED
+    // near-dup pair graph (MinHash-LSH candidates that passed the exact
+    // Jaccard check — the q25 operator; raw simhash collisions at sf0.1
+    // form a 100×-denser graph of unverified sketch matches). Each doc
+    // maps to the smallest doc_id it is transitively near-duplicate with.
+    "q32_dup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+        n = 3, k = 8, bands = 4, minJaccardPermille = 200)
+      Components.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+        .select(col("id").as("doc_id"), col("component_id"))
+    }),
+
     // embedding-cosine near-dup pairs, exact baseline form (bounded query
     // side; the LSH bucketing of q27 is the full-corpus scale path). τ sits
     // at the top of this synthetic corpus's similarity distribution —
@@ -236,6 +251,30 @@ object PipelineQueries {
          |FROM cand JOIN hashed ha ON ha.doc_id = a_id JOIN hashed hb ON hb.doc_id = b_id
          |WHERE floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
          |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) >= 200""".stripMargin
+
+    // connected components via recursive min-reachability closure over the
+    // verified LSH pair set (same CTEs as the q25 oracle): reach enumerates
+    // every (doc, reachable doc) — UNION dedups → terminates — and the
+    // component id is the min reached. Tractable because verified near-dup
+    // components are small (reach rows = Σ component²), which is also why
+    // the oracle stays SQL-expressible.
+    m += "q32_dup_components" ->
+      s"""WITH RECURSIVE ${DuckSql.shingleCtes},
+         |${DuckSql.minhashCte(8)},
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc AS a_id, b.doc AS b_id
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc),
+         |verified AS (SELECT a_id, b_id
+         |  FROM cand JOIN hashed ha ON ha.doc_id = a_id JOIN hashed hb ON hb.doc_id = b_id
+         |  WHERE floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
+         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) >= 200),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+         |          UNION ALL SELECT b_id, a_id FROM verified),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r)
+         |SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id""".stripMargin
 
     val quant = "list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT))"
     m += "q26_ann_topk" ->

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chain, triangle, isolated vertex") {
+    // components: {1,2,3,4} (a chain — needs >1 propagation round),
+    // {10,11,12} (a triangle), {20} (isolated)
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val edges = Seq((2L, 3L), (3L, 4L), (1L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val got = Components.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L))
+  }
+
+  test("connected components: long path converges within maxIter") {
+    // a 12-vertex path: min label must travel the full diameter
+    val n = 12
+    val vertices = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Components.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("connected components: empty edge set keeps every vertex its own component") {
+    val vertices = Seq(5L, 6L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = Components.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 6L -> 6L))
+  }
+}
