@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Generic relational operator patterns distilled from the reference
   * (SURVEY.md §2). Each is a reusable DataFrame→DataFrame combinator; the
@@ -68,6 +69,47 @@ object Relational {
     */
   def unionDistinct(branches: Seq[DataFrame]): DataFrame =
     branches.reduce(_ union _).distinct()
+
+  /** As-of join: for each left row, the LATEST right row with
+    * `right.tsCol <= left.tsCol` within the same `keys` group (ties on
+    * tsCol broken by the highest `tieCol` — a unique id makes the result
+    * deterministic). Right payload columns surface as `<prefix><name>`,
+    * null when no right row precedes.
+    *
+    * NOT a range join (which Spark would execute as a θ-join with a
+    * per-key cartesian blowup): both sides are unioned, shuffled ONCE on
+    * `keys`, and swept with a running `last(_, ignoreNulls)` window — right
+    * rows sort before left rows at equal timestamps so "<=" holds. Cost is
+    * one exchange + one per-partition sort regardless of how many right
+    * rows precede each left row.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      rightPayload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val lRowType = StructType(left.schema.fields)
+    val rPayStruct = struct(rightPayload.map(col): _*)
+    val lSide = left.select(
+      (keys.map(col) :+ col(tsCol).as("__ts") :+ col(tieCol).as("__tie") :+
+        lit(1).as("__side") :+ struct(left.columns.map(col): _*).as("__lrow") :+
+        lit(null).cast(right.select(rPayStruct).schema.head.dataType).as("__rpay")): _*)
+    val rSide = right.select(
+      (keys.map(col) :+ col(tsCol).as("__ts") :+ col(tieCol).as("__tie") :+
+        lit(0).as("__side") :+ lit(null).cast(lRowType).as("__lrow") :+
+        rPayStruct.as("__rpay")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.union(rSide)
+      .withColumn("__asof", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__lrow.*") +:
+        rightPayload.map(c => col(s"__asof.$c").as(s"$prefix$c")): _*)
+  }
 
   /** SURVEY J4 (`sql/1:8-20`): depth-bounded parent walk — take the first
     * non-null `attr` climbing `edges` (child→parent) up to `hops` levels,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Dedup, Multimodal, Similarity, SimilarityJoin, TextAnalysis}
+import graft.operators.{Components, Dedup, Multimodal, Relational, Sampling, Similarity, SimilarityJoin, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (builder prompt: dedup / similarity /
@@ -112,6 +112,50 @@ object PipelineQueries {
           max(col("ts_us")).as("last_ts_us"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast("double").as("total_value"))
+    }),
+
+    // as-of join: each purchase attributed to the user's latest click at or
+    // before it (ties at equal µs: highest event_id). One shuffle on
+    // user_id via the union+window sweep — never a per-key range blowup.
+    "q33_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      Relational.asofJoin(purchases, clicks,
+        keys = Seq("user_id"), tsCol = "ts_us", tieCol = "event_id",
+        rightPayload = Seq("event_id", "ts_us"), prefix = "click_")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"), col("value"),
+          col("click_event_id").as("click_id"), col("click_ts_us"))
+    }),
+
+    // W2: moving-frame window aggregate — per-user running stats over the
+    // last 4 events (ROWS frame). DECIMAL-summed for bit-identical totals.
+    "q35_moving_agg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .over(w).cast("double").as("moving_sum"),
+          count(lit(1)).over(w).as("n_in_frame"),
+          max(col("value")).over(w).as("moving_max"))
+    }),
+
+    // deterministic stratified sampling: per-language keep rates decided by
+    // an engine-neutral hash of (stratum, doc_id) — reproducible across
+    // engines/partitionings/retries, pure map-side (see Sampling scaladoc)
+    "q36_stratified_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("lang", TextAnalysis.langId(col("text")))
+      Sampling.stratifiedHashSample(docs, col("lang"), col("doc_id"),
+        ratesPermille = Map("en" -> 200), defaultPermille = 500)
+        .select(col("doc_id"), col("lang"))
     }),
 
     // multimodal metadata extraction: binary payload → typed metadata via
@@ -303,6 +347,39 @@ object PipelineQueries {
         |  MIN(ts_us) AS first_ts_us, MAX(ts_us) AS last_ts_us,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM sessions GROUP BY user_id, session_id""".stripMargin
+
+    m += "q35_moving_agg" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS moving_sum,
+        |  COUNT(*) OVER w AS n_in_frame,
+        |  MAX(value) OVER w AS moving_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+
+    m += "q36_stratified_sample" ->
+      s"""WITH l AS (SELECT doc_id, ${DuckSql.langIdSql("text")} AS lang FROM documents)
+         |SELECT doc_id, lang FROM l
+         |WHERE ${DuckSql.rollingHash("lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000 <
+         |      CASE WHEN lang = 'en' THEN 200 ELSE 500 END""".stripMargin
+
+    m += "q33_asof_join" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER win AS click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+        |      OVER win AS click_ts_us
+        |  FROM base
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts_us, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us, value,
+        |       click_id, click_ts_us
+        |FROM w WHERE event_type = 'purchase'""".stripMargin
 
     m += "q29_media_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

@@ -183,6 +183,18 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // A8: hierarchical subtotals — ROLLUP(flag, status) with grouping_id to
+    // distinguish subtotal NULLs from data NULLs. On a cluster this is one
+    // Expand + one hash aggregate (no per-level re-scan).
+    "q34_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("gid"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // F10-F12: boolean flag derivation + conditional year penalty
     // (reference: src/main.py:51-56, 249-262)
     "q16_flags" -> ((s, d) => {
@@ -280,6 +292,12 @@ object RelationalQueries {
     "q15_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q34_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q16_flags" ->
       """SELECT o_orderkey,
         | o_orderpriority = '1-URGENT' AS is_urgent,

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.{SimHash, TokenHashes}
+
+/** Incremental near-duplicate detection on a document STREAM — the
+  * streaming twin of [[graft.operators.Dedup.simhashNearDupPairs]]: as
+  * documents arrive, emit every (earlier doc, new doc) pair whose 30-bit
+  * SimHash signatures are within `maxHamming`.
+  *
+  * Shape: the signature is a per-row expression (no state), then each doc
+  * is fanned out to its 3 × 10-bit band buckets, and ONE
+  * `flatMapGroupsWithState` keyed by (chunk, bucket value) holds the docs
+  * seen per bucket. A pair shares up to 3 buckets; it is emitted only in
+  * its FIRST shared chunk (both signatures are on hand when comparing), so
+  * output is exactly-once without a second stateful stage — the same
+  * dedup-without-distinct trick as the batch operator.
+  *
+  * State is bounded two ways, as a 100 TB/day ingest requires:
+  *  - event-time retention: a bucket not touched for `retention` past the
+  *    watermark is dropped (EventTimeTimeout — replayable, no wall clock);
+  *  - `maxBucket` caps entries per bucket (hot buckets degrade to
+  *    most-recent-K matching rather than unbounded growth).
+  * Both bounds trade recall (a pair whose earlier doc was evicted is
+  * missed), never precision and never duplicate emissions.
+  */
+object StreamingDedup {
+
+  final case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+  /** One doc fanned out to one band bucket (public: encoder codegen). */
+  final case class Keyed(doc_id: Long, sig: Long, ts: Timestamp, chunk: Int, value: Long)
+
+  final case class NearDupPair(a_id: Long, b_id: Long, hamming: Int)
+
+  /** Bucket state: (doc_id, sig) of seen docs, most recent first, plus the
+    * latest event-time seen (for the retention timeout). */
+  final case class BucketState(entries: List[(Long, Long)], lastMs: Long)
+
+  private val Chunks = 3
+  private val ChunkBits = 10
+  private val ChunkMask = (1 << ChunkBits) - 1
+
+  private def firstSharedChunk(a: Long, b: Long): Int = {
+    var c = 0
+    while (c < Chunks) {
+      if (((a >> (c * ChunkBits)) & ChunkMask) == ((b >> (c * ChunkBits)) & ChunkMask)) return c
+      c += 1
+    }
+    -1
+  }
+
+  def nearDupPairs(
+      docs: Dataset[Doc],
+      maxHamming: Int,
+      watermarkDelay: String = "0 seconds",
+      retentionMs: Long = 3600000L,
+      maxBucket: Int = 1024): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    val sig = Bridge.column(SimHash(
+      Bridge.expression(Bridge.column(TokenHashes(Bridge.expression(col("text")))))))
+    val chunkCols = (0 until Chunks).map(c => shiftright(col("sig"), c * ChunkBits) % (ChunkMask + 1))
+    val keyed = docs
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("sig", sig)
+      .select(col("doc_id"), col("sig"), col("ts"),
+        posexplode(array(chunkCols: _*)).as(Seq("chunk", "value")))
+      .as[Keyed]
+    keyed
+      .groupByKey(k => (k.chunk, k.value))
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), batch: Iterator[Keyed], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[NearDupPair]
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
+            // doc_id order makes same-batch processing deterministic and
+            // orients every pair (earlier id = a_id)
+            batch.toSeq.sortBy(_.doc_id).foreach { k =>
+              entries.foreach { case (pid, psig) =>
+                if (pid != k.doc_id) {
+                  val ham = java.lang.Long.bitCount(psig ^ k.sig)
+                  if (ham <= maxHamming && firstSharedChunk(psig, k.sig) == k.chunk)
+                    out += NearDupPair(math.min(pid, k.doc_id), math.max(pid, k.doc_id), ham)
+                }
+              }
+              entries = ((k.doc_id, k.sig) :: entries).take(maxBucket)
+              lastMs = math.max(lastMs, k.ts.getTime)
+            }
+            state.update(BucketState(entries, lastMs))
+            state.setTimeoutTimestamp(
+              math.max(lastMs + retentionMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -59,4 +59,25 @@ class RelationalSpec extends SparkSpec {
       .orderBy("id").select("payload").as[String].collect()
     assert(got.toSeq == Seq("new", "only"))
   }
+
+  test("asofJoin attaches the latest right row at or before each left ts") {
+    // user 1: rights at ts 10, 20, 20 (ids 100, 101, 102) — equal-ts tie
+    // goes to the highest id; lefts at ts 5 (nothing precedes), 20
+    // (equal ts counts, expect id 102), 25 (expect id 102).
+    // user 2: right at 30, left at 29 -> null.
+    val left = Seq((1L, 5L, 900L), (1L, 20L, 901L), (1L, 25L, 902L), (2L, 29L, 903L))
+      .toDF("user_id", "ts_us", "event_id")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 20L, 102L), (2L, 30L, 104L))
+      .toDF("user_id", "ts_us", "event_id")
+    val got = Relational.asofJoin(left, right,
+      keys = Seq("user_id"), tsCol = "ts_us", tieCol = "event_id",
+      rightPayload = Seq("event_id", "ts_us"), prefix = "r_")
+      .select("event_id", "r_event_id", "r_ts_us")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      (900L, None, None),
+      (901L, Some(102L), Some(20L)),
+      (902L, Some(102L), Some(20L)),
+      (903L, None, None)))
+  }
 }

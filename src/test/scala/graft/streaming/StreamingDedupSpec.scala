@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import StreamingDedup.{Doc, NearDupPair}
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // t=0 would be dropped by the initial epoch-0 watermark
+  private def ts(minutes: Int): Timestamp = new Timestamp((minutes + 60) * 60000L)
+
+  private val textA = "the quick brown fox jumps over the lazy dog again and again"
+  private val textB = "the quick brown fox jumps over the lazy dog again and again today" // near-dup of A
+  private val textC = "completely different content about spark streaming state stores"
+
+  test("streaming near-dup pairs: emitted once, across and within batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val pairs = StreamingDedup.nearDupPairs(input.toDS(), maxHamming = 2)
+    val q = pairs.writeStream
+      .format("memory").queryName("sdd_out").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: A and its exact copy in ONE batch -> one pair, once
+      // (identical sigs share all 3 chunks; first-shared-chunk dedups)
+      input.addData(Doc(1, textA, ts(0)), Doc(2, textA, ts(1)), Doc(3, textC, ts(1)))
+      q.processAllAvailable()
+      val b1 = spark.table("sdd_out").as[NearDupPair].collect().toSet
+      assert(b1 == Set(NearDupPair(1, 2, 0)))
+
+      // batch 2: a doc arriving later pairs with every stored near-dup
+      input.addData(Doc(4, textA, ts(2)))
+      q.processAllAvailable()
+      val b2 = spark.table("sdd_out").as[NearDupPair].collect().toSet
+      assert(b2 == Set(NearDupPair(1, 2, 0), NearDupPair(1, 4, 0), NearDupPair(2, 4, 0)))
+    } finally q.stop()
+  }
+
+  test("streaming pairs match the batch operator on the same corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(10, textA, ts(0)), Doc(11, textB, ts(1)),
+      Doc(12, textC, ts(2)), Doc(13, textB, ts(3)))
+    val input = MemoryStream[Doc]
+    val pairs = StreamingDedup.nearDupPairs(input.toDS(), maxHamming = 2)
+    val q = pairs.writeStream
+      .format("memory").queryName("sdd_cmp").outputMode(OutputMode.Append()).start()
+    try {
+      docs.foreach { d => input.addData(d); q.processAllAvailable() }
+      val streamed = spark.table("sdd_cmp").as[NearDupPair].collect().toSet
+      val batch = Dedup.simhashNearDupPairs(
+        docs.toDF(), col("doc_id"), col("text"), maxHamming = 2)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("int"))
+        .as[NearDupPair].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
