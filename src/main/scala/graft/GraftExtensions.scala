@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DeletionVariants, DotProduct, LshBucket, MinCommonVariant, QuantizedDot, RollingHash, ShingleHashes, SimHash, TokenHashes, Unaccent}
+import graft.functions.{DeletionVariants, DotProduct, LangId, LshBucket, MinCommonVariant, MinHashSig, QuantizedDot, RollingHash, ShingleHashes, SimHash, TokenHashes, Unaccent}
 
 /** `SparkSessionExtensions` hook exposing the engine's native expressions to
   * SQL (`spark.sql("SELECT unaccent(name) ...")`) — register with
@@ -68,6 +68,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "quantized_dot",
       "quantized_dot(a, b) - exact BIGINT dot of floor(x*1000) components", 2) {
       args => QuantizedDot(args.head, args(1))
+    }
+    register(ext, "lang_id",
+      "lang_id(str) - stopword-evidence language guess (de/en/es/fr/und)", 1) {
+      args => LangId(args.head)
+    }
+    register(ext, "minhash_sig",
+      "minhash_sig(array<bigint>, k) - k-permutation MinHash signature of a shingle-hash set", 2) {
+      args => MinHashSig(args.head, foldableInt(args(1), "minhash_sig k"))
     }
     register(ext, "lsh_bucket",
       "lsh_bucket(array<float|double>, planes, table) - sign-random-projection bucket", 3) {

@@ -60,9 +60,15 @@ object TextAnalysis {
 
   /** Language-ID: argmax of stopword-evidence counts over lowercased
     * tokens; ties break alphabetically; zero evidence → "und". The DuckDB
-    * oracle replays the same counts and the same tie-break.
+    * oracle replays the same counts and the same tie-break. Fused
+    * single-pass kernel ([[graft.functions.LangId]]); [[langIdComposed]]
+    * is the built-ins fold it is spec-equivalence-tested against.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    Bridge.column(graft.functions.LangId(Bridge.expression(text)))
+
+  /** Built-ins-only reference form of [[langId]] (kept for the spec). */
+  def langIdComposed(text: Column): Column = {
     val lowered = lower(text)
     val scores = StopwordProfiles.map { case (lang, words) =>
       lang -> stopwordCount(lowered, words)

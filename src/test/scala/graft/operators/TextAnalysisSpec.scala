@@ -46,6 +46,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq("en", "es", "de", "fr", "und"))
   }
 
+  test("fused LangId kernel ≡ HOF-composed langId fold (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf(
+      // stopwords from several profiles (incl. cross-profile dups like
+      // "de"/"la"), near-misses, junk, mixed case, unicode
+      "the", "and", "la", "de", "que", "und", "der", "le", "ce",
+      "thee", "アイウ", "Zzz", "THE", "Le", "", "a", "no")
+    val genDoc = Gen.choose(0, 12).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    val prop = Prop.forAll(Gen.listOfN(25, genDoc)) { docs: List[String] =>
+      val df = docs.zipWithIndex.map(_.swap).toDF("id", "text")
+      val fused = df.select(col("id"), TextAnalysis.langId(col("text")))
+        .as[(Int, String)].collect().toMap
+      val composed = df.select(col("id"), TextAnalysis.langIdComposed(col("text")))
+        .as[(Int, String)].collect().toMap
+      fused == composed
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("fingerprint = RollingHash of the text (codegen expression)") {
     val got = Seq("spark").toDF("text")
       .select(TextAnalysis.fingerprint(col("text"))).as[Long].head()
