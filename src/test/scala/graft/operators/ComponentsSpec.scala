@@ -31,6 +31,30 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("connected components ≡ union-find (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 14)
+      m <- Gen.choose(0, 20)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(1L, n.toLong), Gen.choose(1L, n.toLong)))
+    } yield (n, es.filter(e => e._1 != e._2))
+    val prop = Prop.forAll(gen) { case (n, es) =>
+      val got = Components.connectedComponents(
+        (1L to n.toLong).toDF("id"), es.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      // union-find oracle
+      val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      val expected = (1L to n.toLong).map { v =>
+        v -> (1L to n.toLong).filter(u => find(u) == find(v)).min
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("connected components: empty edge set keeps every vertex its own component") {
     val vertices = Seq(5L, 6L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")

@@ -60,6 +60,36 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == Seq("new", "only"))
   }
 
+  test("asofJoin ≡ naive latest-preceding lookup (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small key/ts domains force collisions (equal ts across and within sides)
+    val genRow = for {
+      u <- Gen.choose(1L, 3L); t <- Gen.choose(1L, 6L)
+    } yield (u, t)
+    val gen = for {
+      nl <- Gen.choose(0, 12); nr <- Gen.choose(0, 12)
+      ls <- Gen.listOfN(nl, genRow); rs <- Gen.listOfN(nr, genRow)
+    } yield (ls, rs)
+    val prop = Prop.forAll(gen) { case (ls, rs) =>
+      val lrows = ls.zipWithIndex.map { case ((u, t), i) => (u, t, 1000L + i) }
+      val rrows = rs.zipWithIndex.map { case ((u, t), i) => (u, t, 2000L + i) }
+      val got = Relational.asofJoin(
+        lrows.toDF("user_id", "ts_us", "event_id"),
+        rrows.toDF("user_id", "ts_us", "event_id"),
+        keys = Seq("user_id"), tsCol = "ts_us", tieCol = "event_id",
+        rightPayload = Seq("event_id"), prefix = "r_")
+        .select("event_id", "r_event_id")
+        .as[(Long, Option[Long])].collect().toMap
+      val expected = lrows.map { case (u, t, id) =>
+        id -> rrows.filter(r => r._1 == u && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("asofJoin attaches the latest right row at or before each left ts") {
     // user 1: rights at ts 10, 20, 20 (ids 100, 101, 102) — equal-ts tie
     // goes to the highest id; lefts at ts 5 (nothing precedes), 20
