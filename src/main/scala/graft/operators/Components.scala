@@ -35,9 +35,18 @@ object Components {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    var labels = vertices.select(col("id"), col("id").cast("long").as("comp"))
+    // Only vertices that appear in an edge can ever change label — the
+    // iteration runs over those alone. In a dedup pipeline the touched set
+    // is pair-sized while `vertices` is corpus-sized; isolated docs (the
+    // overwhelming majority at 100 TB) never enter the loop and are
+    // attached by the single final left join below.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").cast("long").as("comp"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    // coalesce: sum over an empty active set (no edges at all) is NULL
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
@@ -55,7 +64,7 @@ object Components {
           col("comp") === col("__cid"), "left")
         .select(col("id"), coalesce(col("__ccomp"), col("comp")).as("comp"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("comp"))).head().getLong(0)
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
       converged = s == prevSum
@@ -63,6 +72,9 @@ object Components {
       i += 1
       if (dbg) println(s"[cc] round $i sum=$s")
     }
-    labels.select(col("id"), col("comp").as("component_id"))
+    vertices.select(col("id"))
+      .join(labels.withColumnRenamed("id", "__lid"), col("id") === col("__lid"), "left")
+      .select(col("id"),
+        coalesce(col("comp"), col("id").cast("long")).as("component_id"))
   }
 }

@@ -100,13 +100,18 @@ object Similarity {
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int, nprobe: Int,
-      score: (Column, Column) => Column, seed: Long = 42L): DataFrame = {
+      score: (Column, Column) => Column, seed: Long = 42L,
+      maxIter: Int = 10): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
 
     val train = corpus.select(array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+    // random init: k-means|| initialization is itself several distributed
+    // passes; for IVF cells (coarse buckets, not a clustering deliverable)
+    // seeded random init + a few Lloyd iterations is the right trade
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random").fit(train)
     val centroids = spark.createDataFrame(
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
         .toIndexedSeq)

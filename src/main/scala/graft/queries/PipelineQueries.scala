@@ -182,6 +182,20 @@ object PipelineQueries {
           col("score"))
     }),
 
+    // IVF-partitioned ANN (seeded k-means cells, nprobe=4 of nlist=16) —
+    // like q27, no SQL oracle: cell assignment is a trained artifact;
+    // driver records rows-only, SimilaritySpec asserts recall vs exact
+    "q37_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      // maxIter 3: bucketing quality saturates fast and each k-means
+      // iteration is a scheduler round-trip the bench pays per run
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 64), emb, k = 5, nlist = 16, nprobe = 4,
+        Similarity.quantizedDot, maxIter = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("score"))
+    }),
+
     // frame sampling plumbing: k byte offsets per payload — rows-only
     // oracle would be expressible but the op is about the explode shape
     "q30_frame_sample" -> ((s, d) =>
