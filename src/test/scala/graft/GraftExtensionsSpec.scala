@@ -63,6 +63,20 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getDouble(9) == 2.0)
   }
 
+  test("lang_id and minhash_sig are callable from SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  lang_id('the cat and the dog') AS en,
+        |  lang_id('zzz qqq') AS und,
+        |  minhash_sig(shingle_hashes('a b c d e', 3), 8) AS mh,
+        |  minhash_sig(shingle_hashes('a b', 3), 8) AS mh_empty
+        |""".stripMargin).head()
+    assert(row.getString(0) == "en")
+    assert(row.getString(1) == "und")
+    assert(row.getSeq[Long](2).length == 8)
+    assert(row.isNullAt(3)) // no shingles -> null signature
+  }
+
   test("non-literal arity/param misuse fails analysis, not execution") {
     val e = intercept[Exception](spark.sql("SELECT rolling_hash('a', 'b')").head())
     assert(e.getMessage.contains("expects 1 argument"))
