@@ -250,10 +250,15 @@ object CanonicalOps {
     * last-write-win, so the LOWEST-score artist wins; ties pinned by
     * artist_id asc (SURVEY §7.4.1).
     */
-  def exportTables(src: MbSources, mbArtist: DataFrame): (DataFrame, DataFrame) = {
-    val best = bestMatches(src, mbArtist)
+  def exportTables(
+      src: MbSources, mbArtist: DataFrame,
+      persistHinge: Boolean = false): (DataFrame, DataFrame) = {
+    val best0 = bestMatches(src, mbArtist)
       .join(broadcast(mbArtist.select(col("id").as("ma_id"), col("score").as("artist_score"))),
         col("artist_id") === col("ma_id"))
+    // `best` is the whole 9-table candidates DAG and feeds BOTH exports —
+    // without persistence every downstream sink re-executes it
+    val best = if (persistHinge) best0.persist() else best0
     val conflictOrder = Seq(col("artist_score").asc, col("artist_id").asc)
 
     val mbAlbum = Relational.lastWriteWins(
