@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.musicbrainz.{GenerateDataset, MbSources}
+import graft.musicbrainz.{GenerateDataset, MatchOps, MbSources}
 
 /** Domain-pipeline throughput harness: synthesizes a MusicBrainz-shaped
   * corpus of N artists (each with one 10-track album, one single cut from
@@ -20,6 +20,10 @@ import graft.musicbrainz.{GenerateDataset, MbSources}
   * Usage: runMain graft.tools.DomainBench [nArtists]
   */
 object DomainBench {
+
+  /** Distinct-looking artist tag: 8 hex chars of md5(id). */
+  private def artistTag(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(id.cast("string")), 1, 8)
 
   /** Synthetic MB-shaped sources. Id spaces are offset so nothing collides:
     * recordings at 100M, release groups at 10M/20M, releases 30M/40M,
@@ -40,32 +44,36 @@ object DomainBench {
       (col("id") - 10).cast("int").as("entity0"),
       col("id").cast("int").as("entity1"))
 
+    // hash-derived names: sequential-id names ("Artist 1234") are all
+    // within lev-1 of ~dozens of neighbors, which blows the deletion-
+    // variant candidate sets far past anything real name data produces —
+    // the matcher bench would measure the harness, not the matcher
     val artist = artists.select(
       col("id").cast("int").as("id"),
       concat(lit("a-"), col("id")).as("gid"),
-      concat(lit("Artist "), col("id")).as("name"),
+      concat(lit("Artist "), artistTag(col("id"))).as("name"),
       (col("id") % 110 + 1).cast("int").as("area"))
     val lArtistUrl = artists.select(col("id"), explode(sequence(lit(1), lit(9))).as("u"))
       .select(col("id").cast("int").as("entity0"), col("u").as("url"))
     val artistAlias = artists.select(
       col("id").cast("int").as("artist"),
-      concat(lit("The Artist "), col("id")).as("name"))
+      concat(lit("The Artist "), artistTag(col("id"))).as("name"))
     val artistCredit = artists.select(col("id").cast("int").as("id"))
     val artistCreditName = artists.select(
       col("id").cast("int").as("artist_credit"), col("id").cast("int").as("artist"),
-      lit(0).as("position"), concat(lit("Artist "), col("id")).as("name"))
+      lit(0).as("position"), concat(lit("Artist "), artistTag(col("id"))).as("name"))
 
     // one album RG (type 1) + one single RG (type 2) per artist; the single
     // is named after track 0 so the name-based single matching has work
     val rgAlbum = artists.select(
       (col("id") + 10000000L).cast("int").as("id"),
       concat(lit("g-al-"), col("id")).as("gid"),
-      concat(lit("Album of "), col("id")).as("name"),
+      concat(lit("Album of "), artistTag(col("id"))).as("name"),
       lit(1).as("type"), col("id").cast("int").as("artist_credit"))
     val rgSingle = artists.select(
       (col("id") + 20000000L).cast("int").as("id"),
       concat(lit("g-sg-"), col("id")).as("gid"),
-      concat(lit("Song 0 of "), col("id")).as("name"),
+      concat(lit("Song 0 of "), artistTag(col("id"))).as("name"),
       lit(2).as("type"), col("id").cast("int").as("artist_credit"))
     val releaseGroup = rgAlbum.union(rgSingle)
 
@@ -97,7 +105,7 @@ object DomainBench {
     val recording = recs.select(
       (col("aid") * 16 + col("k") + 100000000L).cast("int").as("id"),
       concat(lit("r-"), col("aid"), lit("-"), col("k")).as("gid"),
-      concat(lit("Song "), col("k"), lit(" of "), col("aid")).as("name"),
+      concat(lit("Song "), col("k"), lit(" of "), artistTag(col("aid"))).as("name"),
       col("aid").cast("int").as("artist_credit"))
     val track = recs.select(
       (col("aid") + 50000000L).cast("int").as("medium"),
@@ -107,7 +115,7 @@ object DomainBench {
         (col("id") * 16 + 100000000L).cast("int").as("recording")))
     val recordingAlias = recs.filter(col("k") === 0).select(
       (col("aid") * 16 + col("k") + 100000000L).cast("int").as("recording"),
-      concat(lit("Lead Single of "), col("aid")).as("name"))
+      concat(lit("Lead Single of "), artistTag(col("aid"))).as("name"))
 
     import spark.implicits._
     val emptyLink3 = Seq.empty[(Int, Int, Int)].toDF("link", "entity0", "entity1")
@@ -153,6 +161,20 @@ object DomainBench {
       "song_aliases" -> back.mbSongAlias.count())
     val cjson = counts.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(f"""{"metric":"domain_generate","n_artists":$n,"sec":$sec%.2f,"artists_per_sec":${n / sec}%.0f,"counts":$cjson}""")
+
+    // serving-side throughput: replay one fuzzy chart-entry query per
+    // artist against the freshly written export (the reference replays its
+    // golden CSV one Postgres round-trip at a time, src/benchmark.py).
+    // Queries are read back from parquet, title-cased like chart data.
+    val queries = spark.range(1, n + 1).select(
+      col("id").as("query_id"),
+      concat(lit("artist "), artistTag(col("id"))).as("artist_name"),
+      lit(null).cast("string").as("artist2_name"),
+      concat(lit("song "), col("id") % 10, lit(" of "), artistTag(col("id"))).as("title"))
+    val t1 = System.nanoTime()
+    val nMatched = MatchOps.matchSongs(queries, back).count()
+    val msec = (System.nanoTime() - t1) / 1e9
+    println(f"""{"metric":"domain_match","n_queries":$n,"matched":$nMatched,"sec":$msec%.2f,"queries_per_sec":${n / msec}%.0f}""")
     spark.stop()
   }
 }
