@@ -230,18 +230,40 @@ object CanonicalOps {
           .otherwise(4))
   }
 
+  /** The canonical-choice sort key (`src/main.py:50-73` `Entry.sort_key`),
+    * with (release_group_id, work_id) appended as a deterministic tie-break
+    * where the reference relies on Postgres result order (SURVEY §7.4.4).
+    */
+  private val canonicalOrder = Seq(
+    col("year_value").asc, col("reference_priority").asc, col("type_priority").asc,
+    col("release_group_id").asc, col("work_id").asc_nulls_first)
+
   /** Argmin per (artist, recording): the canonical release group (A3,
-    * `src/main.py:242`). The reference's Python `min` keeps the first
-    * minimal element in Postgres result order — nondeterministic; pinned
-    * here with (release_group_id, work id) as the final tie-break
-    * (SURVEY §7.4.4).
+    * `src/main.py:242`).
     */
   def bestMatches(src: MbSources, mbArtist: DataFrame): DataFrame =
     Relational.topOnePerGroup(
       scoredCandidates(src, mbArtist),
       Seq(col("artist_id"), col("recording_mb_id")),
-      Seq(col("year_value").asc, col("reference_priority").asc, col("type_priority").asc,
-        col("release_group_id").asc, col("work_id").asc_nulls_first))
+      canonicalOrder)
+
+  /** Single-recording debugger (the reference's `--recording_id` dump,
+    * `src/main.py:235-247,332`): every scored candidate for one recording
+    * gid with its sort-key columns, `chosen` marking the argmin row
+    * [[bestMatches]] keeps. The gid equality filter pushes through the
+    * candidate aggregate into the recording scan, so only that recording's
+    * join subtree executes — a probe, not a corpus pass.
+    */
+  def explainRecording(
+      src: MbSources, mbArtist: DataFrame, recordingMbId: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("artist_id"), col("recording_mb_id"))
+      .orderBy(canonicalOrder: _*)
+    scoredCandidates(src, mbArtist)
+      .filter(col("recording_mb_id") === recordingMbId)
+      .withColumn("chosen", row_number().over(w) === 1)
+      .orderBy(col("artist_id") +: canonicalOrder: _*)
+  }
 
   /** The two export tables (`src/main.py:249-325`). Cross-artist id
     * collisions (an album credited to several exported artists; in dirty

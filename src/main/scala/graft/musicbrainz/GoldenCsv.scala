@@ -35,4 +35,15 @@ object GoldenCsv {
   /** → the expectation shape for [[MatchOps.accuracy]]. */
   def toExpectations(golden: DataFrame): DataFrame =
     golden.select(col("id").cast("long").as("query_id"), col("musicbrainz_id"))
+
+  /** → the diff-report shape for [[MatchOps.diffReport]]: query identity
+    * plus the DB-side expected album (the `db_*` fields of the reference's
+    * MatchResult, `src/benchmark.py:145-156`). */
+  def toDbExpectations(golden: DataFrame): DataFrame =
+    golden.select(
+      col("id").cast("long").as("query_id"),
+      col("artist_name"), col("title"),
+      col("musicbrainz_id").as("db_album_mb_id"),
+      col("album_title").as("db_album_title"),
+      col("release_year").cast("int").as("db_album_year"))
 }

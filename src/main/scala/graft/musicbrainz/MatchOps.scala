@@ -38,13 +38,13 @@ object MatchOps {
       .distinct()
   }
 
-  /** Full matcher. `queries` columns: query_id, artist_name,
-    * artist2_name (nullable), title.
-    * Returns one row per query_id that matched:
-    * (query_id, song_mb_id, matched_alias, title, album_title, album_mb_id,
-    *  release_year, artist_name_mb, artist_mb_id, country_id, relevance).
+  /** Every surviving candidate row per query with its phase and relevance —
+    * the frame [[matchSongs]] takes its argmax over. Public so single-case
+    * triage ([[explainQuery]]) can show the losers too.
+    * `queries` columns: query_id, artist_name, artist2_name (nullable),
+    * title.
     */
-  def matchSongs(queries: DataFrame, export: GenerateDataset.Export): DataFrame = {
+  def scoredCandidates(queries: DataFrame, export: GenerateDataset.Export): DataFrame = {
     // display name "A & B" when a second artist exists (`benchmark.py:159-162`)
     val q = queries.select(
       col("query_id"), col("title"),
@@ -139,15 +139,63 @@ object MatchOps {
       when(col("is_main_album"), 10).otherwise(1) *
       when(normalize.searchKey(col("matched_alias")) === col("tkey"), 10).otherwise(1)
 
+    phased.withColumn("relevance", relevance)
+  }
+
+  /** Full matcher. Returns one row per query_id that matched:
+    * (query_id, song_mb_id, matched_alias, title, album_title, album_mb_id,
+    *  release_year, artist_name_mb, artist_mb_id, country_id, relevance).
+    */
+  def matchSongs(queries: DataFrame, export: GenerateDataset.Export): DataFrame =
     // A4: keep ≥ max/10, pick (earliest year, highest relevance); Python's
     // `max` tie-break is list-order-nondeterministic — pinned by ids
     Relational.relativeThresholdTopOne(
-      phased.withColumn("relevance", relevance),
+      scoredCandidates(queries, export),
       Seq(col("query_id")),
       col("relevance"), 10.0,
       Seq(col("release_year").asc_nulls_last, col("relevance").desc,
         col("album_mb_id").asc, col("song_mb_id").asc, col("matched_alias").asc))
       .drop("tkey", "phase", "min_phase")
+
+  /** Single-case debugger (the reference's `--artist`/`--title` triage runs,
+    * `src/benchmark.py:221-224`): the FULL scored candidate set for one
+    * query — every (song, alias, album) row with its phase and relevance,
+    * `chosen` marking the row [[matchSongs]] returns. The one-row query
+    * filter keeps the whole DAG probe-sized.
+    */
+  def explainQuery(
+      queries: DataFrame, export: GenerateDataset.Export, queryId: Long): DataFrame = {
+    val one = queries.filter(col("query_id") === queryId)
+    val winner = matchSongs(one, export).select(
+      col("query_id").as("w_qid"), col("song_mb_id").as("w_song"),
+      col("album_mb_id").as("w_album"), col("matched_alias").as("w_alias"))
+    scoredCandidates(one, export)
+      .join(winner,
+        col("query_id") === col("w_qid") && col("song_mb_id") === col("w_song") &&
+          col("album_mb_id") === col("w_album") && col("matched_alias") === col("w_alias"),
+        "left")
+      .withColumn("chosen", col("w_qid").isNotNull)
+      .drop("w_qid", "w_song", "w_album", "w_alias")
+      .orderBy(col("phase").asc, col("relevance").desc, col("album_mb_id").asc)
+  }
+
+  /** Human-curation diff (A6 completion, `src/benchmark.py:252-267`): one
+    * row per missing or wrong query — the expected (DB) album next to the
+    * matched (MB) album — instead of just the four counters.
+    * `golden` shape: [[GoldenCsv.toDbExpectations]] (query_id, artist_name,
+    * title, db_album_mb_id, db_album_title, db_album_year).
+    */
+  def diffReport(golden: DataFrame, matches: DataFrame): DataFrame = {
+    val m = matches.select(
+      col("query_id").as("mq_id"), col("album_mb_id").as("mb_album_mb_id"),
+      col("album_title").as("mb_album_title"), col("release_year").as("mb_album_year"),
+      col("song_mb_id").as("mb_recording_id"))
+    golden.join(m, col("query_id") === col("mq_id"), "left")
+      .withColumn("status",
+        when(col("mb_album_mb_id").isNull, "missing")
+          .when(col("mb_album_mb_id") =!= col("db_album_mb_id"), "wrong"))
+      .filter(col("status").isNotNull)
+      .drop("mq_id")
   }
 
   /** Eval counters (A6, `benchmark.py:245-274`): join matches back to the

@@ -83,6 +83,21 @@ class GenerateDatasetSpec extends SparkSpec {
     assert(rows(7) == ((108, "r-108", None, "Ace of Spades", 2, None, 212, false, None, 2)))
   }
 
+  test("explainRecording: Nevermind case — candidates with sort keys, winner flagged") {
+    // README.md:26-41 worked example: "Come as You Are" appears on the
+    // same-year single (g-200) and on Nevermind (g-201, main album)
+    val src = MbFixture.sources(spark)
+    val rows = CanonicalOps.explainRecording(src, export.mbArtist, "r-100")
+      .select("release_group_mb_id", "year_value", "reference_priority",
+        "type_priority", "chosen")
+      .as[(String, Int, Int, Int, Boolean)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("g-200", "g-201"))
+    // single: not main album → year penalty 1991+1, type_priority 4
+    assert(rows(0) == (("g-200", 1992, 1, 4, false)))
+    // main album: no penalty, type_priority 1 → the canonical choice
+    assert(rows(1) == (("g-201", 1991, 1, 1, true)))
+  }
+
   test("mb_song_alias (sql/5): name ∪ recording alias ∪ work name ∪ work alias") {
     val a100 = export.mbSongAlias.filter(col("song_id") === 100)
       .select("alias").as[String].collect().sorted.toSeq

@@ -54,4 +54,38 @@ class GoldenCsvSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head()
     assert(stats == ((5L, 1L, 1L, 3L))) // total, missing, wrong, correct
   }
+
+  test("diffReport: one row per wrong/missing query, expected vs got") {
+    val golden = GoldenCsv.read(spark, csvPath)
+    val matches = MatchOps.matchSongs(
+      GoldenCsv.toQueries(golden), MbFixtureExport.cached(spark))
+    val diff = MatchOps.diffReport(GoldenCsv.toDbExpectations(golden), matches)
+      .select("status", "query_id", "artist_name", "title",
+        "db_album_mb_id", "db_album_title", "mb_album_mb_id", "mb_album_title")
+      .as[(String, Long, String, String, String, String, Option[String], Option[String])]
+      .collect().sortBy(_._2)
+    assert(diff.length == 2)
+    // query 4: no match in the corpus → missing, MB side null
+    assert(diff(0) == (("missing", 4L, "Queen", "Bohemian",
+      "g-000", "A Night at the Opera", None, None)))
+    // query 5: matched Oldie (g-202) but the CSV expects g-777 → wrong
+    assert(diff(1) == (("wrong", 5L, "Nirvana", "Oldie",
+      "g-777", "Latecomer", Some("g-202"), Some("Oldie"))))
+  }
+
+  test("explainQuery: full candidate set for one query with the winner flagged") {
+    val golden = GoldenCsv.read(spark, csvPath)
+    val explained = MatchOps.explainQuery(
+      GoldenCsv.toQueries(golden), MbFixtureExport.cached(spark), queryId = 1)
+    val rows = explained
+      .select("matched_alias", "album_mb_id", "phase", "relevance", "chosen")
+      .as[(String, String, Int, Double, Boolean)].collect()
+    // two phase-1 prefix hits on song 100's aliases, both resolving to the
+    // canonical album g-201; the exact-alias row gets the ×10 boost and wins
+    assert(rows.map(r => (r._1, r._2, r._3)).toSet ==
+      Set(("comeasyouare", "g-201", 1), ("comeasyouarework", "g-201", 1)))
+    val chosen = rows.filter(_._5)
+    assert(chosen.map(_._1).toSeq == Seq("comeasyouare"))
+    assert(chosen.head._4 == rows.map(_._4).max) // 200 = 2 × main-album × exact
+  }
 }
