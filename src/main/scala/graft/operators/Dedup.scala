@@ -91,13 +91,23 @@ object Dedup {
     // shuffle_hash: the posting-list side is never broadcast-built (it is
     // corpus-sized); the identical exchanges on both sides are materialized
     // once by AQE's ReuseExchange.
+    // Size-bound prune (output-invariant): common ≤ min(|a|,|b|) and
+    // union ≥ max(|a|,|b|), so J ≤ min/max — a pair whose sizes differ by
+    // more than 1000/τ can never reach the threshold. Evaluated as a join
+    // predicate, it drops the pair's posting-list matches BEFORE they feed
+    // the per-pair count shuffle.
+    val sizeCompatible =
+      col("a_size") * lit(1000L) >= col("b_size") * lit(minJaccardPermille.toLong) &&
+      col("b_size") * lit(1000L) >= col("a_size") * lit(minJaccardPermille.toLong)
     pruned.select(col("h"), col("doc").as("a_id"), col("sz").as("a_size"))
       .hint("shuffle_hash")
       .join(pruned.select(col("h").as("h2"), col("doc").as("b_id"), col("sz").as("b_size")),
-        col("h") === col("h2") && col("a_id") < col("b_id"))
+        col("h") === col("h2") && col("a_id") < col("b_id") && sizeCompatible)
       .groupBy(col("a_id"), col("b_id"))
+      // sizes are functionally dependent on the ids; max() (not first())
+      // keeps the aggregate readably deterministic
       .agg(count(lit(1)).as("common"),
-        first(col("a_size")).as("a_size"), first(col("b_size")).as("b_size"))
+        max(col("a_size")).as("a_size"), max(col("b_size")).as("b_size"))
       .withColumn("jaccard_permille",
         floor(col("common") * lit(1000L) / (col("a_size") + col("b_size") - col("common")))
           .cast("long"))
