@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The canonical shared deletion variant of a pair with `lev(a,b) ≤ 1` —
+  * computed ARITHMETICALLY in O(|a|+|b|), no neighborhood materialization:
+  *
+  *   - `a == b`           → `a` (itself — always in both neighborhoods)
+  *   - `|a| == |b| ± 1`   → the shorter string (it IS a deletion variant of
+  *                          the longer when the edit is an insert/delete)
+  *   - `|a| == |b|, a≠b`  → the single substitution sits at the first
+  *                          mismatching position `i`; deleting `i` from
+  *                          either side gives the same string
+  *   - otherwise          → null (`lev ≥ 2` by length — no witness)
+  *
+  * Replaces [[MinCommonVariant]] in the hot verify filter of the blocked
+  * levenshtein join: both select exactly ONE row per matching pair (any
+  * deterministic member of the shared-variant set works — minimality was
+  * never required), but MinCommonVariant re-generates BOTH neighborhoods
+  * per candidate row (O(|a|²+|b|²) substring allocations + a hash set)
+  * while the witness is one string compare and at most one substring.
+  */
+object Lev1Witness {
+  def compute(a: UTF8String, b: UTF8String): UTF8String = {
+    val sa = a.toString
+    val sb = b.toString
+    if (sa == sb) return a
+    val la = sa.length
+    val lb = sb.length
+    if (la == lb + 1) return b
+    if (lb == la + 1) return a
+    if (la != lb) return null // length gap ≥ 2 → lev ≥ 2
+    var i = 0
+    while (i < la && sa.charAt(i) == sb.charAt(i)) i += 1
+    UTF8String.fromString(sa.substring(0, i) + sa.substring(i + 1))
+  }
+}
+
+case class Lev1Witness(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[StringType] && right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lev1_witness requires two string arguments")
+  override def prettyName: String = "lev1_witness"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Lev1Witness.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  // result is null for non-null inputs when the lengths differ by ≥ 2
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""${ev.value} = graft.functions.Lev1Witness.compute($a, $b);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Lev1Witness =
+    copy(left = l, right = r)
+}

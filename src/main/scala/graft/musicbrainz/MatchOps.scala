@@ -1,6 +1,6 @@
 package graft.musicbrainz
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -146,15 +146,20 @@ object MatchOps {
     * (query_id, song_mb_id, matched_alias, title, album_title, album_mb_id,
     *  release_year, artist_name_mb, artist_mb_id, country_id, relevance).
     */
+  /** A4 winner ordering: (earliest year, highest relevance); Python's `max`
+    * tie-break is list-order-nondeterministic — pinned by ids.
+    */
+  private val winnerOrder: Seq[Column] =
+    Seq(col("release_year").asc_nulls_last, col("relevance").desc,
+      col("album_mb_id").asc, col("song_mb_id").asc, col("matched_alias").asc)
+
   def matchSongs(queries: DataFrame, export: GenerateDataset.Export): DataFrame =
-    // A4: keep ≥ max/10, pick (earliest year, highest relevance); Python's
-    // `max` tie-break is list-order-nondeterministic — pinned by ids
+    // A4: keep ≥ max/10, pick the first row under the winner ordering
     Relational.relativeThresholdTopOne(
       scoredCandidates(queries, export),
       Seq(col("query_id")),
       col("relevance"), 10.0,
-      Seq(col("release_year").asc_nulls_last, col("relevance").desc,
-        col("album_mb_id").asc, col("song_mb_id").asc, col("matched_alias").asc))
+      winnerOrder)
       .drop("tkey", "phase", "min_phase")
 
   /** Single-case debugger (the reference's `--artist`/`--title` triage runs,
@@ -166,16 +171,21 @@ object MatchOps {
   def explainQuery(
       queries: DataFrame, export: GenerateDataset.Export, queryId: Long): DataFrame = {
     val one = queries.filter(col("query_id") === queryId)
-    val winner = matchSongs(one, export).select(
-      col("query_id").as("w_qid"), col("song_mb_id").as("w_song"),
-      col("album_mb_id").as("w_album"), col("matched_alias").as("w_alias"))
+    // `chosen` re-applies the SAME threshold + row_number logic as
+    // [[Relational.relativeThresholdTopOne]] rather than equi-joining the
+    // winner back: candidate rows are distinct over a projection wider than
+    // any natural key (duo queries export a recording once per matched
+    // artist id), so a key join could flag several rows. Non-passing rows
+    // sort after passing ones, making rank 1 exactly the matchSongs winner.
+    val wAll = Window.partitionBy(col("query_id"))
+    val passes = col("relevance") * 10.0 >= col("__maxscore")
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(when(passes, 0).otherwise(1).asc +: winnerOrder: _*)
     scoredCandidates(one, export)
-      .join(winner,
-        col("query_id") === col("w_qid") && col("song_mb_id") === col("w_song") &&
-          col("album_mb_id") === col("w_album") && col("matched_alias") === col("w_alias"),
-        "left")
-      .withColumn("chosen", col("w_qid").isNotNull)
-      .drop("w_qid", "w_song", "w_album", "w_alias")
+      .withColumn("__maxscore", max(col("relevance")).over(wAll))
+      .withColumn("__rn", row_number().over(rank))
+      .withColumn("chosen", passes && col("__rn") === 1)
+      .drop("__maxscore", "__rn")
       .orderBy(col("phase").asc, col("relevance").desc, col("album_mb_id").asc)
   }
 
@@ -190,10 +200,14 @@ object MatchOps {
       col("query_id").as("mq_id"), col("album_mb_id").as("mb_album_mb_id"),
       col("album_title").as("mb_album_title"), col("release_year").as("mb_album_year"),
       col("song_mb_id").as("mb_recording_id"))
+    // null-safe "wrong" branch: a golden row with NO expected MBID (null
+    // after CSV read) that nevertheless matched is INCORRECT in the
+    // reference (`benchmark.py:247` — Python `!=` is None-safe); `=!=`
+    // would return null and silently drop it.
     golden.join(m, col("query_id") === col("mq_id"), "left")
       .withColumn("status",
         when(col("mb_album_mb_id").isNull, "missing")
-          .when(col("mb_album_mb_id") =!= col("db_album_mb_id"), "wrong"))
+          .when(!(col("mb_album_mb_id") <=> col("db_album_mb_id")), "wrong"))
       .filter(col("status").isNotNull)
       .drop("mq_id")
   }
@@ -206,11 +220,14 @@ object MatchOps {
     val joined = golden
       .join(matches.select(col("query_id").as("mq_id"), col("album_mb_id")),
         col("query_id") === col("mq_id"), "left")
+    // null-safe like [[diffReport]]: a match against a null expectation is
+    // "wrong" (not dropped), so total == missing + wrong + correct always.
     joined.agg(
       count(lit(1)).as("total"),
       sum(when(col("album_mb_id").isNull, 1).otherwise(0)).as("missing"),
-      sum(when(col("album_mb_id").isNotNull && col("album_mb_id") =!= col("musicbrainz_id"), 1)
+      sum(when(col("album_mb_id").isNotNull && !(col("album_mb_id") <=> col("musicbrainz_id")), 1)
         .otherwise(0)).as("wrong"),
-      sum(when(col("album_mb_id") === col("musicbrainz_id"), 1).otherwise(0)).as("correct"))
+      sum(when(col("album_mb_id").isNotNull && (col("album_mb_id") <=> col("musicbrainz_id")), 1)
+        .otherwise(0)).as("correct"))
   }
 }

@@ -83,12 +83,14 @@ object MbSources {
       val base =
         if (numPartitions <= 1) reader.option("dbtable", table(name)).load()
         else {
-          // Bounds probe: a one-row server-side aggregate. The pk is
-          // double-quoted (valid on Postgres and on case-folding dialects
-          // like Derby, where Spark writes lowercase quoted identifiers).
+          // Bounds probe: a one-row server-side aggregate. The pk is quoted
+          // with the url's registered JdbcDialect (double quotes on
+          // Postgres/Derby, backticks on MySQL-family mirrors) — same
+          // quoting the rest of the reader delegates to Spark.
+          val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(pk)
           val b = reader
             .option("dbtable",
-              s"""(SELECT MIN("$pk") AS lo, MAX("$pk") AS hi FROM ${table(name)}) bounds""")
+              s"(SELECT MIN($q) AS lo, MAX($q) AS hi FROM ${table(name)}) bounds")
             .load().collect().head
           if (b.isNullAt(0)) reader.option("dbtable", table(name)).load()
           else reader.option("dbtable", table(name))

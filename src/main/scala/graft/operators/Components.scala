@@ -16,33 +16,57 @@ import org.apache.spark.sql.functions._
   * Convergence is detected from sum(label), which strictly decreases until
   * the fixpoint — one scalar aggregate per round, no old-vs-new join.
   *
-  * Scale notes: per-round lineage is truncated with localCheckpoint so the
-  * plan does not grow with iterations (on a real cluster, swap for a
-  * reliable `checkpoint` against a fault-tolerant store). The per-round
-  * shuffle is edge-sized, the state is vertex-sized; nothing is ever
-  * collected to the driver except the one convergence scalar.
+  * Scale notes: per-round lineage is truncated (localCheckpoint by default,
+  * reliable `checkpoint` against a fault-tolerant store when
+  * `checkpointDir` is set — an executor loss mid-iteration then resumes
+  * from the last round instead of failing the job). Truncation is LAZY in
+  * both modes: the convergence aggregate is the materializing action, so a
+  * round schedules one job, not two. The per-round shuffle is edge-sized,
+  * the state is vertex-sized; nothing is ever collected to the driver
+  * except the one convergence scalar.
   */
 object Components {
 
   /** → (id, component_id = min reachable id). `vertices` must have column
     * `id`; `edges` columns `src`/`dst` (undirected: both orientations are
     * generated internally). Isolated vertices keep their own id.
+    *
+    * @param checkpointDir when set, per-round state is checkpointed
+    *        reliably under this fault-tolerant path (HDFS/S3 on a real
+    *        cluster; the reliable write is one extra recompute of the
+    *        round's edge join — the price of surviving executor loss).
+    *        When None (default), storage-local `localCheckpoint` — fastest,
+    *        but lost blocks kill the job.
     */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
+    // lazy in both modes — the next action on the result both computes it
+    // and truncates its lineage in the same job
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     // materialize the symmetrized edge set once: every round joins against
     // it, and the caller's edge lineage (e.g. near-dup pair mining) must
     // not re-execute per iteration
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    val sym = truncate(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     // Only vertices that appear in an edge can ever change label — the
     // iteration runs over those alone. In a dedup pipeline the touched set
     // is pair-sized while `vertices` is corpus-sized; isolated docs (the
     // overwhelming majority at 100 TB) never enter the loop and are
     // attached by the single final left join below.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").cast("long").as("comp"))
-      .localCheckpoint(true)
+    // initial label = min(id, min neighbor): exactly what round 1 would
+    // compute from identity labels, for the cost of ONE aggregate instead
+    // of a join + aggregate — the distinct() is folded into the groupBy
+    var labels = truncate(
+      sym.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).cast("long").as("comp"))
+        .select(col("src").as("id"), col("comp")))
     // coalesce: sum over an empty active set (no edges at all) is NULL
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
@@ -59,11 +83,12 @@ object Components {
       // the self-join always matches; with it the min label travels 2^i
       // hops by round i — convergence in O(log diameter) rounds instead of
       // O(diameter) (near-dup chains measured diameter ~8 at sf0.01).
-      val next = prop
+      val next = truncate(prop
         .join(prop.select(col("id").as("__cid"), col("comp").as("__ccomp")),
           col("comp") === col("__cid"), "left")
-        .select(col("id"), coalesce(col("__ccomp"), col("comp")).as("comp"))
-        .localCheckpoint(true)
+        .select(col("id"), coalesce(col("__ccomp"), col("comp")).as("comp")))
+      // the ONE action of the round: computes the labels, persists the
+      // truncation blocks, and returns the convergence scalar
       val s = labelSum(next)
       labels.unpersist()
       labels = next

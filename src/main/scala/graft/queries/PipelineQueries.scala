@@ -30,7 +30,8 @@ object PipelineQueries {
       val a = c.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"))
       val b = c.select(col("c_custkey").as("b_key"), col("c_name").as("b_name"))
       SimilarityJoin.levenshtein1Join(a, "a_name", b, "b_name",
-        pairFilter = Some(col("a_key") < col("b_key")))
+        pairFilter = Some(col("a_key") < col("b_key")),
+        shuffleHash = true) // big-big self-join: never broadcast the corpus
         .select(col("a_key"), col("b_key"))
     }),
 

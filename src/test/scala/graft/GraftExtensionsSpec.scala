@@ -48,6 +48,8 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  lsh_bucket(array(cast(1.0 as float), cast(-1.0 as float)), 4, 0) AS lb,
         |  size(deletion_variants('abc')) AS dv,
         |  min_common_variant('abc', 'abd') AS mcv,
+        |  lev1_witness('abc', 'abd') AS w,
+        |  lev1_witness('abc', 'abcde') AS w2,
         |  quantized_dot(array(cast(1.0 as float)), array(cast(2.0 as float))) AS qd,
         |  dot_product(array(cast(1.0 as float)), array(cast(2.0 as float))) AS dp
         |""".stripMargin).head()
@@ -59,8 +61,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(5) >= 0 && row.getLong(5) < 16)
     assert(row.getInt(6) == 4) // abc + ab/ac/bc
     assert(row.getString(7) == "ab") // delete the differing position
-    assert(row.getLong(8) == 1000L * 2000)
-    assert(row.getDouble(9) == 2.0)
+    assert(row.getString(8) == "ab") // analytic witness: first mismatch at index 2
+    assert(row.isNullAt(9)) // length gap 2 -> lev >= 2, no witness
+    assert(row.getLong(10) == 1000L * 2000)
+    assert(row.getDouble(11) == 2.0)
   }
 
   test("lang_id and minhash_sig are callable from SQL") {

@@ -28,7 +28,10 @@ class GoldenCsvSpec extends SparkSpec {
       // no match in the corpus → missing
       "4,Bohemian,99,A Night at the Opera,1975,g-000,9,Queen,gb,a-9,,,,",
       // wrong expectation → wrong
-      "5,Oldie,12,Latecomer,1992,g-777,1,Nirvana,us,a-1,,,,")
+      "5,Oldie,12,Latecomer,1992,g-777,1,Nirvana,us,a-1,,,,",
+      // no expected MBID (empty → null) but the matcher DOES match → wrong,
+      // not dropped (reference benchmark.py:247 — Python != is None-safe)
+      "6,Oldie,13,Unlinked Album,1992,,1,Nirvana,us,a-1,,,,")
     val p = Paths.get("/tmp/graft_golden_test.csv")
     // UTF-8 BOM first — exactly like the reference's benchmark/default.csv
     Files.write(p, ("﻿" + rows.mkString("\n")).getBytes(StandardCharsets.UTF_8))
@@ -38,7 +41,7 @@ class GoldenCsvSpec extends SparkSpec {
   test("BOM'd golden CSV: header parsed clean, quoted fields intact") {
     val df = GoldenCsv.read(spark, csvPath)
     assert(df.columns.head == "id") // BOM stripped — not "﻿id"
-    assert(df.count() == 5)
+    assert(df.count() == 6)
     val q = GoldenCsv.toQueries(df)
     val r3 = q.filter($"query_id" === 3).as[(Long, String, String, String)].head()
     assert(r3 == ((3L, "Alpha", "Beta", "Duet Song")))
@@ -52,7 +55,7 @@ class GoldenCsvSpec extends SparkSpec {
       GoldenCsv.toQueries(golden), MbFixtureExport.cached(spark))
     val stats = MatchOps.accuracy(GoldenCsv.toExpectations(golden), matches)
       .as[(Long, Long, Long, Long)].head()
-    assert(stats == ((5L, 1L, 1L, 3L))) // total, missing, wrong, correct
+    assert(stats == ((6L, 1L, 2L, 3L))) // total, missing, wrong, correct
   }
 
   test("diffReport: one row per wrong/missing query, expected vs got") {
@@ -62,15 +65,19 @@ class GoldenCsvSpec extends SparkSpec {
     val diff = MatchOps.diffReport(GoldenCsv.toDbExpectations(golden), matches)
       .select("status", "query_id", "artist_name", "title",
         "db_album_mb_id", "db_album_title", "mb_album_mb_id", "mb_album_title")
-      .as[(String, Long, String, String, String, String, Option[String], Option[String])]
+      .as[(String, Long, String, String, Option[String], String, Option[String], Option[String])]
       .collect().sortBy(_._2)
-    assert(diff.length == 2)
+    assert(diff.length == 3)
     // query 4: no match in the corpus → missing, MB side null
     assert(diff(0) == (("missing", 4L, "Queen", "Bohemian",
-      "g-000", "A Night at the Opera", None, None)))
+      Some("g-000"), "A Night at the Opera", None, None)))
     // query 5: matched Oldie (g-202) but the CSV expects g-777 → wrong
     assert(diff(1) == (("wrong", 5L, "Nirvana", "Oldie",
-      "g-777", "Latecomer", Some("g-202"), Some("Oldie"))))
+      Some("g-777"), "Latecomer", Some("g-202"), Some("Oldie"))))
+    // query 6: matched g-202 but the CSV has NO expected MBID → wrong,
+    // null-safely listed (a `=!=` comparison would have dropped the row)
+    assert(diff(2) == (("wrong", 6L, "Nirvana", "Oldie",
+      None, "Unlinked Album", Some("g-202"), Some("Oldie"))))
   }
 
   test("explainQuery: full candidate set for one query with the winner flagged") {

@@ -55,6 +55,24 @@ class ComponentsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("connected components: reliable-checkpoint mode gives identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val edges = Seq((2L, 3L), (3L, 4L), (1L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val got = Components.connectedComponents(vertices, edges, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L))
+    // the reliable path actually wrote round state under the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter((p: java.nio.file.Path) => java.nio.file.Files.isRegularFile(p))
+      .count()
+    assert(wrote > 0)
+  }
+
   test("connected components: empty edge set keeps every vertex its own component") {
     val vertices = Seq(5L, 6L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")

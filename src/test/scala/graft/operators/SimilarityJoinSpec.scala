@@ -51,11 +51,37 @@ class SimilarityJoinSpec extends SparkSpec {
     val prop = Prop.forAll(genCorpus, genCorpus) { (ls: List[String], rs: List[String]) =>
       val left = ls.distinct.toDF("l")
       val right = rs.distinct.toDF("r")
-      val got = SimilarityJoin.levenshtein1Join(left, "l", right, "r")
-        .as[(String, String)].collect().toSet
-      got == naivePairs(ls.distinct, rs.distinct)
+      val rows = SimilarityJoin.levenshtein1Join(left, "l", right, "r")
+        .as[(String, String)].collect().toSeq
+      // exactly-once: the witness filter must keep ONE row per matching pair
+      // even when the pair shares several variants (equal strings share all)
+      rows.distinct == rows && rows.toSet == naivePairs(ls.distinct, rs.distinct)
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("lev1_witness: analytic witness is a shared deletion variant (property)") {
+    // the exactly-once selector is sound iff, whenever lev(a,b) <= 1, the
+    // witness is a member of BOTH deletion neighborhoods — then exactly one
+    // joined row satisfies __lv === witness
+    def variants(s: String): Set[String] =
+      (s +: s.indices.map(i => s.take(i) + s.drop(i + 1))).toSet
+    val genStr = Gen.choose(0, 6).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+    val prop = Prop.forAll(genStr, genStr) { (a: String, b: String) =>
+      val witness = org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.Lev1Witness(
+          org.apache.spark.sql.graft.Bridge.expression(col("a")),
+          org.apache.spark.sql.graft.Bridge.expression(col("b"))))
+      val w = Seq((a, b)).toDF("a", "b")
+        .select(witness.as("w"))
+        .as[Option[String]].head()
+      if (levenshteinDist(a, b) <= 1)
+        w.exists(v => variants(a).contains(v) && variants(b).contains(v))
+      else if (math.abs(a.length - b.length) >= 2) w.isEmpty
+      else true // same/±1 length but lev >= 2: witness defined but unused (lev guard runs first)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
     assert(res.passed, res.status.toString)
   }
 
