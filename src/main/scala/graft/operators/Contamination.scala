@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection for a training-data pipeline: find
+  * every (benchmark doc, train doc) pair that shares at least `minShared`
+  * distinct word n-grams — the standard n-gram-collision test run before
+  * training to prove eval sets are not embedded in the corpus.
+  *
+  * Shape: an inverted-index equi-join on the shingle hash (the same key
+  * space as [[Dedup.jaccardPairs]]), never benchmark × corpus:
+  *
+  *   - both sides explode to (doc, shingle-hash) postings;
+  *   - train postings for shingles in more than `maxShingleFreq` train docs
+  *     are dropped first (boilerplate n-grams — license headers, navigation
+  *     chrome — would otherwise create quadratic buckets; a contamination
+  *     hit on boilerplate is noise, not leakage);
+  *   - the pair's shared-shingle count is one hash aggregate on
+  *     (bench_id, train_id).
+  *
+  * At 100 TB the benchmark side is tiny (eval suites are thousands of
+  * docs, not billions) — it is the shuffle-hash BUILD side — while the
+  * train side streams through as the probe. Cost is posting-list overlap
+  * mass, bounded by the frequency cap, not corpus².
+  */
+object Contamination {
+
+  /** → (bench_id, train_id, n_shared, bench_size, contaminated_permille)
+    * for every cross-corpus pair with `n_shared ≥ minShared`.
+    * `contaminated_permille` = ⌊n_shared·1000 / bench_size⌋: how much of
+    * the benchmark doc's shingle set the train doc covers.
+    */
+  def ngramOverlapPairs(
+      bench: DataFrame, benchId: Column, benchText: Column,
+      train: DataFrame, trainId: Column, trainText: Column,
+      n: Int, minShared: Int, maxShingleFreq: Long = 1000000L): DataFrame = {
+    val b = bench
+      .select(benchId.as("bench_id"), Dedup.shingleHashes(benchText, n).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("bench_id"), size(col("hs")).cast("long").as("bench_size"),
+        explode(col("hs")).as("h"))
+    val t = train
+      .select(trainId.as("train_id"), explode(Dedup.shingleHashes(trainText, n)).as("h"))
+    // hot-shingle cap: TRAIN-side document frequency (each shingle appears
+    // once per doc — shingleHashes is distinct within a doc)
+    val keep = t.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq)
+      .select(col("h"))
+    val tPruned = t.join(keep, "h")
+    // bench is the small side at scale: build it, stream the train postings
+    b.hint("shuffle_hash")
+      .join(tPruned.withColumnRenamed("h", "h2"), col("h") === col("h2"))
+      .groupBy(col("bench_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"), max(col("bench_size")).as("bench_size"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("contaminated_permille",
+        floor(col("n_shared") * lit(1000L) / col("bench_size")).cast("long"))
+  }
+
+  /** Per-benchmark-doc contamination summary: how many train docs overlap
+    * it and the worst coverage. Benchmark docs with no qualifying overlap
+    * are ABSENT (join the benchmark table back for a full report). */
+  def contaminationReport(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_contaminating_docs"),
+        max(col("n_shared")).as("max_shared"),
+        max(col("contaminated_permille")).as("max_contaminated_permille"))
+}

@@ -98,43 +98,48 @@ object Similarity {
     * `nprobe/nlist` of the corpus — never corpus².
     * → (query_id, neighbor_id, rank, score).
     */
+  /** Seeded k-means cell table (cell_id, centroid) over `corpus.embedding`
+    * — the coarse quantizer shared by [[ivfTopK]] and [[semDedup]].
+    * Random init: k-means|| initialization is itself several distributed
+    * passes; for coarse buckets (not a clustering deliverable) seeded
+    * random init + a few Lloyd iterations is the right trade. */
+  def fitCells(corpus: DataFrame, nlist: Int, seed: Long = 42L, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random").fit(train)
+    corpus.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+        .toIndexedSeq)
+      .toDF("cell_id", "centroid")
+  }
+
+  /** Top-`n` nearest cells per row — rank over a broadcast cross join with
+    * the tiny centroid table (the usual topOnePerGroup pattern). */
+  private def assignCells(
+      df: DataFrame, idCol: String, embCol: String, centroids: DataFrame, n: Int,
+      score: (Column, Column) => Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__dist").asc, col("cell_id").asc)
+    df.crossJoin(broadcast(centroids))
+      .withColumn("__dist", -score(col(embCol), col("centroid")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= n)
+      .select(col(idCol), col(embCol), col("cell_id"))
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int, nprobe: Int,
       score: (Column, Column) => Column, seed: Long = 42L,
       maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-
-    val train = corpus.select(array_to_vector(col("embedding")).as("features"))
-    // random init: k-means|| initialization is itself several distributed
-    // passes; for IVF cells (coarse buckets, not a clustering deliverable)
-    // seeded random init + a few Lloyd iterations is the right trade
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode("random").fit(train)
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-        .toIndexedSeq)
-      .toDF("cell_id", "centroid")
-
-    // nearest-centroid assignment = rank over a broadcast cross join with
-    // the tiny centroid table — the usual topOnePerGroup pattern
-    def assignTopN(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idCol)).orderBy(col("__dist").asc, col("cell_id").asc)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("__dist", -score(col(embCol), col("centroid")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= n)
-        .select(col(idCol), col(embCol), col("cell_id"))
-    }
-
-    val corpusCells = assignTopN(
+    val centroids = fitCells(corpus, nlist, seed, maxIter)
+    val corpusCells = assignCells(
       corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
-      "neighbor_id", "c_emb", 1)
-    val queryProbes = assignTopN(
+      "neighbor_id", "c_emb", centroids, 1, score)
+    val queryProbes = assignCells(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      "query_id", "q_emb", nprobe)
+      "query_id", "q_emb", centroids, nprobe, score)
       .withColumnRenamed("cell_id", "probe_cell")
 
     val scored = queryProbes
@@ -148,6 +153,54 @@ object Similarity {
           .orderBy(col("score").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the corpus into k-means cells, mine
+    * above-threshold cosine pairs WITHIN each cell only, connect them
+    * transitively, and keep one representative (min id) per duplicate
+    * group. Cross-cell near-duplicates are missed by construction — that
+    * is SemDeDup's accepted trade: pairwise work drops from corpus² to
+    * Σ cell², with `nlist` the dial (cells ≈ corpus/nlist rows each).
+    *
+    * Composition of existing scale-shaped pieces: [[fitCells]] (seeded —
+    * deterministic) + one shuffle on cell_id for the self-join +
+    * [[Components.connectedComponents]] on the pair graph.
+    *
+    * → (vec_id, component_id, keep): keep = this row is its group's
+    * representative; singleton rows keep themselves.
+    */
+  def semDedup(
+      corpus: DataFrame, nlist: Int, minScoreQ: Long,
+      score: (Column, Column) => Column, seed: Long = 42L,
+      maxIter: Int = 10, nassign: Int = 1): DataFrame = {
+    val centroids = fitCells(corpus, nlist, seed, maxIter)
+    // overlap assignment (`nassign` > 1): each vector joins its top-n
+    // cells, so a pair straddling a cell boundary still meets in the
+    // runner-up cell — the standard recall fix for loose duplicate sets;
+    // pairwise work scales by ≤ nassign², the corpus-size term does not
+    val cells = assignCells(
+      corpus.select(col("vec_id").as("id"), col("embedding").as("emb")),
+      "id", "emb", centroids, nassign, score)
+    // within-cell pairs above threshold: equi-join on cell_id, a < b.
+    // shuffle_hash — both sides are the same cell-keyed subplan (one
+    // exchange, ReuseExchange), and sorting rows that carry embedding
+    // arrays buys nothing a hash table doesn't.
+    val a = cells.select(col("cell_id"), col("id").as("a_id"), col("emb").as("a_emb"))
+    val b = cells.select(col("cell_id").as("cell2"), col("id").as("b_id"), col("emb").as("b_emb"))
+    val pairs = a.hint("shuffle_hash")
+      .join(b, col("cell_id") === col("cell2") && col("a_id") < col("b_id"))
+      .withColumn("score_q", score(col("a_emb"), col("b_emb")))
+      .filter(col("score_q") >= minScoreQ)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      // a pair can meet in up to nassign² shared cells; edges are a tiny
+      // fraction of the corpus, so a distinct() here is cheap (Components
+      // symmetrizes edges anyway, so duplicates would only waste work)
+      .distinct()
+    Components.connectedComponents(
+      corpus.select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("component_id"),
+        (col("id") === col("component_id")).as("keep"))
   }
 
   /** Multi-table LSH ANN top-k: `tables` independent plane families; in

@@ -25,13 +25,22 @@ object DuckSql {
 
   /** CTEs producing per-doc distinct 3-gram shingle hash lists `hs` over
     * `documents` (mirrors Dedup.shingleHashes with n=3). */
-  def shingleCtes: String =
-    s"""toks AS (SELECT doc_id, ${tokens("text")} AS w FROM documents),
-       |grams AS (SELECT doc_id,
-       |  list_distinct(list_transform(range(1, len(w) - 1),
-       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM toks),
-       |hashed AS (SELECT doc_id, list_transform(g, s -> ${rollingHash("s")}) AS hs
+  def shingleCtes: String = shingleCtesN(3)
+
+  /** [[shingleCtes]] for word n-grams of any `n`, optionally carrying extra
+    * `documents` columns (e.g. `source`) through to the `hashed` CTE. */
+  def shingleCtesN(n: Int, extraCols: Seq[String] = Nil): String = {
+    require(n >= 2, s"shingle n must be >= 2, got $n")
+    val extra = extraCols.map(c => s", $c").mkString
+    val gram = (0 until n).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id$extra, ${tokens("text")} AS w FROM documents),
+       |grams AS (SELECT doc_id$extra,
+       |  list_distinct(list_transform(range(1, len(w) - ${n - 2}),
+       |    i -> $gram)) AS g FROM toks),
+       |hashed AS (SELECT doc_id$extra, list_transform(g, s -> ${rollingHash("s")}) AS hs
        |  FROM grams WHERE len(g) > 0)""".stripMargin
+  }
 
   /** Minhash CTE `mh(doc, mh_0..mh_{k-1})` on top of [[shingleCtes]],
     * using the same affine params as Dedup.minhashSignatures. */

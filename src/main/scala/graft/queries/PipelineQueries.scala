@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Dedup, Multimodal, Relational, Sampling, Similarity, SimilarityJoin, TextAnalysis}
+import graft.operators.{Components, Contamination, Dedup, Multimodal, Relational, Sampling, Similarity, SimilarityJoin, Stats, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (builder prompt: dedup / similarity /
@@ -219,6 +219,37 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("component_id"))
     }),
 
+    // corpus length profile: exact nearest-rank quantiles of n_chars per
+    // language — pinned rank semantics replayable on any engine (see
+    // Stats scaladoc); approx_percentile is the 100 TB sketch path
+    "q40_group_quantiles" -> ((s, d) =>
+      Stats.groupedQuantiles(Tables.documents(s, d),
+        groupCols = Seq("lang"), valueCol = "n_chars", tieCol = "doc_id",
+        psPermille = Seq(500, 900, 990))),
+
+    // SemDeDup-style semantic dedup: seeded k-means cells -> within-cell
+    // cosine-threshold pairs -> connected components -> keep min id per
+    // group. Like q27/q37, no SQL oracle: the cell assignment is a trained
+    // artifact; the driver records rows-only and SemDedupSpec pins
+    // soundness (components refine the exact-threshold graph) and recall.
+    "q39_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), nlist = 16,
+        minScoreQ = 400000L, Similarity.quantizedDot, maxIter = 3,
+        nassign = 2)), // overlap assignment: recall 0.71 vs 0.29 single-cell
+      // on the fixture's loose τ=0.4 pair set (SemDedupSpec pins it)
+
+    // benchmark-contamination check: treat source 'src0' as the held-out
+    // eval suite, everything else as the train corpus; any cross pair
+    // sharing >= 2 distinct 3-gram shingles is a leakage candidate.
+    // Inverted-index equi-join — never bench × corpus.
+    "q38_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.ngramOverlapPairs(
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        n = 3, minShared = 2, maxShingleFreq = 100L)
+    }),
+
     // embedding-cosine near-dup pairs, exact baseline form (bounded query
     // side; the LSH bucketing of q27 is the full-corpus scale path). τ sits
     // at the top of this synthetic corpus's similarity distribution —
@@ -335,6 +366,34 @@ object PipelineQueries {
          |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r)
          |SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id""".stripMargin
 
+    m += "q40_group_quantiles" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, MAX(n) AS n_n_chars,
+        |  MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 500 / 1000.0) AS BIGINT))
+        |      THEN n_chars END) AS p500_n_chars,
+        |  MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 900 / 1000.0) AS BIGINT))
+        |      THEN n_chars END) AS p900_n_chars,
+        |  MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 990 / 1000.0) AS BIGINT))
+        |      THEN n_chars END) AS p990_n_chars
+        |FROM r GROUP BY lang""".stripMargin
+
+    m += "q38_contamination" ->
+      s"""WITH ${DuckSql.shingleCtesN(3, Seq("source"))},
+         |bench AS (SELECT doc_id AS bench_id, CAST(len(hs) AS BIGINT) AS bench_size,
+         |          unnest(hs) AS h FROM hashed WHERE source = 'src0'),
+         |train_i AS (SELECT doc_id AS train_id, unnest(hs) AS h FROM hashed
+         |            WHERE source <> 'src0'),
+         |keep AS (SELECT h FROM train_i GROUP BY h HAVING COUNT(*) <= 100),
+         |tp AS (SELECT train_id, h FROM train_i JOIN keep USING (h))
+         |SELECT bench_id, train_id, COUNT(*) AS n_shared, MAX(bench_size) AS bench_size,
+         |  CAST(floor(COUNT(*) * 1000 / MAX(bench_size)) AS BIGINT) AS contaminated_permille
+         |FROM bench JOIN tp USING (h)
+         |GROUP BY bench_id, train_id
+         |HAVING COUNT(*) >= 2""".stripMargin
+
     val quant = "list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT))"
     m += "q26_ann_topk" ->
       s"""WITH qv AS (SELECT vec_id, $quant AS q FROM embeddings WHERE vec_id < 64),
@@ -416,9 +475,10 @@ object PipelineQueries {
          |WHERE a.vec_id < 256 AND a.vec_id < b.vec_id
          |  AND CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) AS BIGINT) >= 400000""".stripMargin
 
-    // q27_ann_lsh intentionally has NO oracle: LSH recall is probabilistic
-    // by construction; the driver records a rows-only check and
-    // SimilaritySpec asserts recall vs the exact oracle instead.
+    // q27_ann_lsh, q37_ann_ivf and q39_semdedup intentionally have NO
+    // oracle: LSH recall is probabilistic and k-means cells are trained
+    // artifacts. The driver records rows-only checks; SimilaritySpec /
+    // SemDedupSpec assert recall and soundness vs the exact forms instead.
     m.result()
   }
 

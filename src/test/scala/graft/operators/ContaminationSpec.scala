@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive reference: distinct word n-grams (same semantics as
+    * Dedup.shingleHashes — whitespace tokens, sliding n, dedup). */
+  private def grams(text: String, n: Int): Set[String] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+    if (toks.length < n) Set.empty else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("overlap pairs: shared-count threshold and coverage permille") {
+    val bench = Seq((1L, "a b c d e")).toDF("doc_id", "text") // 3 shingles
+    val train = Seq(
+      (10L, "a b c d x"), // shares "a b c", "b c d" -> 2
+      (11L, "z z q"),     // shares nothing
+      (12L, "a b c x y")  // shares only "a b c" -> below minShared=2
+    ).toDF("doc_id", "text")
+    val got = Contamination.ngramOverlapPairs(
+      bench, col("doc_id"), col("text"), train, col("doc_id"), col("text"),
+      n = 3, minShared = 2)
+      .select("bench_id", "train_id", "n_shared", "bench_size", "contaminated_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 2L, 3L, 666L))) // floor(2*1000/3)
+  }
+
+  test("hot-shingle cap: boilerplate n-grams do not create pairs") {
+    val bench = Seq((1L, "the same header x y z")).toDF("doc_id", "text")
+    // "the same header" appears in 3 train docs -> capped at 2; each train
+    // doc then shares nothing else with the bench doc
+    val train = Seq(
+      (10L, "the same header p q r"),
+      (11L, "the same header s t u"),
+      (12L, "the same header v w j")
+    ).toDF("doc_id", "text")
+    val capped = Contamination.ngramOverlapPairs(
+      bench, col("doc_id"), col("text"), train, col("doc_id"), col("text"),
+      n = 3, minShared = 1, maxShingleFreq = 2L)
+    assert(capped.count() == 0)
+    val uncapped = Contamination.ngramOverlapPairs(
+      bench, col("doc_id"), col("text"), train, col("doc_id"), col("text"),
+      n = 3, minShared = 1, maxShingleFreq = 100L)
+    assert(uncapped.count() == 3)
+  }
+
+  test("inverted-index overlap ≡ naive set intersection (property)") {
+    val genDoc = Gen.choose(2, 10).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val genCorpus = Gen.choose(1, 8).flatMap(k => Gen.listOfN(k, genDoc))
+    val prop = Prop.forAll(genCorpus, genCorpus) { (bs: List[String], ts: List[String]) =>
+      val bench = bs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val train = ts.zipWithIndex.map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+      val got = Contamination.ngramOverlapPairs(
+        bench, col("doc_id"), col("text"), train, col("doc_id"), col("text"),
+        n = 2, minShared = 1)
+        .select("bench_id", "train_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = (for {
+        (bt, bi) <- bs.zipWithIndex
+        (tt, ti) <- ts.zipWithIndex
+        shared = (grams(bt, 2) intersect grams(tt, 2)).size
+        if shared >= 1
+      } yield (bi.toLong, 1000L + ti, shared.toLong)).toSet
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("contamination report aggregates per benchmark doc") {
+    val bench = Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
+    val train = Seq((10L, "a b c d e"), (11L, "b c d e x")).toDF("doc_id", "text")
+    val report = Contamination.contaminationReport(
+      Contamination.ngramOverlapPairs(
+        bench, col("doc_id"), col("text"), train, col("doc_id"), col("text"),
+        n = 3, minShared = 1))
+      .select("bench_id", "n_contaminating_docs", "max_shared", "max_contaminated_permille")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: train 10 shares all 3, train 11 shares "b c d","c d e" -> 2
+    assert(report == Set((1L, 2L, 3L, 1000L)))
+  }
+}

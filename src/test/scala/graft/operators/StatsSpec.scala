@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nearest-rank quantiles: pinned positions on 1..10") {
+    val df = (1 to 10).map(i => ("g", i.toLong, i.toLong)).toDF("grp", "v", "id")
+    val got = Stats.groupedQuantiles(df, Seq("grp"), "v", "id", Seq(500, 900, 990))
+      .as[(String, Long, Long, Long, Long)].head()
+    // ranks: ceil(10*.5)=5, ceil(10*.9)=9, ceil(10*.99)=10
+    assert(got == (("g", 10L, 5L, 9L, 10L)))
+  }
+
+  test("singleton group: every quantile is the single member") {
+    val df = Seq(("a", 7L, 1L), ("b", 3L, 2L), ("b", 4L, 3L)).toDF("grp", "v", "id")
+    val got = Stats.groupedQuantiles(df, Seq("grp"), "v", "id", Seq(500, 990))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 7L, 7L), ("b", 2L, 3L, 4L)))
+  }
+
+  test("grouped quantiles ≡ naive sorted-index (property)") {
+    val gen = Gen.choose(1, 30).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(Gen.oneOf("x", "y"), Gen.choose(0L, 50L))))
+    val ps = Seq(100, 500, 900, 1000)
+    val prop = Prop.forAll(gen) { (rows: List[(String, Long)]) =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("grp", "v", "id")
+      val got = Stats.groupedQuantiles(df, Seq("grp"), "v", "id", ps)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, Seq(r._3, r._4, r._5, r._6))).toMap
+      val expected = rows.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val n = sorted.length
+        g -> ((n.toLong, ps.map(p =>
+          sorted(math.max(1, math.ceil(n * p / 1000.0).toInt) - 1))))
+      }
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
