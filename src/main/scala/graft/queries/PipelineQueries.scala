@@ -132,6 +132,26 @@ object PipelineQueries {
           col("click_event_id").as("click_id"), col("click_ts_us"))
     }),
 
+    // range join: every purchase paired with EVERY click of the same user
+    // in the preceding hour (the as-of join q33 keeps only the latest) —
+    // bucketed-interval equi-join, never a per-key nested loop
+    "q41_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts_us").as("click_ts_us"),
+          (col("ts_us") + lit(3600L * 1000000L)).as("window_end_us"))
+      Relational.rangeJoin(
+        purchases, Seq("user_id"), "purchase_ts_us",
+        clicks, Seq("c_user"), "click_ts_us", "window_end_us",
+        bucketWidth = 3600L * 1000000L)
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          col("purchase_ts_us"), col("click_ts_us"))
+    }),
+
     // W2: moving-frame window aggregate — per-user running stats over the
     // last 4 events (ROWS frame). DECIMAL-summed for bit-identical totals.
     "q35_moving_agg" -> ((s, d) => {
@@ -454,6 +474,18 @@ object PipelineQueries {
         |SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us, value,
         |       click_id, click_ts_us
         |FROM w WHERE event_type = 'purchase'""".stripMargin
+
+    m += "q41_range_join" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us
+        |      FROM base WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id AS c_user, ts_us AS click_ts_us
+        |      FROM base WHERE event_type = 'click')
+        |SELECT purchase_id, click_id, user_id, purchase_ts_us, click_ts_us
+        |FROM p JOIN c ON user_id = c_user
+        |  AND purchase_ts_us >= click_ts_us
+        |  AND purchase_ts_us <= click_ts_us + 3600000000""".stripMargin
 
     m += "q29_media_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

@@ -90,6 +90,48 @@ class RelationalSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("rangeJoin ≡ naive θ-join (property, bucket-boundary collisions)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // bucketWidth 5 with values 0..20: intervals straddle bucket edges,
+    // points land exactly on lo/hi — the off-by-one surface
+    val genPoint = for { u <- Gen.choose(1L, 2L); t <- Gen.choose(0L, 20L) } yield (u, t)
+    val genIv = for {
+      u <- Gen.choose(1L, 2L); lo <- Gen.choose(0L, 20L); len <- Gen.choose(0L, 7L)
+    } yield (u, lo, lo + len)
+    val gen = for {
+      np <- Gen.choose(0, 10); ni <- Gen.choose(0, 10)
+      ps <- Gen.listOfN(np, genPoint); ivs <- Gen.listOfN(ni, genIv)
+    } yield (ps, ivs)
+    val prop = Prop.forAll(gen) { case (ps, ivs) =>
+      val prows = ps.zipWithIndex.map { case ((u, t), i) => (u, t, 1000L + i) }
+      val irows = ivs.zipWithIndex.map { case ((u, lo, hi), i) => (u, lo, hi, 2000L + i) }
+      val got = Relational.rangeJoin(
+        prows.toDF("user_id", "pt", "p_id"), Seq("user_id"), "pt",
+        irows.toDF("i_user", "lo", "hi", "i_id"), Seq("i_user"), "lo", "hi",
+        bucketWidth = 5L)
+        .select("p_id", "i_id").as[(Long, Long)].collect().toSeq
+      val expected = for {
+        (u, t, pid) <- prows
+        (iu, lo, hi, iid) <- irows
+        if iu == u && t >= lo && t <= hi
+      } yield (pid, iid)
+      got.sorted == expected.sorted // exactly-once: multiplicities too
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rangeJoin pairs each point with every covering interval") {
+    val points = Seq((1L, 10L, 900L), (1L, 15L, 901L), (2L, 10L, 902L))
+      .toDF("user_id", "pt", "p_id")
+    val ivs = Seq((1L, 5L, 12L, 100L), (1L, 10L, 20L, 101L), (2L, 11L, 12L, 102L))
+      .toDF("i_user", "lo", "hi", "i_id")
+    val got = Relational.rangeJoin(
+      points, Seq("user_id"), "pt", ivs, Seq("i_user"), "lo", "hi", bucketWidth = 4L)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((900L, 100L), (900L, 101L), (901L, 101L)))
+  }
+
   test("asofJoin attaches the latest right row at or before each left ts") {
     // user 1: rights at ts 10, 20, 20 (ids 100, 101, 102) — equal-ts tie
     // goes to the highest id; lefts at ts 5 (nothing precedes), 20
