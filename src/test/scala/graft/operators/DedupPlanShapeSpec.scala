@@ -42,6 +42,30 @@ class DedupPlanShapeSpec extends SparkSpec {
       s"simhash pair plan grew extra shuffles:\n${pairs.queryExecution.executedPlan}")
   }
 
+  test("range join plans as an equi-join, never a nested loop") {
+    val points = Seq((1L, 10L, 900L)).toDF("user_id", "pt", "p_id")
+    val ivs = Seq((1L, 5L, 12L, 100L)).toDF("i_user", "lo", "hi", "i_id")
+    val joined = Relational.rangeJoin(
+      points, Seq("user_id"), "pt", ivs, Seq("i_user"), "lo", "hi", bucketWidth = 4L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degraded to a θ-join plan:\n$plan")
+    // the exact range predicate must ride the equi-join as a residual, and
+    // the interval side must explode to bucket rows
+    assert(plan.contains("Generate explode"), s"interval bucketing missing:\n$plan")
+  }
+
+  test("contamination overlap is an equi-join on the shingle hash") {
+    val bench = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val train = Seq((10L, "a b c d x")).toDF("doc_id", "text")
+    val pairs = Contamination.ngramOverlapPairs(
+      bench, col("doc_id"), col("text"), train, col("doc_id"), col("text"),
+      n = 3, minShared = 1)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"contamination must never be bench × corpus:\n$plan")
+  }
+
   test("stratified sample is pure map-side: zero exchanges") {
     val sampled = Sampling.stratifiedHashSample(
       docs.withColumn("lang", TextAnalysis.langId(col("text"))),
