@@ -86,4 +86,44 @@ object TextAnalysis {
   /** Document fingerprint: [[RollingHash]] of the text. */
   def fingerprint(text: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(text)))
+
+  /** Word n-grams WITH duplicates (unlike [[Dedup.shingles]]) — the
+    * multiset the repetition signals count over. Empty when fewer than
+    * `n` tokens. */
+  def ngramsMultiset(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Gopher-style intra-document repetition signals over word `n`-grams:
+    * per doc, how dominant the single most frequent n-gram is and what
+    * fraction of all n-gram occurrences are repeats of an earlier one —
+    * both in exact per-mille. High values flag boilerplate/spam documents
+    * that length and stopword ratios miss.
+    *
+    * One explode + one (id, gram) aggregate + one id aggregate; at 100 TB
+    * the heavy key is (id, gram) — doc-scoped, so perfectly distributed.
+    * Docs with fewer than `n` tokens produce no grams and are ABSENT.
+    *
+    * → (id as `doc_id`, n_grams, n_distinct_grams, top_gram_permille,
+    *    dup_gram_permille).
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, id: Column, text: Column, n: Int)
+      : org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"), explode(ngramsMultiset(text, n)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("c")).as("max_gram_count"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        perMille(col("max_gram_count"), col("n_grams")).as("top_gram_permille"),
+        perMille(col("n_grams") - col("n_distinct_grams"), col("n_grams"))
+          .as("dup_gram_permille"))
 }

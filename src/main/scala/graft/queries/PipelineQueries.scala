@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Contamination, Dedup, Multimodal, Relational, Sampling, Similarity, SimilarityJoin, Stats, TextAnalysis}
+import graft.operators.{Components, Contamination, Dedup, Multimodal, Packing, Relational, Sampling, Similarity, SimilarityJoin, Stats, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (builder prompt: dedup / similarity /
@@ -239,6 +239,21 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("component_id"))
     }),
 
+    // sequence packing: concatenation-order context-window assignment per
+    // source shard — running token sum div capacity; shards pack in
+    // parallel (see Packing scaladoc for why the shard key matters at scale)
+    "q42_seq_packing" -> ((s, d) =>
+      Packing.sequencePacking(Tables.documents(s, d), "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")), capacity = 512L)
+        .select(col("doc_id"), col("source"), col("pack_offset"),
+          col("bin_id"), col("offset_in_bin"), col("spans_boundary"))),
+
+    // intra-doc repetition (Gopher-style quality rule): dominance of the
+    // top word 2-gram and the repeated-occurrence fraction, per-mille
+    "q43_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(
+        Tables.documents(s, d), col("doc_id"), col("text"), n = 2)),
+
     // corpus length profile: exact nearest-rank quantiles of n_chars per
     // language — pinned rank semantics replayable on any engine (see
     // Stats scaladoc); approx_percentile is the 100 TB sketch path
@@ -385,6 +400,31 @@ object PipelineQueries {
          |  UNION
          |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r)
          |SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id""".stripMargin
+
+    m += "q42_seq_packing" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len(${DuckSql.tokens("text")}) AS BIGINT) AS tok FROM documents),
+         |o AS (SELECT doc_id, source, tok,
+         |  COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+         |  FROM t)
+         |SELECT doc_id, source, pack_offset,
+         |  CAST(floor(pack_offset / 512.0) AS BIGINT) AS bin_id,
+         |  pack_offset % 512 AS offset_in_bin,
+         |  tok > 0 AND CAST(floor((pack_offset + tok - 1) / 512.0) AS BIGINT)
+         |    > CAST(floor(pack_offset / 512.0) AS BIGINT) AS spans_boundary
+         |FROM o""".stripMargin
+
+    m += "q43_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokens("text")} AS w FROM documents),
+         |grams AS (SELECT doc_id, unnest(
+         |  list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+         |  FROM toks WHERE len(w) >= 2),
+         |counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+         |SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct_grams,
+         |  CAST(floor(MAX(c) * 1000 / SUM(c)) AS BIGINT) AS top_gram_permille,
+         |  CAST(floor((SUM(c) - COUNT(*)) * 1000 / SUM(c)) AS BIGINT) AS dup_gram_permille
+         |FROM counts GROUP BY doc_id""".stripMargin
 
     m += "q40_group_quantiles" ->
       """WITH r AS (SELECT lang, n_chars,

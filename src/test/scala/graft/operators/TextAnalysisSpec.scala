@@ -67,6 +67,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("repetitionStats: 2-gram dominance and repeat fraction per-mille") {
+    val docs = Seq(
+      (1L, "go go go go go"),       // grams: 4× "go go" -> fully repetitive
+      (2L, "a b c d"),              // 3 distinct grams, no repeats
+      (3L, "x y x y x y"),          // grams: x y, y x, x y, y x, x y -> top 3/5
+      (4L, "one"))                  // < 2 tokens -> absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, col("doc_id"), col("text"), n = 2)
+      .select("doc_id", "n_grams", "n_distinct_grams", "top_gram_permille", "dup_gram_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1L, 1000L, 750L),
+      (2L, 3L, 3L, 333L, 0L),
+      (3L, 5L, 2L, 600L, 600L)))
+  }
+
   test("fingerprint = RollingHash of the text (codegen expression)") {
     val got = Seq("spark").toDF("text")
       .select(TextAnalysis.fingerprint(col("text"))).as[Long].head()
