@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // cartesian lev<=1 filters → deletion-neighborhood blocked equi-join
     ext.injectOptimizerRule(_ => graft.plans.RewriteLevenshteinJoin)
+    // keyless range-band joins → bucketed equi-join (opt-in via
+    // spark.graft.rangeJoin.bucketWidth)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRangeJoin)
     register(ext, "unaccent",
       "unaccent(str) - unidecode-style ASCII transliteration (reference UNACCENT parity)", 1) {
       args => Unaccent(args.head)

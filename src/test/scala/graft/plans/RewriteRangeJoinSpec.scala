@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftExtensions
+
+/** The opt-in optimizer rule must turn a keyless SQL range-band join into
+  * the bucketed equi-join — same results (multiplicities included), no
+  * nested-loop in the physical plan — and must leave joins alone when the
+  * width conf is unset or an equi-key already exists.
+  */
+class RewriteRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var prevDefault: Option[SparkSession] = None
+
+  private lazy val spark: SparkSession = {
+    prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-rangerule-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset(RewriteRangeJoin.WidthKey)
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    prevDefault.foreach { s =>
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
+    super.afterAll()
+  }
+
+  private val points = Seq((900L, 3L), (901L, 10L), (902L, 10L), (903L, 27L))
+  private val ivs = Seq((100L, 0L, 5L), (101L, 5L, 14L), (102L, 10L, 10L), (103L, 20L, 21L))
+
+  private def setup(): Unit = {
+    import spark.implicits._
+    points.toDF("p_id", "p").createOrReplaceTempView("pts")
+    ivs.toDF("i_id", "lo", "hi").createOrReplaceTempView("ivs")
+  }
+
+  private def naive: Seq[(Long, Long)] =
+    (for { (pid, p) <- points; (iid, lo, hi) <- ivs if p >= lo && p <= hi }
+      yield (pid, iid)).sorted
+
+  test("keyless range-band join: rewritten plan, identical results") {
+    setup()
+    spark.conf.set(RewriteRangeJoin.WidthKey, "4")
+    val df = spark.sql(
+      "SELECT p_id, i_id FROM pts JOIN ivs ON p >= lo AND p <= hi")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate"), plan)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == naive) // multiplicities too: sorted Seq, not Set
+  }
+
+  test("BETWEEN and flipped comparison spellings rewrite too") {
+    setup()
+    spark.conf.set(RewriteRangeJoin.WidthKey, "4")
+    for (cond <- Seq("p BETWEEN lo AND hi", "lo <= p AND hi >= p")) {
+      val df = spark.sql(s"SELECT p_id, i_id FROM pts JOIN ivs ON $cond")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"[$cond]\n$plan")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == naive, cond)
+    }
+  }
+
+  test("unset width conf: rule is inert, nested loop remains") {
+    setup()
+    spark.conf.unset(RewriteRangeJoin.WidthKey)
+    val df = spark.sql("SELECT p_id, i_id FROM pts JOIN ivs ON p >= lo AND p <= hi")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"), plan)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == naive)
+  }
+
+  test("joins with an equi-key are left to the hash join planner") {
+    setup()
+    spark.conf.set(RewriteRangeJoin.WidthKey, "4")
+    val df = spark.sql(
+      "SELECT p_id, i_id FROM pts JOIN ivs ON p_id = i_id AND p >= lo AND p <= hi")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"must not bucket an equi-join:\n$plan")
+  }
+}
