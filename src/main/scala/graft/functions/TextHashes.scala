@@ -69,10 +69,23 @@ object TextHashes {
   /** Distinct [[RollingHash]] values of all space-joined word n-grams,
     * first-occurrence order (= `array_distinct` semantics). */
   def shingleHashes(u: UTF8String, n: Int): ArrayData = {
+    val seen = new mutable.LinkedHashSet[Long]()
+    eachShingleHash(u, n)(seen += _)
+    new GenericArrayData(seen.toArray.map(_.asInstanceOf[Any]))
+  }
+
+  /** [[shingleHashes]] WITHOUT dedup — the occurrence multiset the
+    * repetition-quality signals count over. */
+  def shingleHashesAll(u: UTF8String, n: Int): ArrayData = {
+    val out = new mutable.ArrayBuffer[Any]()
+    eachShingleHash(u, n)(h => out += h)
+    new GenericArrayData(out.toArray)
+  }
+
+  @inline private def eachShingleHash(u: UTF8String, n: Int)(emit: Long => Unit): Unit = {
     val s = u.toString
     val bounds = tokenBounds(s)
-    if (bounds.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new mutable.LinkedHashSet[Long]()
+    if (bounds.length < n) return
     var g = 0
     while (g <= bounds.length - n) {
       var h = 0L
@@ -88,10 +101,9 @@ object TextHashes {
         h = r._1; first = r._2
         t += 1
       }
-      seen += h
+      emit(h)
       g += 1
     }
-    new GenericArrayData(seen.toArray.map(_.asInstanceOf[Any]))
   }
 }
 
@@ -107,6 +119,21 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.tokenHashes($c)")
   override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+case class ShingleHashesAll(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType] && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes_all requires a string argument and n >= 1")
+  override def prettyName: String = "shingle_hashes_all"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.shingleHashesAll(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.shingleHashesAll($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesAll =
     copy(child = newChild)
 }
 

@@ -98,22 +98,32 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /** Occurrence-multiset n-gram hashes — the fused
+    * [[graft.functions.ShingleHashesAll]] kernel ([[ngramsMultiset]] +
+    * rollingHash evaluates interpreted per element and dominated q43;
+    * grouping by the 8-byte hash also shuffles a long instead of the gram
+    * string). */
+  def ngramHashesMultiset(text: Column, n: Int): Column =
+    Bridge.column(graft.functions.ShingleHashesAll(Bridge.expression(text), n))
+
   /** Gopher-style intra-document repetition signals over word `n`-grams:
     * per doc, how dominant the single most frequent n-gram is and what
     * fraction of all n-gram occurrences are repeats of an earlier one —
     * both in exact per-mille. High values flag boilerplate/spam documents
     * that length and stopword ratios miss.
     *
-    * One explode + one (id, gram) aggregate + one id aggregate; at 100 TB
-    * the heavy key is (id, gram) — doc-scoped, so perfectly distributed.
-    * Docs with fewer than `n` tokens produce no grams and are ABSENT.
+    * Grams are counted by their engine-neutral rolling hash (same key
+    * space as the dedup tier — the DuckDB oracle replays it): one explode
+    * + one (id, hash) aggregate + one id aggregate; at 100 TB the heavy
+    * key is (id, hash) — doc-scoped, so perfectly distributed. Docs with
+    * fewer than `n` tokens produce no grams and are ABSENT.
     *
     * → (id as `doc_id`, n_grams, n_distinct_grams, top_gram_permille,
     *    dup_gram_permille).
     */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, id: Column, text: Column, n: Int)
       : org.apache.spark.sql.DataFrame =
-    df.select(id.as("doc_id"), explode(ngramsMultiset(text, n)).as("g"))
+    df.select(id.as("doc_id"), explode(ngramHashesMultiset(text, n)).as("g"))
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))

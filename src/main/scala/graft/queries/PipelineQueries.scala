@@ -418,7 +418,7 @@ object PipelineQueries {
     m += "q43_repetition" ->
       s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokens("text")} AS w FROM documents),
          |grams AS (SELECT doc_id, unnest(
-         |  list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+         |  list_transform(range(1, len(w)), i -> ${DuckSql.rollingHash("w[i] || ' ' || w[i+1]")})) AS g
          |  FROM toks WHERE len(w) >= 2),
          |counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
          |SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct_grams,

@@ -22,6 +22,27 @@ class StatsSpec extends SparkSpec {
     assert(got == Set(("a", 1L, 7L, 7L), ("b", 2L, 3L, 4L)))
   }
 
+  test("approx_percentile (the 100 TB sketch path) stays near the exact ranks") {
+    // the documented scale substitution: one t-digest sketch instead of a
+    // per-group sort. Pin its error against groupedQuantiles on real data
+    // so "approx is close" is a measured claim, not a hope.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = Stats.groupedQuantiles(docs, Seq("lang"), "n_chars", "doc_id", Seq(500, 900))
+      .select("lang", "p500_n_chars", "p900_n_chars")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = docs.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.expr(
+        "approx_percentile(n_chars, array(0.5, 0.9), 1000)").as("q"))
+      .select("lang", "q").as[(String, Seq[Long])].collect()
+      .map(r => r._1 -> (r._2.head, r._2(1))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, (e50, e90)) =>
+      val (a50, a90) = approx(lang)
+      assert(math.abs(a50 - e50) <= math.max(2L, e50 / 20), s"$lang p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= math.max(2L, e90 / 20), s"$lang p90: $a90 vs $e90")
+    }
+  }
+
   test("grouped quantiles ≡ naive sorted-index (property)") {
     val gen = Gen.choose(1, 30).flatMap(k =>
       Gen.listOfN(k, Gen.zip(Gen.oneOf("x", "y"), Gen.choose(0L, 50L))))

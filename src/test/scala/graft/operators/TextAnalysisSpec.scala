@@ -67,6 +67,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("fused ShingleHashesAll ≡ rollingHash over the HOF gram multiset (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genText = Gen.choose(0, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("aa", "b", "ccc")).map(_.mkString(" ")))
+    val prop = Prop.forAll(Gen.listOfN(6, genText), Gen.choose(1, 3)) {
+      (texts: List[String], n: Int) =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+        val fused = df.select(col("id"), TextAnalysis.ngramHashesMultiset(col("text"), n))
+          .as[(Int, Seq[Long])].collect().toMap
+        val composed = df.select(col("id"),
+          transform(TextAnalysis.ngramsMultiset(col("text"), n),
+            g => graft.operators.Dedup.rollingHash(g)))
+          .as[(Int, Seq[Long])].collect().toMap
+        fused == composed
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("repetitionStats: 2-gram dominance and repeat fraction per-mille") {
     val docs = Seq(
       (1L, "go go go go go"),       // grams: 4× "go go" -> fully repetitive
