@@ -126,8 +126,9 @@ object Relational {
     * `bucketWidth` near the TYPICAL interval length so intervals explode
     * to ~2 rows. At 100 TB both sides shuffle once on (keys, bucket);
     * skew is bounded by bucket population, never by key cardinality.
-    * Domain: axis values must be non-negative (bucket ids use integer
-    * division); timestamps and byte offsets qualify.
+    * Negative axis values are fine: `div` truncates rather than floors,
+    * but truncation is monotone, so a point inside the band always lands
+    * within the interval's generated bucket range.
     *
     * Output = point columns ++ interval columns (must be disjoint).
     */

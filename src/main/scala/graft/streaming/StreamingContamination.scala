@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Contamination gating on an INGEST STREAM — the streaming twin of
+  * [[graft.operators.Contamination.ngramOverlapPairs]]: as train documents
+  * arrive, flag every (benchmark doc, incoming doc) pair sharing at least
+  * `minShared` distinct n-gram shingles.
+  *
+  * Shape: a STREAM-STATIC join. The benchmark suite is small and fixed for
+  * a training run, so its inverted index ([[benchmarkIndex]]) is a static
+  * DataFrame — Spark re-plans it into each micro-batch (broadcast at
+  * benchmark sizes; no streaming state for the index side). The stream
+  * side explodes each arriving doc to its shingle postings; all of a doc's
+  * postings land in the SAME micro-batch (they come from one input row),
+  * but the per-pair shared-count still needs an aggregate, so the count
+  * runs as a watermarked windowed aggregation — state is bounded by the
+  * watermark, emission is append-mode exactly-once when the window closes.
+  *
+  * At 100 TB/day ingest: per-batch work is postings × matching benchmark
+  * buckets (hot shingles already capped when building the index); the only
+  * streaming state is the per-(window, pair) counters inside the
+  * watermark horizon.
+  */
+object StreamingContamination {
+
+  /** Static side, built ONCE per run: (h, bench_id, bench_size) postings
+    * of the benchmark suite. `maxShingleFreq` drops shingles shared by
+    * more than that many BENCHMARK docs (boilerplate — same cap rationale
+    * as the batch operator, applied where the index is built). */
+  def benchmarkIndex(
+      bench: DataFrame, id: String, text: String, n: Int,
+      maxShingleFreq: Long = 1000000L): DataFrame = {
+    val postings = bench
+      .select(col(id).as("bench_id"), Dedup.shingleHashes(col(text), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("bench_id"), size(col("hs")).cast("long").as("bench_size"),
+        explode(col("hs")).as("h"))
+    val keep = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq).select(col("h"))
+    postings.join(keep, "h")
+  }
+
+  /** Stream side. `docs` must be a STREAMING DataFrame with columns
+    * (`idCol`, `textCol`, `tsCol`: timestamp). Emits one row per
+    * (window, bench_id, train_id) pair with `n_shared ≥ minShared`, when
+    * the event-time window closes under the watermark.
+    * → (window_start, bench_id, train_id, n_shared, contaminated_permille).
+    */
+  def overlapPairs(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      index: DataFrame, n: Int, minShared: Int,
+      watermarkDelay: String = "0 seconds",
+      windowLength: String = "10 minutes"): DataFrame = {
+    val stream = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol).as("__ts"), col(idCol).as("train_id"),
+        explode(Dedup.shingleHashes(col(textCol), n)).as("h"))
+    stream.join(index, "h") // stream-static: no state on the index side
+      .groupBy(window(col("__ts"), windowLength),
+        col("bench_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"), max(col("bench_size")).as("bench_size"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("window.start").as("window_start"),
+        col("bench_id"), col("train_id"), col("n_shared"),
+        floor(col("n_shared") * lit(1000L) / col("bench_size")).cast("long")
+          .as("contaminated_permille"))
+  }
+}

@@ -92,11 +92,13 @@ class RelationalSpec extends SparkSpec {
 
   test("rangeJoin ≡ naive θ-join (property, bucket-boundary collisions)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
-    // bucketWidth 5 with values 0..20: intervals straddle bucket edges,
-    // points land exactly on lo/hi — the off-by-one surface
-    val genPoint = for { u <- Gen.choose(1L, 2L); t <- Gen.choose(0L, 20L) } yield (u, t)
+    // bucketWidth 5 with values -10..20: intervals straddle bucket edges,
+    // points land exactly on lo/hi, and the negative range exercises the
+    // truncating-division (not floor) bucketing — monotonicity keeps it
+    // complete there too
+    val genPoint = for { u <- Gen.choose(1L, 2L); t <- Gen.choose(-10L, 20L) } yield (u, t)
     val genIv = for {
-      u <- Gen.choose(1L, 2L); lo <- Gen.choose(0L, 20L); len <- Gen.choose(0L, 7L)
+      u <- Gen.choose(1L, 2L); lo <- Gen.choose(-10L, 20L); len <- Gen.choose(0L, 7L)
     } yield (u, lo, lo + len)
     val gen = for {
       np <- Gen.choose(0, 10); ni <- Gen.choose(0, 10)
