@@ -83,6 +83,10 @@ object Components {
       // the self-join always matches; with it the min label travels 2^i
       // hops by round i — convergence in O(log diameter) rounds instead of
       // O(diameter) (near-dup chains measured diameter ~8 at sf0.01).
+      // A second jump per round was measured (chain-y τ-threshold graphs,
+      // sf0.1): it does NOT cut the round count — propagation there is
+      // edge-hop-bound through min-aggregates, not pointer-chain-bound —
+      // so the leaner single-jump round stays.
       val next = truncate(prop
         .join(prop.select(col("id").as("__cid"), col("comp").as("__ccomp")),
           col("comp") === col("__cid"), "left")

@@ -267,6 +267,12 @@ object PipelineQueries {
     // group. Like q27/q37, no SQL oracle: the cell assignment is a trained
     // artifact; the driver records rows-only and SemDedupSpec pins
     // soundness (components refine the exact-threshold graph) and recall.
+    // Cost note: the τ=0.4 pair graph on this synthetic corpus is chain-y
+    // (noise-level links), so component convergence takes ~8 halving
+    // rounds — at sf0.1 that is ~0.4 s/round of pure job latency, the
+    // dominant share of this query's bench time. Round count is
+    // O(log diameter) independent of data volume, so the share shrinks,
+    // not grows, at real scale.
     "q39_semdedup" -> ((s, d) =>
       Similarity.semDedup(Tables.embeddings(s, d), nlist = 16,
         minScoreQ = 400000L, Similarity.quantizedDot, maxIter = 3,
