@@ -254,6 +254,21 @@ object PipelineQueries {
       TextAnalysis.repetitionStats(
         Tables.documents(s, d), col("doc_id"), col("text"), n = 2)),
 
+    // vocabulary profile per source shard: token occurrences, distinct
+    // terms (exact — the oracle), and the type/token ratio in per-mille.
+    // Terms are counted by the engine-neutral token hash (the same key
+    // space the dedup tier shuffles). At 100 TB swap the exact distinct
+    // for approx_count_distinct (HLL++, map-side combinable) — same plan
+    // shape minus the distinct's second aggregate pass.
+    "q44_vocab" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(Dedup.tokenHashes(col("text"))).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct(col("h")).as("n_terms"))
+        .withColumn("type_token_permille",
+          TextAnalysis.perMille(col("n_terms"), col("n_tokens")))),
+
     // corpus length profile: exact nearest-rank quantiles of n_chars per
     // language — pinned rank semantics replayable on any engine (see
     // Stats scaladoc); approx_percentile is the 100 TB sketch path
@@ -406,6 +421,14 @@ object PipelineQueries {
          |  UNION
          |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r)
          |SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id""".stripMargin
+
+    m += "q44_vocab" ->
+      s"""WITH h AS (SELECT source, unnest(list_transform(${DuckSql.tokens("text")},
+         |  t -> ${DuckSql.rollingHash("t")})) AS h FROM documents)
+         |SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT h) AS n_terms,
+         |  CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE
+         |    floor(COUNT(DISTINCT h) * 1000 / COUNT(*)) END AS BIGINT) AS type_token_permille
+         |FROM h GROUP BY source""".stripMargin
 
     m += "q42_seq_packing" ->
       s"""WITH t AS (SELECT doc_id, source,
