@@ -60,6 +60,75 @@ object Multimodal {
     }
   }
 
+  /** One feature vector extracted per row. */
+  final case class MediaFeatures(id: Long, embedding: Array[Float])
+
+  /** The pluggable feature-extraction boundary (CLIP/wav2vec in
+    * production; the stub here). Serializable — ships once per
+    * partition. */
+  trait MediaFeaturizer extends Serializable {
+    def features(content: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic fake featurizer: component j is a seeded rolling-hash
+    * fold (seed j+1) over the payload's UTF-8 code points, reduced mod
+    * 1000 — small exact integers, so tests AND the DuckDB oracle replay
+    * every component bit-for-bit. A real featurizer would run the model
+    * forward pass here; the partition-batched plumbing is identical. */
+  final case class StubFeaturizer(dim: Int) extends MediaFeaturizer {
+    def features(content: Array[Byte]): Array[Float] = {
+      val s = if (content == null) "" else new String(content, java.nio.charset.StandardCharsets.UTF_8)
+      Array.tabulate(dim) { j =>
+        var h = (j + 1).toLong
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          h = (h * 31 + cp) % 1000000007L
+          i += Character.charCount(cp)
+        }
+        (h % 1000L).toFloat
+      }
+    }
+  }
+
+  /** Feature extraction partition-batched, same shape as [[extractMeta]]:
+    * featurizer bound once per partition, rows streamed. */
+  def extractFeatures(rows: Dataset[MediaRow], featurizer: MediaFeaturizer): Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      val f = featurizer
+      it.map(r => MediaFeatures(r.id, f.features(r.content)))
+    }
+  }
+
+  /** The pluggable resize boundary. */
+  trait MediaResizer extends Serializable {
+    def resize(content: Array[Byte], width: Int, height: Int): Array[Byte]
+  }
+
+  /** Deterministic fake resizer: evenly strided byte subsample (or
+    * zero-pad) to exactly width×height bytes — a stand-in for a pixel
+    * resampler with the same contract: output size is a function of the
+    * target alone. */
+  object StubResizer extends MediaResizer {
+    def resize(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val target = width * height
+      val src = if (content == null) Array.emptyByteArray else content
+      Array.tabulate(target) { i =>
+        if (src.isEmpty) 0.toByte else src((i.toLong * src.length / target).toInt)
+      }
+    }
+  }
+
+  /** Resize partition-batched; id/format ride through unchanged. */
+  def resize(rows: Dataset[MediaRow], resizer: MediaResizer, width: Int, height: Int): Dataset[MediaRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      val r = resizer
+      it.map(m => MediaRow(m.id, r.resize(m.content, width, height), m.format))
+    }
+  }
+
   /** Uniform frame sampling: `k` frame references per row, byte offsets
     * spread evenly over the payload (a real sampler would seek container
     * keyframes; offsets are where a decoder would start reading). Pure

@@ -19,6 +19,15 @@ object DuckSql {
       s"list_reduce(list_transform(string_split_regex($expr, ''), x -> CAST(unicode(x) AS BIGINT)), " +
       s"(a, b) -> (a * 31 + b) % $P) END)" // BIGINT cast: lambda arithmetic would stay INT32 and overflow
 
+  /** [[rollingHash]] with an explicit initial state `seed` (the stub
+    * featurizer's per-component fold): the seed is prepended to the
+    * code-point list so `list_reduce`'s first-element init replays
+    * `h₀ = seed; h = (h·31 + cp) mod P` exactly. */
+  def seededRollingHash(expr: String, seed: String): String =
+    s"(CASE WHEN length($expr) = 0 THEN CAST($seed AS BIGINT) ELSE " +
+      s"list_reduce([CAST($seed AS BIGINT)] || list_transform(string_split_regex($expr, ''), x -> CAST(unicode(x) AS BIGINT)), " +
+      s"(a, b) -> (a * 31 + b) % $P) END)"
+
   /** Whitespace tokens of `text`, empty-safe (mirrors TextAnalysis.tokens). */
   def tokens(expr: String): String =
     raw"list_filter(string_split_regex($expr, '\s+'), t -> t <> '')"

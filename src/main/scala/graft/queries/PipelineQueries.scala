@@ -217,6 +217,16 @@ object PipelineQueries {
           col("score"))
     }),
 
+    // feature extraction plumbing: partition-batched featurizer over the
+    // binary payload; the stub's seeded-hash components are exact small
+    // ints, so (uniquely for a "model" stage) the oracle replays them
+    "q45_media_features" -> ((s, d) => {
+      val media = Multimodal.fromText(s, Tables.documents(s, d), "doc_id", "text", "utf8")
+      Multimodal.extractFeatures(media, Multimodal.StubFeaturizer(8)).toDF()
+        .select(col("id").as("doc_id"), posexplode(col("embedding")).as(Seq("j", "f")))
+        .select(col("doc_id"), col("j").cast("long").as("j"), col("f").cast("long").as("f_q"))
+    }),
+
     // frame sampling plumbing: k byte offsets per payload — rows-only
     // oracle would be expressible but the op is about the explode shape
     "q30_frame_sample" -> ((s, d) =>
@@ -562,6 +572,11 @@ object PipelineQueries {
         | CAST(1 + octet_length(CAST(text AS BLOB)) % 37 AS BIGINT) AS height,
         | 'utf8' AS format
         |FROM documents""".stripMargin
+
+    m += "q45_media_features" ->
+      s"""SELECT doc_id, CAST(j AS BIGINT) AS j,
+         |  ${DuckSql.seededRollingHash("text", "j + 1")} % 1000 AS f_q
+         |FROM documents, unnest(range(0, 8)) AS t(j)""".stripMargin
 
     m += "q30_frame_sample" ->
       """SELECT doc_id AS id, f AS frame_index,

@@ -35,4 +35,29 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(got == Set((7L, 0, 0L), (7L, 1, 3L), (7L, 2, 6L), (7L, 3, 9L)))
   }
+
+  test("extractFeatures: deterministic stub components, empty-safe") {
+    val media = Multimodal.fromText(spark,
+      Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text", "utf8")
+    val got = Multimodal.extractFeatures(media, Multimodal.StubFeaturizer(3))
+      .collect().map(f => f.id -> f.embedding.toSeq).toMap
+    // component j of "ab": ((j+1)*31 + 'a')*31 + 'b' mod 1e9+7, mod 1000
+    def f(j: Int): Float = (((((j + 1).toLong * 31 + 97) % 1000000007L) * 31 + 98) % 1000000007L % 1000L).toFloat
+    assert(got(1L) == Seq(f(0), f(1), f(2)))
+    assert(got(2L) == Seq(1f, 2f, 3f)) // empty payload: seed alone
+  }
+
+  test("resize: strided subsample hits the exact target size, pluggable") {
+    val media = Multimodal.fromText(spark,
+      Seq((1L, "0123456789"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text", "utf8")
+    val got = Multimodal.resize(media, Multimodal.StubResizer, width = 2, height = 3)
+      .collect().map(m => m.id -> m.content.toSeq).toMap
+    assert(got(1L).length == 6 && got(2L) == Seq.fill(6)(0.toByte))
+    // strided: i*10/6 for i in 0..5 -> bytes at 0,1,3,5,6,8
+    assert(got(1L) == Seq('0', '1', '3', '5', '6', '8').map(_.toByte))
+    val constant = new Multimodal.MediaResizer {
+      def resize(c: Array[Byte], w: Int, h: Int): Array[Byte] = Array.fill(w * h)(9.toByte)
+    }
+    assert(Multimodal.resize(media, constant, 1, 2).head().content.toSeq == Seq(9.toByte, 9.toByte))
+  }
 }
