@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Registry-wide plan guard: NO query in `SparkEntry.queries` may plan a
+  * nested-loop or cartesian join, except the three that are quadratic BY
+  * DESIGN and documented as such at their definition:
+  *
+  *  - q26_ann_topk   — the exact ANN baseline (it IS the recall oracle);
+  *  - q31_embed_dup  — the exact cosine-pair form with a bounded query
+  *                     side (q27/q39 are the corpus-scale paths);
+  *  - q37_ann_ivf    — a broadcast cross join against the nlist-row
+  *                     centroid table (dimension-sized build side; the
+  *                     corpus side streams — not corpus²).
+  *
+  * Any other query acquiring a BroadcastNestedLoopJoin or CartesianProduct
+  * is a scale regression — usually a lost equi-key or a dropped hint —
+  * that sf0.001 correctness tests would never surface.
+  */
+class PlanSanitySpec extends SparkSpec {
+
+  private val quadraticByDesign =
+    Set("q26_ann_topk", "q31_embed_dup", "q37_ann_ivf")
+
+  test("no undeclared nested-loop/cartesian joins across the whole registry") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !quadraticByDesign(name) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val bad = Seq("BroadcastNestedLoopJoin", "CartesianProduct").filter(plan.contains)
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
+      case _ => None
+    }
+    assert(offenders.isEmpty, s"scale-hostile join plans:\n${offenders.mkString("\n")}")
+  }
+
+  test("the quadratic-by-design whitelist still exists and still plans that way") {
+    // if one of these stops planning a nested loop (e.g. q37 moves to a
+    // bucketed assignment), celebrate — and shrink the whitelist
+    quadraticByDesign.foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+        s"$name no longer needs its whitelist entry")
+    }
+  }
+}
