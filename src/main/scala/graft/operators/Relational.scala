@@ -141,9 +141,11 @@ object Relational {
       s"key lists must align: $pointKeys vs $intervalKeys")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty, s"point/interval column names must be disjoint, both have: $overlap")
-    val p = points.withColumn("__pb", expr(s"$pointCol div $bucketWidth"))
+    // `div` (truncating integer division) has no Column operator — the
+    // expr() strings quote the caller's column names
+    val p = points.withColumn("__pb", expr(s"`$pointCol` div $bucketWidth"))
     val i = intervals.withColumn("__ib",
-      explode(sequence(expr(s"$loCol div $bucketWidth"), expr(s"$hiCol div $bucketWidth"))))
+      explode(sequence(expr(s"`$loCol` div $bucketWidth"), expr(s"`$hiCol` div $bucketWidth"))))
     val cond = (pointKeys.zip(intervalKeys).map { case (a, b) => col(a) === col(b) } ++
       Seq(col("__pb") === col("__ib"),
         col(pointCol) >= col(loCol), col(pointCol) <= col(hiCol))).reduce(_ && _)
