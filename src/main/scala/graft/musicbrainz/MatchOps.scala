@@ -147,11 +147,16 @@ object MatchOps {
     *  release_year, artist_name_mb, artist_mb_id, country_id, relevance).
     */
   /** A4 winner ordering: (earliest year, highest relevance); Python's `max`
-    * tie-break is list-order-nondeterministic — pinned by ids.
+    * tie-break is list-order-nondeterministic — pinned by ids. The trailing
+    * artist_mb_id makes this a TOTAL order over distinct candidate rows
+    * (duo queries export the same recording once per matched artist id,
+    * identical in every other sort key) — without it both matchSongs and
+    * explainQuery's `chosen` would tie-break by partition arrival order.
     */
   private val winnerOrder: Seq[Column] =
     Seq(col("release_year").asc_nulls_last, col("relevance").desc,
-      col("album_mb_id").asc, col("song_mb_id").asc, col("matched_alias").asc)
+      col("album_mb_id").asc, col("song_mb_id").asc, col("matched_alias").asc,
+      col("artist_mb_id").asc)
 
   def matchSongs(queries: DataFrame, export: GenerateDataset.Export): DataFrame =
     // A4: keep ≥ max/10, pick the first row under the winner ordering

@@ -31,17 +31,25 @@ object Contamination {
     * `contaminated_permille` = ⌊n_shared·1000 / bench_size⌋: how much of
     * the benchmark doc's shingle set the train doc covers.
     */
+  /** Inverted-index postings of a corpus: one row per (doc, distinct
+    * shingle hash), the per-doc shingle count riding along. Shared by the
+    * batch operator and [[graft.streaming.StreamingContamination]]'s
+    * benchmark index — the posting shape must not drift between them or
+    * the streaming≡batch parity breaks. */
+  def postings(
+      df: DataFrame, id: Column, text: Column, n: Int,
+      idAlias: String, sizeAlias: String): DataFrame =
+    df.select(id.as(idAlias), Dedup.shingleHashes(text, n).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idAlias), size(col("hs")).cast("long").as(sizeAlias),
+        explode(col("hs")).as("h"))
+
   def ngramOverlapPairs(
       bench: DataFrame, benchId: Column, benchText: Column,
       train: DataFrame, trainId: Column, trainText: Column,
       n: Int, minShared: Int, maxShingleFreq: Long = 1000000L): DataFrame = {
-    val b = bench
-      .select(benchId.as("bench_id"), Dedup.shingleHashes(benchText, n).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("bench_id"), size(col("hs")).cast("long").as("bench_size"),
-        explode(col("hs")).as("h"))
-    val t = train
-      .select(trainId.as("train_id"), explode(Dedup.shingleHashes(trainText, n)).as("h"))
+    val b = postings(bench, benchId, benchText, n, "bench_id", "bench_size")
+    val t = postings(train, trainId, trainText, n, "train_id", "__tsz").drop("__tsz")
     // hot-shingle cap: TRAIN-side document frequency (each shingle appears
     // once per doc — shingleHashes is distinct within a doc)
     val keep = t.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -55,7 +63,7 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared"), max(col("bench_size")).as("bench_size"))
       .filter(col("n_shared") >= minShared)
       .withColumn("contaminated_permille",
-        floor(col("n_shared") * lit(1000L) / col("bench_size")).cast("long"))
+        TextAnalysis.perMille(col("n_shared"), col("bench_size")))
   }
 
   /** Per-benchmark-doc contamination summary: how many train docs overlap

@@ -36,16 +36,11 @@ object Dedup {
     df.groupBy(md5(text).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("canonical_id"))
 
-  /** Distinct word n-gram shingles of `text` (empty array when fewer than
-    * `n` tokens — guarded: Spark's `sequence(1, 0)` is DESCENDING `[1,0]`,
-    * not empty). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    when(size(toks) < n, array().cast("array<string>")).otherwise(array_distinct(grams))
-  }
+  /** Distinct word n-gram shingles of `text` — `array_distinct` over the
+    * single shared gram builder ([[TextAnalysis.ngramsMultiset]]), so the
+    * windowing/empty-guard logic lives in exactly one place. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(TextAnalysis.ngramsMultiset(text, n))
 
   /** Distinct shingle hashes — the join/sketch key space. Fused codegen
     * kernel; [[shinglesComposed]] is the Column-composition reference it is

@@ -32,7 +32,12 @@ object Stats {
     require(psPermille.nonEmpty && psPermille.forall(p => p > 0 && p <= 1000),
       s"quantiles must be in (0, 1000] permille, got $psPermille")
     val grp = groupCols.map(col)
-    val w = Window.partitionBy(grp: _*).orderBy(col(valueCol), col(tieCol))
+    // nulls pinned LAST explicitly: Spark's ASC default is NULLS FIRST but
+    // DuckDB/Postgres default NULLS LAST — without the pin a nullable
+    // value column gives engine-divergent ranks and lets null win the low
+    // quantiles. With it, nulls can only surface at p near 1000.
+    val w = Window.partitionBy(grp: _*)
+      .orderBy(col(valueCol).asc_nulls_last, col(tieCol).asc_nulls_last)
     val ranked = df
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(grp: _*)))

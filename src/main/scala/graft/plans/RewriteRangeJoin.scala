@@ -43,7 +43,21 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     l.output.exists(_.name == PbName) || r.output.exists(_.name == RbName)
 
   private def width: Option[Long] =
-    Option(conf.getConfString(WidthKey, null)).map(_.toLong).filter(_ > 0)
+    Option(conf.getConfString(WidthKey, null)).map { v =>
+      // fail with an actionable message: this runs on EVERY plan, so a
+      // bare NumberFormatException from the optimizer batch would be
+      // baffling; silently ignoring the typo'd conf would be worse (the
+      // user believes the rewrite is on)
+      try {
+        val w = v.toLong
+        require(w > 0)
+        w
+      } catch {
+        case _: NumberFormatException | _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"$WidthKey must be a positive integral number of axis units, got '$v'")
+      }
+    }
 
   /** A one-sided bound: (point expr, bound expr, pointIsLowerSide). */
   private def asBound(e: Expression): Option[(Expression, Expression, Boolean)] = e match {
@@ -83,6 +97,10 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       (p1, lo, false) <- bounds.iterator
       (p2, hi, true) <- bounds.iterator
       if p1.semanticEquals(p2) && integral(p1) && integral(lo) && integral(hi)
+      // the rewrite evaluates p/lo/hi twice (bucket expression + residual
+      // re-verify); a nondeterministic band expression would draw twice
+      // and drop rows the unrewritten plan keeps
+      if p1.deterministic && lo.deterministic && hi.deterministic
       pLeft <- Seq(true, false).iterator
       if sided(p1, lo, pLeft) && sided(p2, hi, pLeft)
     } yield (p1, lo, hi, pLeft)).take(1).toList.headOption
@@ -110,13 +128,18 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     Project(l.output ++ r.output, Filter(cond, joined))
   }
 
-  private def hasEquiConjunct(cond: Expression, l: LogicalPlan, r: LogicalPlan): Boolean =
+  /** Mirrors ExtractEquiJoinKeys: both `=` and `<=>` give the planner a
+    * hash-join key, so either means the rewrite would only add cost. */
+  private def hasEquiConjunct(cond: Expression, l: LogicalPlan, r: LogicalPlan): Boolean = {
+    def crossSided(x: Expression, y: Expression): Boolean =
+      (x.references.subsetOf(l.outputSet) && y.references.subsetOf(r.outputSet)) ||
+        (y.references.subsetOf(l.outputSet) && x.references.subsetOf(r.outputSet))
     splitConjunctivePredicates(cond).exists {
-      case EqualTo(x, y) =>
-        (x.references.subsetOf(l.outputSet) && y.references.subsetOf(r.outputSet)) ||
-          (y.references.subsetOf(l.outputSet) && x.references.subsetOf(r.outputSet))
+      case EqualTo(x, y) => crossSided(x, y)
+      case EqualNullSafe(x, y) => crossSided(x, y)
       case _ => false
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = width match {
     case None => plan // opt-in: no width configured, leave every join alone

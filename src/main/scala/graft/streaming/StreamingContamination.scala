@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Contamination, Dedup, TextAnalysis}
 
 /** Contamination gating on an INGEST STREAM — the streaming twin of
   * [[graft.operators.Contamination.ngramOverlapPairs]]: as train documents
@@ -34,11 +34,8 @@ object StreamingContamination {
   def benchmarkIndex(
       bench: DataFrame, id: String, text: String, n: Int,
       maxShingleFreq: Long = 1000000L): DataFrame = {
-    val postings = bench
-      .select(col(id).as("bench_id"), Dedup.shingleHashes(col(text), n).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("bench_id"), size(col("hs")).cast("long").as("bench_size"),
-        explode(col("hs")).as("h"))
+    val postings = Contamination.postings(
+      bench, col(id), col(text), n, "bench_id", "bench_size")
     val keep = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq).select(col("h"))
     postings.join(keep, "h")
@@ -66,7 +63,7 @@ object StreamingContamination {
       .filter(col("n_shared") >= minShared)
       .select(col("window.start").as("window_start"),
         col("bench_id"), col("train_id"), col("n_shared"),
-        floor(col("n_shared") * lit(1000L) / col("bench_size")).cast("long")
+        TextAnalysis.perMille(col("n_shared"), col("bench_size"))
           .as("contaminated_permille"))
   }
 }
