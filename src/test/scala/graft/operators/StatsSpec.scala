@@ -22,6 +22,16 @@ class StatsSpec extends SparkSpec {
     assert(got == Set(("a", 1L, 7L, 7L), ("b", 2L, 3L, 4L)))
   }
 
+  test("null values sort last: low quantiles never return null") {
+    val df = Seq(("g", Option(5L), 1L), ("g", Option.empty[Long], 2L), ("g", Option(9L), 3L))
+      .toDF("grp", "v", "id")
+    val got = Stats.groupedQuantiles(df, Seq("grp"), "v", "id", Seq(500, 1000))
+      .as[(String, Long, Option[Long], Option[Long])].head()
+    // rank ceil(3*.5)=2 over [5, 9, null] -> 9 (nulls-first default would
+    // have returned 5); p1000 is the last element -> the null itself
+    assert(got == (("g", 3L, Some(9L), None)))
+  }
+
   test("approx_percentile (the 100 TB sketch path) stays near the exact ranks") {
     // the documented scale substitution: one t-digest sketch instead of a
     // per-group sort. Pin its error against groupedQuantiles on real data

@@ -88,9 +88,38 @@ class RewriteRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("joins with an equi-key are left to the hash join planner") {
     setup()
     spark.conf.set(RewriteRangeJoin.WidthKey, "4")
-    val df = spark.sql(
-      "SELECT p_id, i_id FROM pts JOIN ivs ON p_id = i_id AND p >= lo AND p <= hi")
+    for (eq <- Seq("p_id = i_id", "p_id <=> i_id")) { // EqualTo and EqualNullSafe
+      val df = spark.sql(
+        s"SELECT p_id, i_id FROM pts JOIN ivs ON $eq AND p >= lo AND p <= hi")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate"), s"must not bucket an equi-join [$eq]:\n$plan")
+    }
+  }
+
+  test("malformed width conf fails with a message naming the key") {
+    setup()
+    spark.conf.set(RewriteRangeJoin.WidthKey, "3600s")
+    val e = intercept[Exception](
+      spark.sql("SELECT p_id, i_id FROM pts JOIN ivs ON p >= lo AND p <= hi").collect())
+    assert(e.getMessage.contains(RewriteRangeJoin.WidthKey), e.getMessage)
+    spark.conf.unset(RewriteRangeJoin.WidthKey)
+  }
+
+  test("nondeterministic band bounds are not rewritten") {
+    import org.apache.spark.sql.functions.{col, rand}
+    setup()
+    spark.conf.set(RewriteRangeJoin.WidthKey, "4")
+    // rand() in a bound: the rewrite would evaluate it twice (bucket +
+    // residual) and drop rows. The analyzer already rejects nondeterminism
+    // in a JOIN condition, so only the Filter-over-cross-join shape
+    // (rule shape 1) can carry one — the rule must leave it alone.
+    val df = spark.table("pts").crossJoin(spark.table("ivs"))
+      .filter(col("p") >= col("lo") + (rand() * 0).cast("long") &&
+        col("p") <= col("hi"))
+      .select("p_id", "i_id")
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Generate"), s"must not bucket an equi-join:\n$plan")
+    assert(!plan.contains("Generate"), s"must not rewrite nondeterministic bounds:\n$plan")
+    // rand()*0 = 0: results must still match the plain band
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == naive)
   }
 }
