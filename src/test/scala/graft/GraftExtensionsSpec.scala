@@ -44,6 +44,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  rolling_hash('ab') AS rh,
         |  size(token_hashes('a b c')) AS nt,
         |  size(shingle_hashes('a b c d', 3)) AS ns,
+        |  size(shingle_hashes_all('a b a b', 2)) AS nsa,
         |  simhash(token_hashes('x y z')) AS sh,
         |  lsh_bucket(array(cast(1.0 as float), cast(-1.0 as float)), 4, 0) AS lb,
         |  size(deletion_variants('abc')) AS dv,
@@ -57,14 +58,15 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(1) == 97L * 31 + 98)
     assert(row.getInt(2) == 3)
     assert(row.getInt(3) == 2)
-    assert(row.getLong(4) >= 0 && row.getLong(4) < (1L << 30))
-    assert(row.getLong(5) >= 0 && row.getLong(5) < 16)
-    assert(row.getInt(6) == 4) // abc + ab/ac/bc
-    assert(row.getString(7) == "ab") // delete the differing position
-    assert(row.getString(8) == "ab") // analytic witness: first mismatch at index 2
-    assert(row.isNullAt(9)) // length gap 2 -> lev >= 2, no witness
-    assert(row.getLong(10) == 1000L * 2000)
-    assert(row.getDouble(11) == 2.0)
+    assert(row.getInt(4) == 3) // "a b","b a","a b" — duplicates kept
+    assert(row.getLong(5) >= 0 && row.getLong(5) < (1L << 30))
+    assert(row.getLong(6) >= 0 && row.getLong(6) < 16)
+    assert(row.getInt(7) == 4) // abc + ab/ac/bc
+    assert(row.getString(8) == "ab") // delete the differing position
+    assert(row.getString(9) == "ab") // analytic witness: first mismatch at index 2
+    assert(row.isNullAt(10)) // length gap 2 -> lev >= 2, no witness
+    assert(row.getLong(11) == 1000L * 2000)
+    assert(row.getDouble(12) == 2.0)
   }
 
   test("lang_id and minhash_sig are callable from SQL") {
