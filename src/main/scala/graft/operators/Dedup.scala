@@ -212,6 +212,81 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard_permille"))
   }
 
+  /** Incremental near-dup detection: a NEW batch of documents (today's
+    * crawl increment) against an EXISTING corpus whose banded MinHash
+    * signatures were computed once and PERSISTED (`oldSig` =
+    * [[minhashSignatures]] output re-read from storage). The
+    * 100 TB-corpus daily path:
+    *
+    *  - the old corpus is never re-shingled — candidate generation probes
+    *    its k-longs-per-doc signature table with the increment's
+    *    signatures via the same (band, band-signature) equi-join as the
+    *    batch operator, exactly-once on the first shared band;
+    *  - exact-Jaccard verification re-shingles only the CANDIDATE old
+    *    docs (a semi-join-sized subset), never the corpus;
+    *  - increment-internal duplicates come from the batch operator over
+    *    the (small) increment itself.
+    *
+    * → (new_id, dup_of_id, jaccard_permille, dup_in_increment):
+    * `dup_of_id` is an old-corpus doc (`dup_in_increment` = false) or an
+    * earlier-id doc of the same increment (true). Id spaces must be
+    * disjoint for the output to be unambiguous — the caller owns that.
+    */
+  def incrementalNearDupPairs(
+      newDocs: DataFrame, newId: Column, newText: Column,
+      oldSig: DataFrame,
+      oldDocs: DataFrame, oldId: Column, oldText: Column,
+      n: Int, k: Int, bands: Int, minJaccardPermille: Int): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    // increment side: per-row signature + shingles (kept for the verify)
+    val newSide = newDocs.select(newId.as("new_id"), shingleHashes(newText, n).as("new_hs"))
+      .withColumn("__sig", Bridge.column(MinHashSig(Bridge.expression(col("new_hs")), k)))
+      .filter(col("__sig").isNotNull)
+      .select(col("new_id"), col("new_hs"),
+        array((0 until k).map(i => col("__sig")(i)): _*).as("new_mh"))
+    // stored-index side: band signatures from the persisted mh_i columns
+    val oldSide = oldSig.select(col("doc").as("old_id"),
+      array((0 until k).map(i => col(s"mh_$i")): _*).as("old_mh"))
+    def bandOf(mh: Column, b: Int) =
+      concat_ws("_", (0 until r).map(i => mh(b * r + i).cast("string")): _*)
+    val newB = newSide.select(col("new_id"), col("new_hs"), col("new_mh"),
+      posexplode(array((0 until bands).map(b => bandOf(col("new_mh"), b)): _*))
+        .as(Seq("nband", "nsig")))
+    val oldB = oldSide.select(col("old_id"), col("old_mh"),
+      posexplode(array((0 until bands).map(b => bandOf(col("old_mh"), b)): _*))
+        .as(Seq("oband", "osig")))
+    // first-shared-band keeps each (new, old) candidate exactly once —
+    // both signature arrays are in the row, no distinct() shuffle
+    val firstShared = (0 until bands - 1).foldRight(lit(bands - 1): Column) { (b, rest) =>
+      when(bandOf(col("new_mh"), b) === bandOf(col("old_mh"), b), lit(b)).otherwise(rest)
+    }
+    val candidates = newB.hint("shuffle_hash")
+      .join(oldB, col("nband") === col("oband") && col("nsig") === col("osig"))
+      .filter(col("nband") === firstShared)
+      .select(col("new_id"), col("new_hs"), col("old_id"))
+    // verify: the shingle expression sits ABOVE the candidate join, so
+    // only matching old docs are re-shingled (a projection below the join
+    // would re-shingle the whole corpus); the candidate side is tiny, so
+    // AQE broadcasts it and the old text table streams through
+    val vsOld = candidates
+      .join(oldDocs.select(oldId.as("o_id"), oldText.as("__otext")),
+        col("old_id") === col("o_id"))
+      .withColumn("old_hs", shingleHashes(col("__otext"), n))
+      .withColumn("common", size(array_intersect(col("new_hs"), col("old_hs"))))
+      .withColumn("jaccard_permille",
+        floor(col("common") * lit(1000L) /
+          (size(col("new_hs")) + size(col("old_hs")) - col("common"))).cast("long"))
+      .filter(col("jaccard_permille") >= minJaccardPermille)
+      .select(col("new_id"), col("old_id").as("dup_of_id"),
+        col("jaccard_permille"), lit(false).as("dup_in_increment"))
+    // increment-internal pairs: the batch operator on the (small) increment
+    val vsNew = minhashNearDupPairs(newDocs, newId, newText, n, k, bands, minJaccardPermille)
+      .select(col("b_id").as("new_id"), col("a_id").as("dup_of_id"),
+        col("jaccard_permille"), lit(true).as("dup_in_increment"))
+    vsOld.unionByName(vsNew)
+  }
+
   /** Per-doc 30-bit SimHash over whitespace-token hashes (multiset). */
   def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc"), simhash(tokenHashes(text)).as("sig"))

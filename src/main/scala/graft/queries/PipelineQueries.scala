@@ -304,6 +304,20 @@ object PipelineQueries {
         nassign = 2)), // overlap assignment: recall 0.71 vs 0.29 single-cell
       // on the fixture's loose τ=0.4 pair set (SemDedupSpec pins it)
 
+    // incremental dedup: docs with doc_id % 7 == 0 play today's crawl
+    // increment, the rest the already-indexed corpus (signatures persisted,
+    // only candidates re-shingled — see Dedup.incrementalNearDupPairs)
+    "q46_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val newDocs = docs.filter(col("doc_id") % 7 === 0)
+      val oldDocs = docs.filter(col("doc_id") % 7 =!= 0)
+      val oldSig = Dedup.minhashSignatures(oldDocs, col("doc_id"), col("text"), n = 3, k = 8)
+      Dedup.incrementalNearDupPairs(
+        newDocs, col("doc_id"), col("text"), oldSig,
+        oldDocs, col("doc_id"), col("text"),
+        n = 3, k = 8, bands = 4, minJaccardPermille = 200)
+    }),
+
     // benchmark-contamination check: treat source 'src0' as the held-out
     // eval suite, everything else as the train corpus; any cross pair
     // sharing >= 2 distinct 3-gram shingles is a leakage candidate.
@@ -407,6 +421,28 @@ object PipelineQueries {
          |FROM cand JOIN hashed ha ON ha.doc_id = a_id JOIN hashed hb ON hb.doc_id = b_id
          |WHERE floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
          |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) >= 200""".stripMargin
+
+    // incremental ≡ batch restricted to pairs touching the increment,
+    // re-oriented: the increment doc is always new_id; a pair inside the
+    // increment keeps the later id as new_id (same as the batch a<b form)
+    m += "q46_incremental_dedup" ->
+      s"""WITH ${DuckSql.shingleCtes},
+         |${DuckSql.minhashCte(8)},
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc AS a_id, b.doc AS b_id
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc),
+         |verified AS (SELECT a_id, b_id,
+         |  CAST(floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
+         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) AS BIGINT) AS jp
+         |  FROM cand JOIN hashed ha ON ha.doc_id = a_id JOIN hashed hb ON hb.doc_id = b_id
+         |  WHERE floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
+         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) >= 200)
+         |SELECT CASE WHEN a_id % 7 = 0 AND b_id % 7 <> 0 THEN a_id ELSE b_id END AS new_id,
+         |  CASE WHEN a_id % 7 = 0 AND b_id % 7 <> 0 THEN b_id ELSE a_id END AS dup_of_id,
+         |  jp AS jaccard_permille,
+         |  a_id % 7 = 0 AND b_id % 7 = 0 AS dup_in_increment
+         |FROM verified
+         |WHERE a_id % 7 = 0 OR b_id % 7 = 0""".stripMargin
 
     // connected components via recursive min-reachability closure over the
     // verified LSH pair set (same CTEs as the q25 oracle): reach enumerates

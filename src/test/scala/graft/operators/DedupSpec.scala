@@ -111,4 +111,38 @@ class DedupSpec extends SparkSpec {
       hs.map(h => (a * h + b) % RollingHash.Mod).min }
     assert(rows.head.toSeq.tail == expected)
   }
+
+  test("incremental near-dup vs persisted index ≡ batch pairs touching the increment") {
+    // "old corpus" indexed once; the increment arrives later with ids
+    // above the old range
+    val oldDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about spark streaming state"),
+      (3L, "a third document with its own unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog tonight!"), // near-dup of 1 AND 10
+      (12L, "fresh unseen text that matches nothing in the corpus"))
+      .toDF("doc_id", "text")
+    val (n, k, bands, tau) = (3, 8, 4, 400)
+    val oldSig = Dedup.minhashSignatures(oldDocs, col("doc_id"), col("text"), n, k)
+    val got = Dedup.incrementalNearDupPairs(
+      newDocs, col("doc_id"), col("text"), oldSig,
+      oldDocs, col("doc_id"), col("text"), n, k, bands, tau)
+      .select("new_id", "dup_of_id", "jaccard_permille", "dup_in_increment")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    // oracle: the batch operator over old ∪ new, restricted to pairs that
+    // touch a new doc (a_id < b_id and new ids are higher, so b is new)
+    val batch = Dedup.minhashNearDupPairs(
+      oldDocs.unionByName(newDocs), col("doc_id"), col("text"), n, k, bands, tau)
+      .filter(col("b_id") >= 10L)
+      .select(col("b_id"), col("a_id"), col("jaccard_permille"),
+        (col("a_id") >= 10L).as("in_inc"))
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == batch)
+    assert(got.exists(r => r._1 == 10L && r._2 == 1L && !r._4)) // vs old corpus
+    assert(got.exists(r => r._1 == 11L && r._2 == 10L && r._4)) // within increment
+    assert(!got.exists(r => r._1 == 12L)) // fresh doc matches nothing
+  }
 }
