@@ -30,6 +30,18 @@ object Dedup {
   def rollingHash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
   def simhash(c: Column): Column = Bridge.column(SimHash(Bridge.expression(c)))
 
+  /** THE band-signature encoding: the band's signature rows joined by "_"
+    * (concat_ws casts the longs). Batch LSH, the incremental index probe,
+    * and the DuckDB oracles (`mh_0 || '_' || mh_1`) must all agree on this
+    * one definition — a drifted copy silently breaks the spec-pinned
+    * incremental ≡ batch equivalence. */
+  private[operators] def bandKey(values: Seq[Column]): Column =
+    concat_ws("_", values: _*)
+
+  /** THE Jaccard per-mille formula: ⌊common·1000 / (|a|+|b|−common)⌋. */
+  private[operators] def jaccardPermille(common: Column, aSize: Column, bSize: Column): Column =
+    floor(common * lit(1000L) / (aSize + bSize - common)).cast("long")
+
   /** Exact-duplicate groups by content hash (md5 — engine-independent).
     * → (content_hash, n_copies, canonical_id = min id). */
   def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
@@ -104,8 +116,7 @@ object Dedup {
       .agg(count(lit(1)).as("common"),
         max(col("a_size")).as("a_size"), max(col("b_size")).as("b_size"))
       .withColumn("jaccard_permille",
-        floor(col("common") * lit(1000L) / (col("a_size") + col("b_size") - col("common")))
-          .cast("long"))
+        jaccardPermille(col("common"), col("a_size"), col("b_size")))
       .filter(col("jaccard_permille") >= minJaccardPermille)
   }
 
@@ -148,7 +159,7 @@ object Dedup {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
     val bandSig = (b: Int) =>
-      concat_ws("_", (0 until r).map(i => col(s"mh_${b * r + i}")): _*)
+      bandKey((0 until r).map(i => col(s"mh_${b * r + i}")))
     val withB = sig.select(col("doc"), array((0 until bands).map(bandSig): _*).as("bs"))
     bucketedPairs(withB, bands, Nil)
       .select(col("a_id"), col("b_id"))
@@ -200,14 +211,13 @@ object Dedup {
       .withColumn("__sig", Bridge.column(MinHashSig(Bridge.expression(col("hs")), k)))
       .filter(col("__sig").isNotNull)
     val bandSig = (b: Int) =>
-      concat_ws("_", (0 until r).map(i => col("__sig")(b * r + i)): _*)
+      bandKey((0 until r).map(i => col("__sig")(b * r + i)))
     val withB = base.select(col("doc"), col("hs"),
       array((0 until bands).map(bandSig): _*).as("bs"))
     bucketedPairs(withB, bands, Seq("hs"))
       .withColumn("common", size(array_intersect(col("a_hs"), col("b_hs"))))
       .withColumn("jaccard_permille",
-        floor(col("common") * lit(1000L) /
-          (size(col("a_hs")) + size(col("b_hs")) - col("common"))).cast("long"))
+        jaccardPermille(col("common"), size(col("a_hs")), size(col("b_hs"))))
       .filter(col("jaccard_permille") >= minJaccardPermille)
       .select(col("a_id"), col("b_id"), col("jaccard_permille"))
   }
@@ -243,13 +253,12 @@ object Dedup {
     val newSide = newDocs.select(newId.as("new_id"), shingleHashes(newText, n).as("new_hs"))
       .withColumn("__sig", Bridge.column(MinHashSig(Bridge.expression(col("new_hs")), k)))
       .filter(col("__sig").isNotNull)
-      .select(col("new_id"), col("new_hs"),
-        array((0 until k).map(i => col("__sig")(i)): _*).as("new_mh"))
+      .select(col("new_id"), col("new_hs"), col("__sig").as("new_mh")) // already array<long>(k)
     // stored-index side: band signatures from the persisted mh_i columns
     val oldSide = oldSig.select(col("doc").as("old_id"),
       array((0 until k).map(i => col(s"mh_$i")): _*).as("old_mh"))
     def bandOf(mh: Column, b: Int) =
-      concat_ws("_", (0 until r).map(i => mh(b * r + i).cast("string")): _*)
+      bandKey((0 until r).map(i => mh(b * r + i)))
     val newB = newSide.select(col("new_id"), col("new_hs"), col("new_mh"),
       posexplode(array((0 until bands).map(b => bandOf(col("new_mh"), b)): _*))
         .as(Seq("nband", "nsig")))
@@ -275,8 +284,7 @@ object Dedup {
       .withColumn("old_hs", shingleHashes(col("__otext"), n))
       .withColumn("common", size(array_intersect(col("new_hs"), col("old_hs"))))
       .withColumn("jaccard_permille",
-        floor(col("common") * lit(1000L) /
-          (size(col("new_hs")) + size(col("old_hs")) - col("common"))).cast("long"))
+        jaccardPermille(col("common"), size(col("new_hs")), size(col("old_hs"))))
       .filter(col("jaccard_permille") >= minJaccardPermille)
       .select(col("new_id"), col("old_id").as("dup_of_id"),
         col("jaccard_permille"), lit(false).as("dup_in_increment"))
