@@ -112,6 +112,37 @@ class DedupSpec extends SparkSpec {
     assert(rows.head.toSeq.tail == expected)
   }
 
+  test("incremental ≡ batch (property: random corpora, random split)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small word pool → heavy shingle collisions → real near-dup structure
+    val genDoc = Gen.choose(3, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" ")))
+    val gen = for {
+      nOld <- Gen.choose(1, 6); nNew <- Gen.choose(1, 5)
+      olds <- Gen.listOfN(nOld, genDoc); news <- Gen.listOfN(nNew, genDoc)
+    } yield (olds, news)
+    val (n, k, bands, tau) = (2, 8, 4, 300)
+    val prop = Prop.forAll(gen) { case (olds, news) =>
+      val oldDocs = olds.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val newDocs = news.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val oldSig = Dedup.minhashSignatures(oldDocs, col("doc_id"), col("text"), n, k)
+      val got = Dedup.incrementalNearDupPairs(
+        newDocs, col("doc_id"), col("text"), oldSig,
+        oldDocs, col("doc_id"), col("text"), n, k, bands, tau)
+        .select("new_id", "dup_of_id", "jaccard_permille", "dup_in_increment")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      val batch = Dedup.minhashNearDupPairs(
+        oldDocs.unionByName(newDocs), col("doc_id"), col("text"), n, k, bands, tau)
+        .filter(col("b_id") >= 100L)
+        .select(col("b_id"), col("a_id"), col("jaccard_permille"),
+          (col("a_id") >= 100L).as("in_inc"))
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      got == batch
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("incremental near-dup vs persisted index ≡ batch pairs touching the increment") {
     // "old corpus" indexed once; the increment arrives later with ids
     // above the old range
