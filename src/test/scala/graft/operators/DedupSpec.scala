@@ -112,6 +112,33 @@ class DedupSpec extends SparkSpec {
     assert(rows.head.toSeq.tail == expected)
   }
 
+  test("incremental index survives the parquet round-trip it is designed for") {
+    // the operator contract says the old corpus's signatures are computed
+    // once and PERSISTED — pin that the mh_i schema round-trips through
+    // parquet and the probe gives identical pairs from the re-read table
+    val oldDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about spark streaming state"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val (n, k, bands, tau) = (3, 8, 4, 400)
+    val sig = Dedup.minhashSignatures(oldDocs, col("doc_id"), col("text"), n, k)
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_idx").toString
+    sig.write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    def run(idx: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearDupPairs(
+        newDocs, col("doc_id"), col("text"), idx,
+        oldDocs, col("doc_id"), col("text"), n, k, bands, tau)
+        .select("new_id", "dup_of_id", "jaccard_permille", "dup_in_increment")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+    val fromMemory = run(sig)
+    val fromParquet = run(reread)
+    assert(fromParquet == fromMemory && fromParquet.nonEmpty)
+  }
+
   test("incremental ≡ batch (property: random corpora, random split)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // small word pool → heavy shingle collisions → real near-dup structure

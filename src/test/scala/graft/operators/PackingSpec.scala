@@ -35,14 +35,20 @@ class PackingSpec extends SparkSpec {
       val docs = toks.zipWithIndex
         .map { case (t, i) => ("s", i.toLong, Seq.fill(t)("w").mkString(" ")) }
         .toDF("source", "doc_id", "text")
+      // run once on the natural layout and once explicitly scattered over
+      // 7 partitions — the "deterministic on any partitioning" claim
       val rows = Packing.sequencePacking(docs, "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")), capacity = 7L)
+        .select("doc_id", "pack_offset").as[(Long, Long)].collect()
+        .sortBy(_._1)
+      val scattered = Packing.sequencePacking(docs.repartition(7), "source", "doc_id",
         TextAnalysis.tokenCount(col("text")), capacity = 7L)
         .select("doc_id", "pack_offset").as[(Long, Long)].collect()
         .sortBy(_._1)
       // offsets are exactly the exclusive prefix sums — no token lost, no
       // token double-packed, independent of Spark's physical partitioning
       val expected = toks.scanLeft(0L)(_ + _).init
-      rows.map(_._2).toSeq == expected
+      rows.map(_._2).toSeq == expected && scattered.toSeq == rows.toSeq
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
