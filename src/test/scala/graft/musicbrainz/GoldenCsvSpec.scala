@@ -49,6 +49,24 @@ class GoldenCsvSpec extends SparkSpec {
     assert(r1.isNullAt(0))
   }
 
+  test("the reference's REAL 2954-row benchmark CSV parses clean") {
+    // read-only real artifact (/root/reference/benchmark/default.csv):
+    // UTF-8 BOM, quoted comma-bearing titles, empty-string MBIDs, duo rows
+    val real = "/root/reference/benchmark/default.csv"
+    assume(java.nio.file.Files.isReadable(java.nio.file.Paths.get(real)))
+    val df = GoldenCsv.read(spark, real).cache()
+    assert(df.columns.head == "id") // BOM stripped on the real header too
+    assert(df.count() == 2954)
+    // the 50 no-expectation rows arrive as nulls — the case the null-safe
+    // accuracy()/diffReport() branches exist for
+    assert(df.filter($"musicbrainz_id".isNull).count() == 50)
+    val q = GoldenCsv.toQueries(df)
+    assert(q.filter($"artist2_name".isNotNull).count() == 63) // duo rows
+    assert(q.filter($"title".contains(",")).count() == 39) // quoted commas intact
+    assert(q.filter($"query_id".isNull).count() == 0) // every id numeric
+    df.unpersist()
+  }
+
   test("full harness replica: CSV → matcher → exact counters") {
     val golden = GoldenCsv.read(spark, csvPath)
     val matches = MatchOps.matchSongs(
