@@ -64,6 +64,17 @@ class GoldenCsvSpec extends SparkSpec {
     assert(q.filter($"artist2_name".isNotNull).count() == 63) // duo rows
     assert(q.filter($"title".contains(",")).count() == 39) // quoted commas intact
     assert(q.filter($"query_id".isNull).count() == 0) // every id numeric
+
+    // end-to-end: all 2954 real-world queries (accented artists, quoted
+    // titles, duos) through the FULL matcher against the fixture export —
+    // real text through searchKey/deletion-variants/relevance without
+    // error, and the null-safe counter invariant holds at scale
+    val stats = MatchOps.accuracy(
+      GoldenCsv.toExpectations(df),
+      MatchOps.matchSongs(q, MbFixtureExport.cached(spark)))
+      .as[(Long, Long, Long, Long)].head()
+    assert(stats._1 == 2954)
+    assert(stats._1 == stats._2 + stats._3 + stats._4) // total = missing+wrong+correct
     df.unpersist()
   }
 
