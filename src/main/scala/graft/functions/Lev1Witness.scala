@@ -12,9 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `a == b`           → `a` (itself — always in both neighborhoods)
   *   - `|a| == |b| ± 1`   → the shorter string (it IS a deletion variant of
   *                          the longer when the edit is an insert/delete)
-  *   - `|a| == |b|, a≠b`  → the single substitution sits at the first
-  *                          mismatching position `i`; deleting `i` from
-  *                          either side gives the same string
+  *   - `|a| == |b|, a≠b`  → if the suffixes after the first mismatching
+  *                          position `i` agree, the pair is a single
+  *                          substitution and deleting `i` from either side
+  *                          gives the same string; otherwise `lev ≥ 2` → null
   *   - otherwise          → null (`lev ≥ 2` by length — no witness)
   *
   * Replaces [[MinCommonVariant]] in the hot verify filter of the blocked
@@ -36,6 +37,13 @@ object Lev1Witness {
     if (la != lb) return null // length gap ≥ 2 → lev ≥ 2
     var i = 0
     while (i < la && sa.charAt(i) == sb.charAt(i)) i += 1
+    // self-contained for standalone SQL use: a deleted-first-mismatch string
+    // is only a shared variant when the tails agree (single substitution);
+    // equal-length pairs with lev ≥ 2 must yield null, not a bogus witness.
+    // Still O(|a|): one more linear scan over the suffix.
+    var j = i + 1
+    while (j < la && sa.charAt(j) == sb.charAt(j)) j += 1
+    if (j < la) return null // second mismatch → lev ≥ 2
     UTF8String.fromString(sa.substring(0, i) + sa.substring(i + 1))
   }
 }

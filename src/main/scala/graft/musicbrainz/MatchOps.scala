@@ -156,7 +156,18 @@ object MatchOps {
   private val winnerOrder: Seq[Column] =
     Seq(col("release_year").asc_nulls_last, col("relevance").desc,
       col("album_mb_id").asc, col("song_mb_id").asc, col("matched_alias").asc,
-      col("artist_mb_id").asc)
+      col("artist_mb_id").asc,
+      // Residual discriminators: candidate rows are DISTINCT over a wider
+      // projection than the six keys above (equal relevance can arise from
+      // different multiplier combinations, e.g. single×1×exact vs
+      // 1×main_album×exact on the same recording), so without these a tied
+      // pair would leave row_number — and explainQuery's `chosen` flag —
+      // partition-arrival-nondeterministic. Together with the six keys this
+      // covers every column of the distinct projection → a TOTAL order.
+      col("recording_score").desc, col("single_relationship").asc,
+      col("is_main_album").asc, col("song_title").asc, col("album_title").asc,
+      col("is_single").asc, col("is_soundtrack").asc,
+      col("artist_name_mb").asc, col("country_id").asc_nulls_last)
 
   def matchSongs(queries: DataFrame, export: GenerateDataset.Export): DataFrame =
     // A4: keep ≥ max/10, pick the first row under the winner ordering

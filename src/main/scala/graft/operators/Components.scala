@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   * graph diameter, which for near-dup clusters is small (dup families are
   * dense — transitively-similar chains longer than a few hops are rare).
   * Convergence is detected from sum(label), which strictly decreases until
-  * the fixpoint — one scalar aggregate per round, no old-vs-new join.
+  * the fixpoint — one scalar aggregate, no old-vs-new join. Rounds run in
+  * FUSED PAIRS (two propagation rounds per scheduled job): labels are
+  * monotone, so sum(t+2)==sum(t) implies the fixpoint, and pairing halves
+  * the driver job-scheduling latency that dominates at small scale.
   *
   * Scale notes: per-round lineage is truncated (localCheckpoint by default,
   * reliable `checkpoint` against a fault-tolerant store when
@@ -37,6 +40,13 @@ object Components {
     *        round's edge join — the price of surviving executor loss).
     *        When None (default), storage-local `localCheckpoint` — fastest,
     *        but lost blocks kill the job.
+    *        NOTE `unpersist()` does NOT delete reliable checkpoint data, so
+    *        a long convergence loop retains one vertex-sized snapshot per
+    *        checked round in the fault-tolerant store. Run with
+    *        `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
+    *        ContextCleaner deletes each round's files once its Dataset is
+    *        garbage-collected (the loop drops its reference every round);
+    *        otherwise clean `checkpointDir` after the job.
     */
   def connectedComponents(
       vertices: DataFrame,
@@ -70,35 +80,47 @@ object Components {
     // coalesce: sum over an empty active set (no edges at all) is NULL
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+    // one label-propagation round (edge join + min-aggregate + path
+    // halving), as a PLAN — composition decides how many rounds share a job.
+    // Path halving: comp ← label(comp). Every label is a vertex id, so the
+    // self-join always matches; with it the min label travels 2^i hops by
+    // round i — convergence in O(log diameter) rounds instead of
+    // O(diameter) (near-dup chains measured diameter ~8 at sf0.01).
+    // A second jump per round was measured (chain-y τ-threshold graphs,
+    // sf0.1): it does NOT cut the round count — propagation there is
+    // edge-hop-bound through min-aggregates, not pointer-chain-bound —
+    // so the leaner single-jump round stays.
+    def round(cur: DataFrame): DataFrame = {
+      val msgs = cur.join(sym, col("id") === col("src"))
+        .select(col("dst").as("id"), col("comp"))
+      val prop = msgs.union(cur)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      prop
+        .join(prop.select(col("id").as("__cid"), col("comp").as("__ccomp")),
+          col("comp") === col("__cid"), "left")
+        .select(col("id"), coalesce(col("__ccomp"), col("comp")).as("comp"))
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && i < maxIter) {
-      val msgs = labels.join(sym, col("id") === col("src"))
-        .select(col("dst").as("id"), col("comp"))
-      val prop = msgs.union(labels)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-      // path halving: comp ← label(comp). Every label is a vertex id, so
-      // the self-join always matches; with it the min label travels 2^i
-      // hops by round i — convergence in O(log diameter) rounds instead of
-      // O(diameter) (near-dup chains measured diameter ~8 at sf0.01).
-      // A second jump per round was measured (chain-y τ-threshold graphs,
-      // sf0.1): it does NOT cut the round count — propagation there is
-      // edge-hop-bound through min-aggregates, not pointer-chain-bound —
-      // so the leaner single-jump round stays.
-      val next = truncate(prop
-        .join(prop.select(col("id").as("__cid"), col("comp").as("__ccomp")),
-          col("comp") === col("__cid"), "left")
-        .select(col("id"), coalesce(col("__ccomp"), col("comp")).as("comp")))
-      // the ONE action of the round: computes the labels, persists the
+      // Fuse TWO rounds into ONE job: labels only ever decrease, so checking
+      // convergence after a round-PAIR is safe (at worst one no-op round of
+      // extra shuffle work) and halves the per-round driver job-scheduling
+      // latency that dominates these iteration-bound queries at test scale —
+      // the shuffles themselves are edge-sized either way. The intermediate
+      // round is NOT truncated; a two-round lineage per checkpoint is fine.
+      val steps = math.min(2, maxIter - i)
+      val next = truncate(if (steps == 2) round(round(labels)) else round(labels))
+      // the ONE action of the round-pair: computes the labels, persists the
       // truncation blocks, and returns the convergence scalar
       val s = labelSum(next)
       labels.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s
-      i += 1
+      i += steps
       if (dbg) println(s"[cc] round $i sum=$s")
     }
     vertices.select(col("id"))

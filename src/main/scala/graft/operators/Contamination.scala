@@ -35,7 +35,10 @@ object Contamination {
     * shingle hash), the per-doc shingle count riding along. Shared by the
     * batch operator and [[graft.streaming.StreamingContamination]]'s
     * benchmark index — the posting shape must not drift between them or
-    * the streaming≡batch parity breaks. */
+    * the streaming≡batch parity breaks. (The parity holds when no
+    * hot-shingle cap binds: the batch operator caps TRAIN-side df, the
+    * streaming index caps BENCH-side df — see the divergence note on
+    * [[graft.streaming.StreamingContamination.benchmarkIndex]].) */
   def postings(
       df: DataFrame, id: Column, text: Column, n: Int,
       idAlias: String, sizeAlias: String): DataFrame =
@@ -44,12 +47,18 @@ object Contamination {
       .select(col(idAlias), size(col("hs")).cast("long").as(sizeAlias),
         explode(col("hs")).as("h"))
 
+  /** @param normalize applied to BOTH texts before shingling — the standard
+    *        contamination practice is to compare case-/punctuation-folded
+    *        n-grams (e.g. `c => lower(c)`), since an eval answer pasted into
+    *        a train doc rarely survives verbatim. Default `identity` keeps
+    *        exact-surface semantics (and the q38 oracle) unchanged. */
   def ngramOverlapPairs(
       bench: DataFrame, benchId: Column, benchText: Column,
       train: DataFrame, trainId: Column, trainText: Column,
-      n: Int, minShared: Int, maxShingleFreq: Long = 1000000L): DataFrame = {
-    val b = postings(bench, benchId, benchText, n, "bench_id", "bench_size")
-    val t = postings(train, trainId, trainText, n, "train_id", "__tsz").drop("__tsz")
+      n: Int, minShared: Int, maxShingleFreq: Long = 1000000L,
+      normalize: Column => Column = identity): DataFrame = {
+    val b = postings(bench, benchId, normalize(benchText), n, "bench_id", "bench_size")
+    val t = postings(train, trainId, normalize(trainText), n, "train_id", "__tsz").drop("__tsz")
     // hot-shingle cap: TRAIN-side document frequency (each shingle appears
     // once per doc — shingleHashes is distinct within a doc)
     val keep = t.groupBy(col("h")).agg(count(lit(1)).as("df"))

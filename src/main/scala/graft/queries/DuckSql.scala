@@ -7,6 +7,15 @@ import graft.operators.{Dedup, TextAnalysis}
   * Every constant (modulus, minhash params, stopword profiles) comes from
   * the SAME Scala values the Spark operators use, so the two sides cannot
   * drift apart silently.
+  *
+  * ==Dtype discipline: never emit an un-cast SUM==
+  * DuckDB `SUM(BIGINT)` (plain or windowed) returns HUGEINT, which the
+  * driver's pandas stack materializes as float64; the hash compare then sees
+  * `46.0` vs Spark's int64 `46` and flunks `hash_match` with rows/schema
+  * green (round-5 q42/q43). Every oracle column derived from a SUM — or from
+  * arithmetic over one — must be wrapped `CAST(... AS BIGINT)`.
+  * `tools/check_oracle.py` now fails on float-vs-int clashes to catch this
+  * locally.
   */
 object DuckSql {
   val P: Long = RollingHash.Mod

@@ -480,8 +480,8 @@ object PipelineQueries {
       s"""WITH t AS (SELECT doc_id, source,
          |  CAST(len(${DuckSql.tokens("text")}) AS BIGINT) AS tok FROM documents),
          |o AS (SELECT doc_id, source, tok,
-         |  COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+         |  CAST(COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_offset
          |  FROM t)
          |SELECT doc_id, source, pack_offset,
          |  CAST(floor(pack_offset / 512.0) AS BIGINT) AS bin_id,
@@ -496,7 +496,7 @@ object PipelineQueries {
          |  list_transform(range(1, len(w)), i -> ${DuckSql.rollingHash("w[i] || ' ' || w[i+1]")})) AS g
          |  FROM toks WHERE len(w) >= 2),
          |counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
-         |SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct_grams,
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct_grams,
          |  CAST(floor(MAX(c) * 1000 / SUM(c)) AS BIGINT) AS top_gram_permille,
          |  CAST(floor((SUM(c) - COUNT(*)) * 1000 / SUM(c)) AS BIGINT) AS dup_gram_permille
          |FROM counts GROUP BY doc_id""".stripMargin

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Contamination, Dedup, TextAnalysis}
@@ -28,16 +28,26 @@ import graft.operators.{Contamination, Dedup, TextAnalysis}
 object StreamingContamination {
 
   /** Static side, built ONCE per run: (h, bench_id, bench_size) postings
-    * of the benchmark suite. `maxShingleFreq` drops shingles shared by
-    * more than that many BENCHMARK docs (boilerplate — same cap rationale
-    * as the batch operator, applied where the index is built). */
+    * of the benchmark suite. `maxBenchShingleFreq` drops shingles shared by
+    * more than that many BENCHMARK docs (boilerplate).
+    *
+    * CAP-SEMANTICS DIVERGENCE from the batch operator: the batch
+    * [[graft.operators.Contamination.ngramOverlapPairs]] caps TRAIN-side
+    * document frequency (the corpus is fully visible there), which is
+    * impossible on a stream — train-side df is unknowable per micro-batch —
+    * so the streaming gate caps the BENCHMARK side where the index is
+    * built. When neither cap binds (the default at 10^6 on benchmark-sized
+    * suites) the two operators flag identical pairs — that is the parity
+    * the specs pin; when a cap binds they may differ, which is why the
+    * parameter is named for the side it actually caps. */
   def benchmarkIndex(
       bench: DataFrame, id: String, text: String, n: Int,
-      maxShingleFreq: Long = 1000000L): DataFrame = {
+      maxBenchShingleFreq: Long = 1000000L,
+      normalize: Column => Column = identity): DataFrame = {
     val postings = Contamination.postings(
-      bench, col(id), col(text), n, "bench_id", "bench_size")
+      bench, col(id), normalize(col(text)), n, "bench_id", "bench_size")
     val keep = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleFreq).select(col("h"))
+      .filter(col("df") <= maxBenchShingleFreq).select(col("h"))
     postings.join(keep, "h")
   }
 
@@ -51,11 +61,12 @@ object StreamingContamination {
       docs: DataFrame, idCol: String, textCol: String, tsCol: String,
       index: DataFrame, n: Int, minShared: Int,
       watermarkDelay: String = "0 seconds",
-      windowLength: String = "10 minutes"): DataFrame = {
+      windowLength: String = "10 minutes",
+      normalize: Column => Column = identity): DataFrame = {
     val stream = docs
       .withWatermark(tsCol, watermarkDelay)
       .select(col(tsCol).as("__ts"), col(idCol).as("train_id"),
-        explode(Dedup.shingleHashes(col(textCol), n)).as("h"))
+        explode(Dedup.shingleHashes(normalize(col(textCol)), n)).as("h"))
     stream.join(index, "h") // stream-static: no state on the index side
       .groupBy(window(col("__ts"), windowLength),
         col("bench_id"), col("train_id"))

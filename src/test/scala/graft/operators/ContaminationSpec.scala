@@ -73,6 +73,23 @@ class ContaminationSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("normalize hook: case-folded shingles catch re-cased contamination") {
+    val bench = Seq((1L, "The Quick Brown Fox Jumps")).toDF("doc_id", "text")
+    val train = Seq((10L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    // exact-surface default: no shared shingles across the case change
+    val exact = Contamination.ngramOverlapPairs(
+      bench, col("doc_id"), col("text"), train, col("doc_id"), col("text"),
+      n = 3, minShared = 1)
+    assert(exact.count() == 0)
+    // lower-cased shingling flags the pair with full coverage
+    val folded = Contamination.ngramOverlapPairs(
+      bench, col("doc_id"), col("text"), train, col("doc_id"), col("text"),
+      n = 3, minShared = 1, normalize = lower)
+      .select("bench_id", "train_id", "n_shared", "contaminated_permille")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(folded == Set((1L, 10L, 3L, 1000L)))
+  }
+
   test("contamination report aggregates per benchmark doc") {
     val bench = Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
     val train = Seq((10L, "a b c d e"), (11L, "b c d e x")).toDF("doc_id", "text")

@@ -58,7 +58,7 @@ class StreamingContaminationSpec extends SparkSpec {
       (1L, "the same header x"), (2L, "the same header y"), (3L, "the same header z"))
       .toDF("doc_id", "text")
     val capped = StreamingContamination.benchmarkIndex(
-      boiler, "doc_id", "text", n = 3, maxShingleFreq = 2)
+      boiler, "doc_id", "text", n = 3, maxBenchShingleFreq = 2)
     // "the same header" is in all 3 docs -> dropped; per-doc tail shingles
     // ("same header x" etc.) are unique -> kept
     val hs = capped.select("bench_id").as[Long].collect()

@@ -46,6 +46,18 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(exp.columns)}"); fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}"); fail += 1; continue
+        # Driver-faithful dtype gate: the driver hashes stringified values, so a
+        # float64 oracle column (e.g. DuckDB SUM -> HUGEINT -> float64) against an
+        # int64 spark column renders "46.0" vs "46" and flunks hash_match even
+        # when values are numerically equal. Refuse float-vs-int coercion here so
+        # the local pre-flight fails exactly where the driver would (round-5
+        # q42/q43 failure mode: un-cast SUM in the oracle SQL).
+        kind_clash = [c for c in got.columns
+                      if {got[c].dtype.kind, exp[c].dtype.kind} == {"f", "i"}
+                      or {got[c].dtype.kind, exp[c].dtype.kind} == {"f", "u"}]
+        if kind_clash:
+            print(f"FAIL {name}: float-vs-int dtype clash on {kind_clash} "
+                  f"(cast the oracle SUM/derived column to BIGINT)"); fail += 1; continue
         try:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
             print(f"OK   {name} ({len(got)} rows)"); ok += 1
