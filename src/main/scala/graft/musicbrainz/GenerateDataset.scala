@@ -71,6 +71,60 @@ object GenerateDataset {
       .write.mode("overwrite").parquet(s"$dir/mb_song_alias")
   }
 
+  /** Ship the export to a serving database over JDBC — the final leg of the
+    * reference's deployment story (`README.md:206-227` dumps the 5 tables
+    * with pg_dump and restores them into the serving Postgres). `overwrite`
+    * replaces each table atomically from the database's view of a writer
+    * (the serving schema is rebuilt per run, like a restore into a fresh
+    * DB), standing in for the reference's per-artist upsert transactions.
+    *
+    * `writePartitions` bounds write parallelism: every task holds one JDBC
+    * connection, and a 1000-executor cluster must not open 32k connections
+    * against one serving DB — coalesce (no shuffle) narrows the plan to at
+    * most that many concurrent inserts. Batch size and any dialect options
+    * (user, password, driver, `batchsize`, `isolationLevel`) pass through
+    * `options`.
+    */
+  def writeJdbc(
+      export: Export,
+      url: String,
+      options: Map[String, String] = Map.empty,
+      table: String => String = name => s"musicbrainz.$name",
+      writePartitions: Int = 8): Unit = {
+    def ship(df: DataFrame, name: String): Unit =
+      df.coalesce(writePartitions)
+        .write.format("jdbc")
+        .option("url", url).options(options)
+        .option("dbtable", table(name))
+        .mode("overwrite").save()
+    ship(export.mbArtist, "mb_artist")
+    ship(export.mbArtistAlias, "mb_artist_alias")
+    ship(export.mbAlbum, "mb_album")
+    ship(export.mbSong, "mb_song")
+    ship(export.mbSongAlias, "mb_song_alias")
+  }
+
+  /** Re-open a JDBC-shipped export — the serving-side reader twin of
+    * [[writeJdbc]] (parity checks, or running the matcher against the
+    * serving DB exactly as the reference's benchmark does).
+    */
+  def readJdbc(
+      spark: org.apache.spark.sql.SparkSession,
+      url: String,
+      options: Map[String, String] = Map.empty,
+      table: String => String = name => s"musicbrainz.$name"): Export = {
+    def rd(name: String): DataFrame =
+      spark.read.format("jdbc")
+        .option("url", url).options(options)
+        .option("dbtable", table(name)).load()
+    Export(
+      mbArtist = rd("mb_artist"),
+      mbArtistAlias = rd("mb_artist_alias"),
+      mbAlbum = rd("mb_album"),
+      mbSong = rd("mb_song"),
+      mbSongAlias = rd("mb_song_alias"))
+  }
+
   /** Re-open a written export. */
   def read(spark: org.apache.spark.sql.SparkSession, dir: String): Export =
     Export(

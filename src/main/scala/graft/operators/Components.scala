@@ -9,24 +9,32 @@ import org.apache.spark.sql.functions._
   * are edges; each document keeps the minimum doc id of its component as
   * its canonical representative).
   *
-  * Algorithm: synchronous min-label propagation. Each round is ONE edge
-  * join + ONE min-aggregate (labels only ever decrease); rounds needed =
-  * graph diameter, which for near-dup clusters is small (dup families are
-  * dense — transitively-similar chains longer than a few hops are rare).
-  * Convergence is detected from sum(label), which strictly decreases until
-  * the fixpoint — one scalar aggregate, no old-vs-new join. Rounds run in
-  * FUSED PAIRS (two propagation rounds per scheduled job): labels are
-  * monotone, so sum(t+2)==sum(t) implies the fixpoint, and pairing halves
-  * the driver job-scheduling latency that dominates at small scale.
+  * TWO execution paths behind one contract, picked by measured edge count:
   *
-  * Scale notes: per-round lineage is truncated (localCheckpoint by default,
-  * reliable `checkpoint` against a fault-tolerant store when
-  * `checkpointDir` is set — an executor loss mid-iteration then resumes
-  * from the last round instead of failing the job). Truncation is LAZY in
-  * both modes: the convergence aggregate is the materializing action, so a
-  * round schedules one job, not two. The per-round shuffle is edge-sized,
-  * the state is vertex-sized; nothing is ever collected to the driver
-  * except the one convergence scalar.
+  *   - **Single-task union-find** (edge count ≤ `localEdgeThreshold`). The
+  *     dup-pair graph is PAIR-sized, orders of magnitude smaller than the
+  *     corpus — banded LSH/SimHash mining bounds pair mass by design, so
+  *     even a 100 TB corpus yields an edge list (16 bytes/edge) that fits
+  *     one executor core comfortably at the default 10M-edge threshold
+  *     (~160 MB). Disjoint-set with path compression in one task is
+  *     O(E·α(E)) and collapses ALL iteration latency into one job — no
+  *     convergence rounds, no per-round shuffles. This is NOT driver-side
+  *     collect: the fold runs inside a task on an executor; only the
+  *     (touched-vertex, component) table comes back as a DataFrame.
+  *
+  *   - **Distributed min-label propagation** (above threshold). Each round
+  *     is one edge join + one min-aggregate + a path-halving pointer jump;
+  *     labels only ever decrease, so sum(label) strictly decreases until
+  *     the fixpoint and convergence is one scalar aggregate per round-pair
+  *     (rounds run in fused pairs: monotonicity makes sum(t+2)==sum(t)
+  *     imply the fixpoint, halving the scheduled-job count). Per-round
+  *     lineage is truncated lazily (localCheckpoint, or reliable
+  *     `checkpoint` when `checkpointDir` is set), the per-round shuffle is
+  *     edge-sized, and nothing reaches the driver but the scalar.
+  *
+  * Either way, isolated vertices (the overwhelming corpus majority) never
+  * enter the component computation — they are attached by one final
+  * left join, keeping the heavy path pair-sized at any scale.
   */
 object Components {
 
@@ -34,12 +42,18 @@ object Components {
     * `id`; `edges` columns `src`/`dst` (undirected: both orientations are
     * generated internally). Isolated vertices keep their own id.
     *
-    * @param checkpointDir when set, per-round state is checkpointed
-    *        reliably under this fault-tolerant path (HDFS/S3 on a real
-    *        cluster; the reliable write is one extra recompute of the
-    *        round's edge join — the price of surviving executor loss).
-    *        When None (default), storage-local `localCheckpoint` — fastest,
-    *        but lost blocks kill the job.
+    * @param localEdgeThreshold run the single-task union-find when the
+    *        symmetrized edge list has at most this many rows (default 10M
+    *        ≈ 160 MB in one task — far under executor memory; dup-pair
+    *        graphs at 100 TB corpus scale are typically well inside this).
+    *        Set 0 to force the distributed loop (the specs do, to pin both
+    *        paths against each other).
+    * @param checkpointDir when set, per-round state in the distributed
+    *        path is checkpointed reliably under this fault-tolerant path
+    *        (HDFS/S3 on a real cluster; the reliable write is one extra
+    *        recompute of the round's edge join — the price of surviving
+    *        executor loss). When None (default), storage-local
+    *        `localCheckpoint` — fastest, but lost blocks kill the job.
     *        NOTE `unpersist()` does NOT delete reliable checkpoint data, so
     *        a long convergence loop retains one vertex-sized snapshot per
     *        checked round in the fault-tolerant store. Run with
@@ -52,24 +66,62 @@ object Components {
       vertices: DataFrame,
       edges: DataFrame,
       maxIter: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localEdgeThreshold: Long = 10000000L): DataFrame = {
     checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
     // lazy in both modes — the next action on the result both computes it
     // and truncates its lineage in the same job
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
-    // materialize the symmetrized edge set once: every round joins against
-    // it, and the caller's edge lineage (e.g. near-dup pair mining) must
-    // not re-execute per iteration
+    // materialize the symmetrized edge set once: the path choice needs its
+    // count, every propagation round joins against it, and the caller's
+    // edge lineage (e.g. near-dup pair mining) must not re-execute per use
     val sym = truncate(
-      edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
-    // Only vertices that appear in an edge can ever change label — the
-    // iteration runs over those alone. In a dedup pipeline the touched set
-    // is pair-sized while `vertices` is corpus-sized; isolated docs (the
-    // overwhelming majority at 100 TB) never enter the loop and are
-    // attached by the single final left join below.
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst"))))
+    val symCount = sym.count() // the one materializing action for sym
+    val labels =
+      if (symCount <= localEdgeThreshold) localUnionFind(sym)
+      else distributedLabels(sym, truncate, maxIter)
+    val out = vertices.select(col("id"))
+      .join(labels.withColumnRenamed("id", "__lid"), col("id") === col("__lid"), "left")
+      .select(col("id"),
+        coalesce(col("comp"), col("id").cast("long")).as("component_id"))
+    out
+  }
+
+  /** Below-threshold path: the whole edge list through ONE task's
+    * disjoint-set forest (path compression + min-root union, so the root
+    * IS the min reachable id — deterministic under any edge order). */
+  private def localUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    sym.select(col("src"), col("dst")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // compress the walked path onto the root
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          if (!parent.contains(r)) parent(r) = r // register roots as touched
+          r
+        }
+        it.foreach { case (s, d) =>
+          val rs = find(s); val rd = find(d)
+          if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+        }
+        parent.keysIterator.map(k => (k, find(k))).toArray.iterator
+      }
+      .toDF("id", "comp")
+  }
+
+  /** Above-threshold path: fused-pair min-label propagation (see object
+    * doc). Returns (id, comp) for every edge-touched vertex. */
+  private def distributedLabels(
+      sym: DataFrame, truncate: DataFrame => DataFrame, maxIter: Int): DataFrame = {
     // initial label = min(id, min neighbor): exactly what round 1 would
     // compute from identity labels, for the cost of ONE aggregate instead
     // of a join + aggregate — the distinct() is folded into the groupBy
@@ -81,15 +133,14 @@ object Components {
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
     // one label-propagation round (edge join + min-aggregate + path
-    // halving), as a PLAN — composition decides how many rounds share a job.
-    // Path halving: comp ← label(comp). Every label is a vertex id, so the
-    // self-join always matches; with it the min label travels 2^i hops by
-    // round i — convergence in O(log diameter) rounds instead of
-    // O(diameter) (near-dup chains measured diameter ~8 at sf0.01).
-    // A second jump per round was measured (chain-y τ-threshold graphs,
-    // sf0.1): it does NOT cut the round count — propagation there is
-    // edge-hop-bound through min-aggregates, not pointer-chain-bound —
-    // so the leaner single-jump round stays.
+    // halving), as a PLAN — composition decides how many rounds share a
+    // job. Path halving: comp ← label(comp). Every label is a vertex id,
+    // so the self-join always matches; with it the min label travels 2^i
+    // hops by round i — convergence in O(log diameter) rounds instead of
+    // O(diameter) on long chains. (Measured at sf0.1: a SECOND jump per
+    // round does not cut rounds further, and dropping the jump entirely
+    // trades 2 fewer exchanges/round for ~20% more rounds — a wash there,
+    // so the worst-case-safe single jump stays.)
     def round(cur: DataFrame): DataFrame = {
       val msgs = cur.join(sym, col("id") === col("src"))
         .select(col("dst").as("id"), col("comp"))
@@ -105,27 +156,29 @@ object Components {
     var i = 0
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && i < maxIter) {
-      // Fuse TWO rounds into ONE job: labels only ever decrease, so checking
-      // convergence after a round-PAIR is safe (at worst one no-op round of
-      // extra shuffle work) and halves the per-round driver job-scheduling
-      // latency that dominates these iteration-bound queries at test scale —
-      // the shuffles themselves are edge-sized either way. The intermediate
-      // round is NOT truncated; a two-round lineage per checkpoint is fine.
+      // Fuse TWO rounds into ONE job: labels only ever decrease, so
+      // checking convergence after a round-PAIR is safe (at worst one
+      // no-op round of extra shuffle work) and halves the scheduled-job
+      // count. The intermediate round is truncated LAZILY as well: its
+      // subtree is referenced up to four times by the outer round's plan
+      // (edge join, union, both sides of the path-halving self-join), and
+      // the lazy persist makes those references hit cached blocks within
+      // the same job instead of re-executing the inner joins per
+      // reference.
       val steps = math.min(2, maxIter - i)
-      val next = truncate(if (steps == 2) round(round(labels)) else round(labels))
-      // the ONE action of the round-pair: computes the labels, persists the
-      // truncation blocks, and returns the convergence scalar
+      val mid = if (steps == 2) Some(truncate(round(labels))) else None
+      val next = truncate(round(mid.getOrElse(labels)))
+      // the ONE action of the round-pair: computes both rounds, persists
+      // the truncation blocks, and returns the convergence scalar
       val s = labelSum(next)
       labels.unpersist()
+      mid.foreach(_.unpersist()) // next's own blocks are live; mid's aren't
       labels = next
       converged = s == prevSum
       prevSum = s
       i += steps
       if (dbg) println(s"[cc] round $i sum=$s")
     }
-    vertices.select(col("id"))
-      .join(labels.withColumnRenamed("id", "__lid"), col("id") === col("__lid"), "left")
-      .select(col("id"),
-        coalesce(col("comp"), col("id").cast("long")).as("component_id"))
+    labels
   }
 }

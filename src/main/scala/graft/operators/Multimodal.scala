@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * (the Scala analog of `mapInPandas` batches — one decoder instantiation
   * per partition, streamed row iterator, no per-row setup cost).
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries): [[StubDecoder]] derives deterministic fake dimensions from
-  * the payload bytes. Everything around it — schema, encoders, partition
-  * batching, null-safety, the query surface — is real and tested, and a
-  * production decoder drops in behind [[MediaDecoder]] without touching
-  * the plan shape.
+  * The IMAGE codec is REAL: [[ImageIoDecoder]] / [[ImageIoResizer]] ride
+  * the JDK's own `javax.imageio` (PNG/JPEG/GIF/BMP), zero added
+  * dependencies. Audio/video codecs remain stubbed ([[StubDecoder]]
+  * derives deterministic fake dimensions from payload bytes — no A/V
+  * library ships with the JDK); the stub also stays the oracle-replayable
+  * path for the q29/q45 correctness gate, since DuckDB can recompute its
+  * arithmetic but not a pixel decode. Either way the surrounding plumbing —
+  * schema, encoders, partition batching, null-safety, the query surface —
+  * is identical, and a production A/V decoder drops in behind
+  * [[MediaDecoder]] without touching the plan shape.
   */
 object Multimodal {
 
@@ -42,6 +46,32 @@ object Multimodal {
     def dimensions(content: Array[Byte]): (Int, Int) = {
       val n = if (content == null) 0 else content.length
       (1 + n % 64, 1 + n % 37)
+    }
+  }
+
+  /** REAL image decoder — `javax.imageio`, which ships with the JDK (zero
+    * added dependencies): reads only the container HEADER via an
+    * `ImageReader` (PNG/JPEG/GIF/BMP out of the box), never the pixel data,
+    * so metadata extraction over a 100 TB image column costs header bytes
+    * per row, not a full decode. Corrupt or unrecognized payloads yield
+    * `(0, 0)` — at pipeline scale a bad row must surface as a filterable
+    * zero-dim record, not kill the job. */
+  object ImageIoDecoder extends MediaDecoder {
+    def dimensions(content: Array[Byte]): (Int, Int) = {
+      if (content == null || content.isEmpty) return (0, 0)
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) (0, 0)
+          else {
+            val r = readers.next()
+            try { r.setInput(iis); (r.getWidth(0), r.getHeight(0)) }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: java.io.IOException => (0, 0) }
     }
   }
 
@@ -117,6 +147,34 @@ object Multimodal {
       Array.tabulate(target) { i =>
         if (src.isEmpty) 0.toByte else src((i.toLong * src.length / target).toInt)
       }
+    }
+  }
+
+  /** REAL pixel resampler — full `javax.imageio` decode, bilinear
+    * `java.awt.Graphics2D` scale (headless-safe: only ever draws into an
+    * off-screen `BufferedImage`), re-encoded as `outputFormat` (png
+    * default; any `ImageIO.write` format name works). Corrupt payloads
+    * yield an empty array — same filterable-not-fatal contract as
+    * [[ImageIoDecoder]]. Unlike metadata extraction this DOES decode
+    * pixels; it belongs after the pipeline's filter stages, not before. */
+  final case class ImageIoResizer(outputFormat: String = "png") extends MediaResizer {
+    def resize(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      if (content == null || content.isEmpty) return Array.emptyByteArray
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        if (img == null) return Array.emptyByteArray
+        val out = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, outputFormat, bos)
+        bos.toByteArray
+      } catch { case _: java.io.IOException => Array.emptyByteArray }
     }
   }
 

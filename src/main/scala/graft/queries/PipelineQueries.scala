@@ -293,11 +293,10 @@ object PipelineQueries {
     // artifact; the driver records rows-only and SemDedupSpec pins
     // soundness (components refine the exact-threshold graph) and recall.
     // Cost note: the τ=0.4 pair graph on this synthetic corpus is chain-y
-    // (noise-level links), so component convergence takes ~8 halving
-    // rounds — at sf0.1 that is ~0.4 s/round of pure job latency, the
-    // dominant share of this query's bench time. Round count is
-    // O(log diameter) independent of data volume, so the share shrinks,
-    // not grows, at real scale.
+    // (noise-level links) but pair-SIZED, so Components solves it on the
+    // single-task union-find path (one job) — the former ~8-round
+    // propagation loop and its per-round job latency only engage above
+    // the 10M-edge threshold, where per-round data cost dominates anyway.
     "q39_semdedup" -> ((s, d) =>
       Similarity.semDedup(Tables.embeddings(s, d), nlist = 16,
         minScoreQ = 400000L, Similarity.quantizedDot, maxIter = 3,

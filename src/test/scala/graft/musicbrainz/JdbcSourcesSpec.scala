@@ -88,6 +88,21 @@ class JdbcSourcesSpec extends SparkSpec {
     assert(jdbcSources.artist.count() == 6)
   }
 
+  test("writeJdbc ships the export to a serving DB; readJdbc reads it back identical") {
+    JdbcDialects.registerDialect(DerbyVarcharDialect)
+    val serveUrl = "jdbc:derby:memory:mbserve;create=true"
+    val quoted: String => String = name => "\"" + name + "\""
+    val expected = MbFixtureExport.cached(spark)
+    GenerateDataset.writeJdbc(
+      expected, serveUrl, jdbcOptions, table = quoted, writePartitions = 2)
+    val back = GenerateDataset.readJdbc(spark, serveUrl, jdbcOptions, table = quoted)
+    assert(rows(back.mbArtist) == rows(expected.mbArtist))
+    assert(rows(back.mbArtistAlias) == rows(expected.mbArtistAlias))
+    assert(rows(back.mbAlbum) == rows(expected.mbAlbum))
+    assert(rows(back.mbSong) == rows(expected.mbSong))
+    assert(rows(back.mbSongAlias) == rows(expected.mbSongAlias))
+  }
+
   test("full GenerateDataset over JDBC sources matches the in-memory fixture run") {
     val viaJdbc = GenerateDataset(jdbcSources)
     val expected = MbFixtureExport.cached(spark)

@@ -21,12 +21,14 @@ class ComponentsSpec extends SparkSpec {
       20L -> 20L))
   }
 
-  test("connected components: long path converges within maxIter") {
-    // a 12-vertex path: min label must travel the full diameter
+  test("connected components: long path converges within maxIter (distributed path)") {
+    // a 12-vertex path: min label must travel the full diameter.
+    // localEdgeThreshold = 0 forces the distributed propagation loop —
+    // the default would solve this in the single-task union-find.
     val n = 12
     val vertices = (1L to n.toLong).toDF("id")
     val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = Components.connectedComponents(vertices, edges)
+    val got = Components.connectedComponents(vertices, edges, localEdgeThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got.values.toSet == Set(1L))
   }
@@ -39,8 +41,13 @@ class ComponentsSpec extends SparkSpec {
       es <- Gen.listOfN(m, Gen.zip(Gen.choose(1L, n.toLong), Gen.choose(1L, n.toLong)))
     } yield (n, es.filter(e => e._1 != e._2))
     val prop = Prop.forAll(gen) { case (n, es) =>
-      val got = Components.connectedComponents(
+      // BOTH execution paths against the same oracle: the default
+      // single-task union-find and the forced distributed loop
+      val gotLocal = Components.connectedComponents(
         (1L to n.toLong).toDF("id"), es.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val gotDist = Components.connectedComponents(
+        (1L to n.toLong).toDF("id"), es.toDF("src", "dst"), localEdgeThreshold = 0L)
         .as[(Long, Long)].collect().toMap
       // union-find oracle
       val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
@@ -49,7 +56,7 @@ class ComponentsSpec extends SparkSpec {
       val expected = (1L to n.toLong).map { v =>
         v -> (1L to n.toLong).filter(u => find(u) == find(v)).min
       }.toMap
-      got == expected
+      gotLocal == expected && gotDist == expected
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
     assert(res.passed, res.status.toString)
@@ -60,7 +67,9 @@ class ComponentsSpec extends SparkSpec {
     val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
     val edges = Seq((2L, 3L), (3L, 4L), (1L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
       .toDF("src", "dst")
-    val got = Components.connectedComponents(vertices, edges, checkpointDir = Some(dir))
+    // threshold 0: reliable checkpointing is a distributed-loop concern
+    val got = Components.connectedComponents(
+      vertices, edges, checkpointDir = Some(dir), localEdgeThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,

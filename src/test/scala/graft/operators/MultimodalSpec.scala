@@ -47,6 +47,42 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == Seq(1f, 2f, 3f)) // empty payload: seed alone
   }
 
+  /** An actual in-memory PNG, encoded by the same JDK ImageIO the decoder
+    * reads with — a distinct per-pixel gradient so bilinear resampling has
+    * real structure to chew on. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 40 + y) << 8 | (x + y * 10))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder: true PNG dimensions through extractMeta; corrupt -> (0,0)") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, pngBytes(7, 5), "png"),
+      Multimodal.MediaRow(2L, pngBytes(3, 11), "png"),
+      Multimodal.MediaRow(3L, "not an image".getBytes, "png"),
+      Multimodal.MediaRow(4L, null, "png")).toDS()
+    val got = Multimodal.extractMeta(media, Multimodal.ImageIoDecoder)
+      .collect().map(m => (m.id, m.width, m.height)).toSet
+    assert(got == Set((1L, 7, 5), (2L, 3, 11), (3L, 0, 0), (4L, 0, 0)))
+  }
+
+  test("ImageIoResizer: real pixel resample round-trips through the decoder") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, pngBytes(8, 6), "png"),
+      Multimodal.MediaRow(2L, "garbage".getBytes, "png")).toDS()
+    val resized = Multimodal.resize(media, Multimodal.ImageIoResizer(), width = 4, height = 3)
+    val dims = Multimodal.extractMeta(resized, Multimodal.ImageIoDecoder)
+      .collect().map(m => (m.id, m.width, m.height)).toSet
+    // resized payload is a real PNG whose header reads back the target dims;
+    // the corrupt row degrades to an empty payload -> (0,0), never a throw
+    assert(dims == Set((1L, 4, 3), (2L, 0, 0)))
+  }
+
   test("resize: strided subsample hits the exact target size, pluggable") {
     val media = Multimodal.fromText(spark,
       Seq((1L, "0123456789"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text", "utf8")
