@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and scrubbing — the redaction pass a training-data
+  * pipeline runs before a crawl corpus is released or trained on: find
+  * and replace email addresses, international-format phone numbers and
+  * IPv4 addresses with typed placeholder tokens, and count what was hit
+  * so the removal rate is auditable per source/shard.
+  *
+  * Everything is `functions.regexp_*` — codegen'd column expressions, no
+  * UDFs, pure map-side (composes into the scan; a 100 TB scrub is one
+  * pass, no shuffle). Patterns are deliberately portable between Java
+  * regex (Spark) and RE2 (the DuckDB oracle): ASCII classes only, no
+  * backreferences, no lookaround.
+  *
+  * Recall-over-precision by design: an out-of-range dotted quad like
+  * 999.999.999.999 still scrubs — a false placeholder in training text is
+  * cheap, a leaked address is not.
+  */
+object Pii {
+
+  /** local@domain.tld — the pragmatic crawl-cleanup form. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** International-format number: '+' then 7-15 digits (ITU E.164 length
+    * envelope). Deliberately narrow — bare national formats collide with
+    * ordinary numbers in text. */
+  val PhonePattern: String = "\\+\\d{7,15}\\b"
+
+  /** Dotted quad with word boundaries. */
+  val Ipv4Pattern: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(EmailPattern)).cast("long")
+  def phoneCount(text: Column): Column =
+    regexp_count(text, lit(PhonePattern)).cast("long")
+  def ipv4Count(text: Column): Column =
+    regexp_count(text, lit(Ipv4Pattern)).cast("long")
+
+  /** Replace every match with its placeholder. Email first — once
+    * scrubbed, its digit runs can no longer feed the phone/IP patterns;
+    * the placeholders themselves contain nothing any pattern matches, so
+    * the composition order is otherwise free. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** → (doc_id, n_emails, n_phones, n_ipv4, has_pii, scrubbed). Counts
+    * are taken on the ORIGINAL text (audit numbers), `scrubbed` is the
+    * redacted text. */
+  def scrubDocs(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      emailCount(text).as("n_emails"),
+      phoneCount(text).as("n_phones"),
+      ipv4Count(text).as("n_ipv4"),
+      scrub(text).as("scrubbed"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ipv4") > 0)
+}

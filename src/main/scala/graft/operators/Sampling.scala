@@ -21,6 +21,29 @@ object Sampling {
   def sampleBucket(stratum: Column, key: Column): Column =
     pmod(Dedup.rollingHash(concat(stratum, lit(":"), key.cast("string"))), lit(1000L))
 
+  /** Deterministic train/val/test assignment: the row's hash bucket falls
+    * into one of the cumulative per-mille ranges of `splitsPermille`
+    * (which must sum to 1000). Same guarantees as
+    * [[stratifiedHashSample]] — pure map-side, engine-replayable, stable
+    * under repartitioning and retries — which is exactly what a training
+    * pipeline needs: a document NEVER migrates between train and eval
+    * across runs, engines, or cluster layouts (`randomSplit` guarantees
+    * none of that). `salt` versions the split: bump it to redraw. */
+  def hashSplit(
+      df: DataFrame,
+      key: Column,
+      splitsPermille: Seq[(String, Int)],
+      salt: String = "v1"): DataFrame = {
+    require(splitsPermille.map(_._2).sum == 1000,
+      s"split per-milles must sum to 1000, got ${splitsPermille.map(_._2).sum}")
+    val bucket = sampleBucket(lit(salt), key)
+    val (assign, _) = splitsPermille.foldLeft((lit(null).cast("string"): Column, 0)) {
+      case ((acc, cum), (name, p)) =>
+        (when(bucket >= cum && bucket < cum + p, name).otherwise(acc), cum + p)
+    }
+    df.withColumn("split", assign)
+  }
+
   /** Keep each row with per-stratum probability `ratesPermille(stratum)`
     * (fallback `defaultPermille`), decided by the deterministic hash
     * bucket. `key` must be unique per row for an unbiased sample. */

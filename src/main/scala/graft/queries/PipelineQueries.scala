@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Contamination, Dedup, Multimodal, Packing, Relational, Sampling, Similarity, SimilarityJoin, Stats, TextAnalysis}
+import graft.operators.{Components, Contamination, Dedup, Multimodal, Packing, Pii, Relational, Sampling, Similarity, SimilarityJoin, Stats, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (builder prompt: dedup / similarity /
@@ -317,6 +317,32 @@ object PipelineQueries {
         n = 3, k = 8, bands = 4, minJaccardPermille = 200)
     }),
 
+    // PII scrub: the synthetic corpus carries no PII, so every 3rd doc is
+    // salted with a deterministic email + phone + IPv4 (same arithmetic in
+    // the oracle SQL) — the other docs pin the zero-hit path. Counts are
+    // audit numbers over the original text; `scrubbed` is the redaction.
+    // Pure map-side regexp expressions: one pass, no shuffle, at any scale.
+    "q47_pii_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val salted = docs.withColumn("ptext",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1415555"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7 ok")))
+          .otherwise(col("text")))
+      Pii.scrubDocs(salted, col("doc_id"), col("ptext"))
+    }),
+
+    // deterministic train/val/test split: hash-bucket assignment that is
+    // stable across runs, engines and partitionings — a doc can never
+    // migrate into eval. Map-side only; the oracle replays the same hash.
+    "q48_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(Tables.documents(s, d), col("doc_id"),
+        Seq("train" -> 900, "val" -> 50, "test" -> 50), salt = "v1")
+        .select(col("doc_id"), col("split"))),
+
     // benchmark-contamination check: treat source 'src0' as the held-out
     // eval suite, everything else as the train corpus; any cross pair
     // sharing >= 2 distinct 3-gram shingles is a leakage candidate.
@@ -513,6 +539,37 @@ object PipelineQueries {
         |  MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 990 / 1000.0) AS BIGINT))
         |      THEN n_chars END) AS p990_n_chars
         |FROM r GROUP BY lang""".stripMargin
+
+    // q47: DuckDB regexes are RE2, Spark's are java.util.regex — the Pii
+    // patterns are written in the portable intersection (ASCII classes, no
+    // lookaround), and regexp_replace needs the explicit 'g' flag here.
+    m += "q47_pii_scrub" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com or +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ok'
+         |  ELSE text END AS ptext FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(ptext, '${Pii.EmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(ptext, '${Pii.PhonePattern}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(ptext, '${Pii.Ipv4Pattern}')) AS BIGINT) AS n_ipv4,
+         |  len(regexp_extract_all(ptext, '${Pii.EmailPattern}')) +
+         |    len(regexp_extract_all(ptext, '${Pii.PhonePattern}')) +
+         |    len(regexp_extract_all(ptext, '${Pii.Ipv4Pattern}')) > 0 AS has_pii,
+         |  regexp_replace(regexp_replace(regexp_replace(ptext,
+         |    '${Pii.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${Pii.PhonePattern}', '<PHONE>', 'g'),
+         |    '${Pii.Ipv4Pattern}', '<IP>', 'g') AS scrubbed
+         |FROM p""".stripMargin
+
+    m += "q48_hash_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${DuckSql.rollingHash("'v1' || ':' || CAST(doc_id AS VARCHAR)")} % 1000 AS bk
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN bk < 900 THEN 'train' WHEN bk < 950 THEN 'val' ELSE 'test' END AS split
+         |FROM b""".stripMargin
 
     m += "q38_contamination" ->
       s"""WITH ${DuckSql.shingleCtesN(3, Seq("source"))},

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: total, disjoint, and near the requested proportions") {
+    val df = spark.range(10000).toDF("id")
+    val got = Sampling.hashSplit(df, col("id"),
+      Seq("train" -> 900, "val" -> 50, "test" -> 50))
+    val counts = got.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test")) // total: no nulls
+    assert(counts.values.sum == 10000L)
+    // hash buckets are uniform-ish; 10k keys keep each split within ~20%
+    assert(math.abs(counts("train") - 9000L) < 300)
+    assert(math.abs(counts("val") - 500L) < 120)
+    assert(math.abs(counts("test") - 500L) < 120)
+  }
+
+  test("hashSplit: stable under repartitioning and across invocations") {
+    val df = spark.range(2000).toDF("id")
+    val a = Sampling.hashSplit(df, col("id"), Seq("train" -> 900, "val" -> 100))
+      .as[(Long, String)].collect().toMap
+    val b = Sampling.hashSplit(df.repartition(13), col("id"), Seq("train" -> 900, "val" -> 100))
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("hashSplit: salt redraws the assignment") {
+    val df = spark.range(2000).toDF("id")
+    val v1 = Sampling.hashSplit(df, col("id"), Seq("train" -> 500, "val" -> 500), salt = "v1")
+      .as[(Long, String)].collect().toMap
+    val v2 = Sampling.hashSplit(df, col("id"), Seq("train" -> 500, "val" -> 500), salt = "v2")
+      .as[(Long, String)].collect().toMap
+    assert(v1 != v2) // different salts draw different buckets...
+    assert(v1.keySet == v2.keySet) // ...over the same rows
+  }
+
+  test("hashSplit rejects per-milles that do not sum to 1000") {
+    val df = spark.range(10).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, col("id"), Seq("train" -> 900, "val" -> 90))
+    }
+  }
+}
