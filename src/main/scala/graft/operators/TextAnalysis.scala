@@ -136,4 +136,51 @@ object TextAnalysis {
         perMille(col("max_gram_count"), col("n_grams")).as("top_gram_permille"),
         perMille(col("n_grams") - col("n_distinct_grams"), col("n_grams"))
           .as("dup_gram_permille"))
+
+  /** Composite C4/Gopher-style quality gate — the keep/drop decision a
+    * curation pass actually applies. Every rule is a NAMED boolean column
+    * so the run is auditable per filter (what did `low_stopword` alone
+    * remove?) instead of a black-box drop; `keep` is their conjunction.
+    *
+    * The cheap signals (token count, mean token length, stopword density)
+    * are map-side expressions that compute in the scan pass; the
+    * repetition signal rides the one doc-scoped (id, gram-hash) aggregate
+    * of [[repetitionStats]] and joins back on doc_id. Documents with
+    * fewer than `n` tokens have no grams: their repetition signal is 0 —
+    * they are gated by `too_short`, not by a missing-join artifact.
+    *
+    * → (doc_id, n_tokens, mean_tok_len_permille, stopword_permille,
+    *    top_gram_permille, too_short, too_long, bad_token_shape,
+    *    low_stopword, repetitive, keep)
+    */
+  def qualityGate(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      stopwords: Seq[String] = StopwordProfiles.toMap.apply("en"),
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      minMeanTokLenPermille: Long = 3000L, maxMeanTokLenPermille: Long = 10000L,
+      minStopwordPermille: Long = 20L,
+      maxTopGramPermille: Long = 300L,
+      n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val base = df.select(
+      id.as("doc_id"),
+      tokenCount(text).cast("long").as("n_tokens"),
+      perMille(tokenCharCount(text), tokenCount(text)).as("mean_tok_len_permille"),
+      perMille(stopwordCount(lower(text), stopwords), tokenCount(text))
+        .as("stopword_permille"))
+    val rep = repetitionStats(df, id, text, n)
+      .select(col("doc_id").as("__rid"), col("top_gram_permille"))
+    base.join(rep, col("doc_id") === col("__rid"), "left")
+      .drop("__rid")
+      .withColumn("top_gram_permille", coalesce(col("top_gram_permille"), lit(0L)))
+      .withColumn("too_short", col("n_tokens") < minTokens)
+      .withColumn("too_long", col("n_tokens") > maxTokens)
+      .withColumn("bad_token_shape",
+        col("mean_tok_len_permille") < minMeanTokLenPermille ||
+          col("mean_tok_len_permille") > maxMeanTokLenPermille)
+      .withColumn("low_stopword", col("stopword_permille") < minStopwordPermille)
+      .withColumn("repetitive", col("top_gram_permille") > maxTopGramPermille)
+      .withColumn("keep",
+        !col("too_short") && !col("too_long") && !col("bad_token_shape") &&
+          !col("low_stopword") && !col("repetitive"))
+  }
 }

@@ -317,6 +317,17 @@ object PipelineQueries {
         n = 3, k = 8, bands = 4, minJaccardPermille = 200)
     }),
 
+    // composite quality gate: the keep/drop decision of a curation pass,
+    // one named boolean per rule (auditable) + their conjunction.
+    // Thresholds sit inside the synthetic corpus's signal ranges (tokens
+    // 10-99, mean-tok-len 3.7-5.3k permille, stopword 0-222 permille,
+    // top-gram 10-166 permille at sf0.01) so every flag fires on SOME docs.
+    "q49_quality_gate" -> ((s, d) =>
+      TextAnalysis.qualityGate(Tables.documents(s, d), col("doc_id"), col("text"),
+        minTokens = 30L, maxTokens = 100000L,
+        minMeanTokLenPermille = 3000L, maxMeanTokLenPermille = 5000L,
+        minStopwordPermille = 20L, maxTopGramPermille = 100L, n = 2)),
+
     // PII scrub: the synthetic corpus carries no PII, so every 3rd doc is
     // salted with a deterministic email + phone + IPv4 (same arithmetic in
     // the oracle SQL) — the other docs pin the zero-hit path. Counts are
@@ -539,6 +550,35 @@ object PipelineQueries {
         |  MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 990 / 1000.0) AS BIGINT))
         |      THEN n_chars END) AS p990_n_chars
         |FROM r GROUP BY lang""".stripMargin
+
+    m += "q49_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w, ${DuckSql.tokens("lower(text)")} AS lw FROM documents),
+         |base AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN len(w) = 0 THEN 0 ELSE
+         |    floor(list_sum(list_transform(w, x -> length(x))) * 1000 / len(w)) END AS BIGINT)
+         |    AS mean_tok_len_permille,
+         |  CAST(CASE WHEN len(w) = 0 THEN 0 ELSE
+         |    floor(len(list_filter(lw, x -> list_contains($enList, x))) * 1000 / len(w)) END AS BIGINT)
+         |    AS stopword_permille
+         |  FROM t),
+         |grams AS (SELECT doc_id, unnest(
+         |  list_transform(range(1, len(w)), i -> ${DuckSql.rollingHash("w[i] || ' ' || w[i+1]")})) AS g
+         |  FROM t WHERE len(w) >= 2),
+         |counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+         |rep AS (SELECT doc_id, CAST(floor(MAX(c) * 1000 / SUM(c)) AS BIGINT) AS tg
+         |        FROM counts GROUP BY doc_id)
+         |SELECT b.doc_id, n_tokens, mean_tok_len_permille, stopword_permille,
+         |  COALESCE(tg, 0) AS top_gram_permille,
+         |  n_tokens < 30 AS too_short,
+         |  n_tokens > 100000 AS too_long,
+         |  mean_tok_len_permille < 3000 OR mean_tok_len_permille > 5000 AS bad_token_shape,
+         |  stopword_permille < 20 AS low_stopword,
+         |  COALESCE(tg, 0) > 100 AS repetitive,
+         |  NOT (n_tokens < 30 OR n_tokens > 100000 OR
+         |       mean_tok_len_permille < 3000 OR mean_tok_len_permille > 5000 OR
+         |       stopword_permille < 20 OR COALESCE(tg, 0) > 100) AS keep
+         |FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id""".stripMargin
 
     // q47: DuckDB regexes are RE2, Spark's are java.util.regex — the Pii
     // patterns are written in the portable intersection (ASCII classes, no

@@ -102,6 +102,42 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 5L, 2L, 600L, 600L)))
   }
 
+  test("qualityGate: each rule flags its own failure mode, keep is the conjunction") {
+    val docs = Seq(
+      // 6 tokens incl. stopwords, mean len fine, no repeats -> keep
+      (1L, "the cat sat on a mat"),
+      // 3 tokens -> too_short alone ("you" keeps stopword density up)
+      (2L, "hi there you"),
+      // stopwords present, but one absurd 40-char token blows the mean
+      (3L, "the abcdefghijklmnopqrstuvwxyzabcdefghijklmn of it and a to in is you xx"),
+      // enough length, zero stopwords -> low_stopword
+      (4L, "cat dog fox hen owl bat cow pig ram ewe"),
+      // "go go" dominates the gram multiset -> repetitive
+      (5L, "the go go go go go go go go go it")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityGate(docs, col("doc_id"), col("text"),
+      minTokens = 5L, maxTokens = 100L,
+      minMeanTokLenPermille = 1000L, maxMeanTokLenPermille = 5000L,
+      minStopwordPermille = 100L, maxTopGramPermille = 500L, n = 2)
+      .select("doc_id", "too_short", "too_long", "bad_token_shape", "low_stopword",
+        "repetitive", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, false, false, false, false, false, true)))
+    assert(got(2L) == ((2L, true, false, false, false, false, false)))
+    assert(got(3L) == ((3L, false, false, true, false, false, false)))
+    assert(got(4L) == ((4L, false, false, false, true, false, false)))
+    assert(got(5L) == ((5L, false, false, false, false, true, false)))
+  }
+
+  test("qualityGate: a doc below the gram width gets repetition 0, gated by too_short") {
+    val got = TextAnalysis.qualityGate(
+      Seq((1L, "one")).toDF("doc_id", "text"), col("doc_id"), col("text"),
+      minTokens = 5L)
+      .select("top_gram_permille", "too_short", "repetitive", "keep")
+      .as[(Long, Boolean, Boolean, Boolean)].head()
+    assert(got == ((0L, true, false, false)))
+  }
+
   test("fingerprint = RollingHash of the text (codegen expression)") {
     val got = Seq("spark").toDF("text")
       .select(TextAnalysis.fingerprint(col("text"))).as[Long].head()
