@@ -7,21 +7,34 @@ import graft.SparkSpec
 /** Executes the README's "Composing the pipeline tier: a curation DAG"
   * example on the real fixture, so the documented composition cannot
   * drift from the actual operator signatures, and pins the invariants a
-  * curation pass must hold: stages only shrink the corpus, dedup keeps
-  * exactly one doc per duplicate group, the contamination gate removes
-  * every flagged doc, and packing assigns every survivor a valid slot.
+  * curation pass must hold: redaction is identity on a PII-free corpus,
+  * stages only shrink the corpus, dedup keeps exactly one doc per
+  * duplicate group, the contamination gate removes every flagged doc,
+  * packing assigns every survivor a valid slot, and the final hash split
+  * covers every survivor deterministically.
   */
 class CurationPipelineSpec extends SparkSpec {
   import spark.implicits._
 
-  test("quality gate → dedup → contamination gate → packing holds its invariants") {
+  test("pii scrub → quality gate → dedup → contamination gate → packing → split holds its invariants") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val total = docs.count()
 
-    // 1. quality gates: cheap per-row signals first
-    val scored = docs.withColumn("lang", TextAnalysis.langId($"text"))
-    val quality = TextAnalysis.repetitionStats(scored, $"doc_id", $"text", n = 2)
-    val kept = scored.join(quality.filter($"top_gram_permille" < 300).select("doc_id"), "doc_id")
+    // 0. PII redaction + language tag (map-side; corpus carries no PII, so
+    // redaction must be the identity here — pinned below)
+    val redacted = docs.drop("text")
+      .join(Pii.scrubDocs(docs, $"doc_id", $"text")
+        .select($"doc_id", $"scrubbed".as("text")), "doc_id")
+      .withColumn("lang", TextAnalysis.langId($"text"))
+    assert(redacted.count() == total)
+    assert(redacted.join(docs.select($"doc_id", $"text".as("orig")), "doc_id")
+      .filter($"text" =!= $"orig").count() == 0, "no PII in fixture -> identity")
+
+    // 1. composite quality gate: named per-rule flags, keep = conjunction
+    val kept = redacted.join(
+      TextAnalysis.qualityGate(redacted, $"doc_id", $"text",
+        minTokens = 20L, minStopwordPermille = 10L, maxTopGramPermille = 300L)
+        .filter($"keep").select("doc_id"), "doc_id")
     val nKept = kept.count()
     assert(nKept > 0 && nKept <= total)
 
@@ -53,5 +66,13 @@ class CurationPipelineSpec extends SparkSpec {
     val bad = packed.filter($"offset_in_bin" < 0 || $"offset_in_bin" >= 4096 ||
       $"bin_id" < 0 || $"pack_offset" < 0).count()
     assert(bad == 0, "every survivor has a valid window slot")
+
+    // 5. deterministic split LAST: total cover, and re-running the whole
+    // DAG cannot move a doc between train and val (hash of doc_id alone)
+    val split = Sampling.hashSplit(packed, $"doc_id", Seq("train" -> 950, "val" -> 50))
+    assert(split.filter($"split".isNull).count() == 0)
+    assert(split.count() == nClean)
+    val again = Sampling.hashSplit(packed, $"doc_id", Seq("train" -> 950, "val" -> 50))
+    assert(split.select("doc_id", "split").except(again.select("doc_id", "split")).count() == 0)
   }
 }
