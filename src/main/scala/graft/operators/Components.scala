@@ -54,13 +54,17 @@ object Components {
     *        recompute of the round's edge join — the price of surviving
     *        executor loss). When None (default), storage-local
     *        `localCheckpoint` — fastest, but lost blocks kill the job.
-    *        NOTE `unpersist()` does NOT delete reliable checkpoint data, so
-    *        a long convergence loop retains one vertex-sized snapshot per
-    *        checked round in the fault-tolerant store. Run with
-    *        `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
-    *        ContextCleaner deletes each round's files once its Dataset is
-    *        garbage-collected (the loop drops its reference every round);
-    *        otherwise clean `checkpointDir` after the job.
+    *        NOTE `unpersist()` does NOT delete reliable checkpoint data —
+    *        the loop cleans up after itself instead: each invocation
+    *        checkpoints into its own fresh subdirectory of `checkpointDir`
+    *        and deletes every finished round's snapshot as soon as the
+    *        following round has materialized, so at most three snapshots
+    *        (edges, previous labels, current labels) are ever alive. The
+    *        LAST snapshot outlives the call on purpose — the returned
+    *        DataFrame is lazy and may recompute from it; remove the
+    *        subdirectory (logged at creation) after consuming the result,
+    *        or run with
+    *        `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
     */
   def connectedComponents(
       vertices: DataFrame,
@@ -68,7 +72,13 @@ object Components {
       maxIter: Int = 25,
       checkpointDir: Option[String] = None,
       localEdgeThreshold: Long = 10000000L): DataFrame = {
-    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
+    // one unique subdirectory per invocation: round-cleanup below may then
+    // delete stale rdd-* dirs freely without racing a concurrent loop (or
+    // any other checkpoint user) sharing the same base path
+    checkpointDir.foreach { base =>
+      vertices.sparkSession.sparkContext.setCheckpointDir(
+        s"$base/cc-${java.util.UUID.randomUUID()}")
+    }
     // lazy in both modes — the next action on the result both computes it
     // and truncates its lineage in the same job
     def truncate(df: DataFrame): DataFrame =
@@ -83,7 +93,7 @@ object Components {
     val symCount = sym.count() // the one materializing action for sym
     val labels =
       if (symCount <= localEdgeThreshold) localUnionFind(sym)
-      else distributedLabels(sym, truncate, maxIter)
+      else distributedLabels(sym, truncate, maxIter, reliable = checkpointDir.isDefined)
     val out = vertices.select(col("id"))
       .join(labels.withColumnRenamed("id", "__lid"), col("id") === col("__lid"), "left")
       .select(col("id"),
@@ -118,10 +128,29 @@ object Components {
       .toDF("id", "comp")
   }
 
+  /** Delete every rdd-* snapshot under this loop's PRIVATE checkpoint
+    * subdirectory except the lowest id (the edge set — joined every round)
+    * and the highest (the labels that just materialized). Checkpoint rdd
+    * ids are assigned in creation order and this loop creates its frames
+    * strictly sequentially, so everything between the two is a finished
+    * round's state that nothing can read again. */
+  private def pruneCheckpoints(sc: org.apache.spark.SparkContext): Unit =
+    sc.getCheckpointDir.foreach { d =>
+      val path = new org.apache.hadoop.fs.Path(d)
+      val fs = path.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(path)) {
+        val rdds = fs.listStatus(path).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("rdd-"))
+          .sortBy(_.getPath.getName.stripPrefix("rdd-").toLong)
+        rdds.drop(1).dropRight(1).foreach(s => fs.delete(s.getPath, true))
+      }
+    }
+
   /** Above-threshold path: fused-pair min-label propagation (see object
     * doc). Returns (id, comp) for every edge-touched vertex. */
   private def distributedLabels(
-      sym: DataFrame, truncate: DataFrame => DataFrame, maxIter: Int): DataFrame = {
+      sym: DataFrame, truncate: DataFrame => DataFrame, maxIter: Int,
+      reliable: Boolean): DataFrame = {
     // initial label = min(id, min neighbor): exactly what round 1 would
     // compute from identity labels, for the cost of ONE aggregate instead
     // of a join + aggregate — the distinct() is folded into the groupBy
@@ -173,6 +202,12 @@ object Components {
       val s = labelSum(next)
       labels.unpersist()
       mid.foreach(_.unpersist()) // next's own blocks are live; mid's aren't
+      // reliable mode: also delete the finished rounds' snapshot FILES —
+      // unpersist() never does, and a long convergence would otherwise
+      // retain one vertex-sized snapshot per round in the fault-tolerant
+      // store. `next` just materialized, so everything between the edge
+      // set and it is dead.
+      if (reliable) pruneCheckpoints(sym.sparkSession.sparkContext)
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -82,6 +82,26 @@ class ComponentsSpec extends SparkSpec {
     assert(wrote > 0)
   }
 
+  test("reliable mode prunes finished rounds: at most 3 snapshots survive a long loop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_prune").toString
+    // a 40-vertex path needs several fused round-pairs even with halving —
+    // without pruning this retains one vertex snapshot per checked round
+    val n = 40
+    val vertices = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Components.connectedComponents(
+      vertices, edges, checkpointDir = Some(dir), localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L))
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter((p: java.nio.file.Path) =>
+        java.nio.file.Files.isDirectory(p) && p.getFileName.toString.startsWith("rdd-"))
+      .count()
+    // alive: the edge set + the final labels (+ at most the last mid,
+    // whose prune ran before the final round materialized)
+    assert(rddDirs > 0 && rddDirs <= 3, s"expected <=3 surviving snapshots, got $rddDirs")
+  }
+
   test("connected components: empty edge set keeps every vertex its own component") {
     val vertices = Seq(5L, 6L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
