@@ -75,6 +75,47 @@ object Contamination {
         TextAnalysis.perMille(col("n_shared"), col("bench_size")))
   }
 
+  /** Span-level contamination: WHERE the leakage sits in each train doc.
+    * For every (bench, train) pair sharing at least `minShared` DISTINCT
+    * n-gram shingles, returns the sorted 0-based token positions in the
+    * train doc at which a leaked shingle starts — the mask a surgical
+    * decontamination pass applies (drop or rewrite those spans, each
+    * covering tokens [pos, pos+n)) instead of discarding the whole
+    * document, which at 100 TB wastes real data on mostly-clean docs.
+    *
+    * Same inverted-index shape as [[ngramOverlapPairs]] — bench side is
+    * the distinct-shingle build side, train side the position-carrying
+    * posting list ([[TextAnalysis.ngramHashesMultiset]] is ordered, so
+    * `posexplode` IS the position index); never bench × corpus. The
+    * hot-shingle cap counts DISTINCT train docs per shingle, matching the
+    * pairs operator's semantics on its deduplicated postings.
+    *
+    * → (bench_id, train_id, n_shared, train_spans: array<bigint>).
+    */
+  def ngramOverlapSpans(
+      bench: DataFrame, benchId: Column, benchText: Column,
+      train: DataFrame, trainId: Column, trainText: Column,
+      n: Int, minShared: Int, maxShingleFreq: Long = 1000000L,
+      normalize: Column => Column = identity): DataFrame = {
+    val b = postings(bench, benchId, normalize(benchText), n, "bench_id", "__bsz")
+      .drop("__bsz")
+    val t = train
+      .select(trainId.as("train_id"),
+        posexplode(TextAnalysis.ngramHashesMultiset(normalize(trainText), n)))
+      .select(col("train_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val keep = t.groupBy(col("h"))
+      .agg(count_distinct(col("train_id")).as("df"))
+      .filter(col("df") <= maxShingleFreq)
+      .select(col("h"))
+    val tPruned = t.join(keep, "h")
+    b.hint("shuffle_hash")
+      .join(tPruned.withColumnRenamed("h", "h2"), col("h") === col("h2"))
+      .groupBy(col("bench_id"), col("train_id"))
+      .agg(count_distinct(col("h")).as("n_shared"),
+        sort_array(collect_list(col("pos"))).as("train_spans"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-benchmark-doc contamination summary: how many train docs overlap
     * it and the worst coverage. Benchmark docs with no qualifying overlap
     * are ABSENT (join the benchmark table back for a full report). */

@@ -317,6 +317,17 @@ object PipelineQueries {
         n = 3, k = 8, bands = 4, minJaccardPermille = 200)
     }),
 
+    // span-level contamination: not just WHICH train docs leak the
+    // benchmark, but WHERE — the 0-based token positions of every leaked
+    // shingle, the mask for surgical span removal instead of doc drops
+    "q50_contamination_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.ngramOverlapSpans(
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        n = 3, minShared = 2)
+    }),
+
     // composite quality gate: the keep/drop decision of a curation pass,
     // one named boolean per rule (auditable) + their conjunction.
     // Thresholds sit inside the synthetic corpus's signal ranges (tokens
@@ -550,6 +561,23 @@ object PipelineQueries {
         |  MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 990 / 1000.0) AS BIGINT))
         |      THEN n_chars END) AS p990_n_chars
         |FROM r GROUP BY lang""".stripMargin
+
+    m += "q50_contamination_spans" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS w FROM documents),
+         |bench AS (SELECT doc_id AS bench_id, unnest(list_distinct(
+         |    list_transform(range(1, len(w) - 1),
+         |      i -> ${DuckSql.rollingHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}))) AS g
+         |  FROM t WHERE source = 'src0' AND len(w) >= 3),
+         |tr AS (SELECT train_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    ${DuckSql.rollingHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS g
+         |  FROM (SELECT doc_id AS train_id, w, unnest(range(1, len(w) - 1)) AS i
+         |        FROM t WHERE source <> 'src0' AND len(w) >= 3))
+         |SELECT b.bench_id, tr.train_id,
+         |  CAST(COUNT(DISTINCT tr.g) AS BIGINT) AS n_shared,
+         |  list_sort(list(tr.pos)) AS train_spans
+         |FROM bench b JOIN tr ON b.g = tr.g
+         |GROUP BY b.bench_id, tr.train_id
+         |HAVING COUNT(DISTINCT tr.g) >= 2""".stripMargin
 
     m += "q49_quality_gate" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w, ${DuckSql.tokens("lower(text)")} AS lw FROM documents),

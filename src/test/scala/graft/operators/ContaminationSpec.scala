@@ -90,6 +90,30 @@ class ContaminationSpec extends SparkSpec {
     assert(folded == Set((1L, 10L, 3L, 1000L)))
   }
 
+  test("overlap spans: every leaked shingle's train position, repeats included") {
+    val bench = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    // train grams (pos): "z a b"0 "a b c"1 "b c d"2 "c d e"3 "d e z"4
+    //                    "e z a"5 "z a b"6 "a b c"7
+    val train = Seq((10L, "z a b c d e z a b c")).toDF("doc_id", "text")
+    val got = Contamination.ngramOverlapSpans(
+      bench, col("doc_id"), col("text"), train, col("doc_id"), col("text"),
+      n = 3, minShared = 2)
+      .select("bench_id", "train_id", "n_shared", "train_spans")
+      .as[(Long, Long, Long, Seq[Long])].collect().toSet
+    // shared distinct: "a b c","b c d","c d e"; the second "a b c" at pos 7
+    // is a repeat occurrence of a leaked shingle -> masked too
+    assert(got == Set((1L, 10L, 3L, Seq(1L, 2L, 3L, 7L))))
+  }
+
+  test("overlap spans: pairs below minShared emit nothing") {
+    val bench = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val train = Seq((10L, "a b c x y z")).toDF("doc_id", "text") // shares only "a b c"
+    val got = Contamination.ngramOverlapSpans(
+      bench, col("doc_id"), col("text"), train, col("doc_id"), col("text"),
+      n = 3, minShared = 2)
+    assert(got.count() == 0)
+  }
+
   test("contamination report aggregates per benchmark doc") {
     val bench = Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
     val train = Seq((10L, "a b c d e"), (11L, "b c d e x")).toDF("doc_id", "text")
