@@ -137,6 +137,42 @@ object TextAnalysis {
         perMille(col("n_grams") - col("n_distinct_grams"), col("n_grams"))
           .as("dup_gram_permille"))
 
+  /** Fixed-size token chunking with overlap — the segmentation pass an
+    * embedding/RAG pipeline runs before encoding: chunk `k` covers tokens
+    * `[k·step, k·step + chunkTokens)` with `step = chunkTokens −
+    * overlapTokens`, so consecutive chunks share `overlapTokens` tokens
+    * and no token is lost (the last chunk may be short). Pure map-side —
+    * tokenization, the chunk-count sequence and the slice are all Column
+    * expressions fused into the scan; 100 TB chunks in one pass with no
+    * shuffle. Chunk text is the space-rejoined token slice (whitespace
+    * normalized — the tokenizer's contract). Docs with no tokens are
+    * absent.
+    *
+    * → (doc_id, chunk_id, chunk_n_tokens, chunk_text)
+    */
+  def chunkDocs(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      chunkTokens: Int, overlapTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      s"need chunkTokens > overlapTokens >= 0, got ($chunkTokens, $overlapTokens)")
+    val step = chunkTokens - overlapTokens
+    df.select(id.as("doc_id"), tokens(text).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      // starts at 0, step, 2·step, …; last start = floor((n−1)/step)·step < n
+      // (Column `/` is DOUBLE division — floor+cast keeps sequence integral)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0),
+          floor((size(col("__toks")) - 1) / step).cast("int"))).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(chunkTokens), size(col("__toks")) - col("chunk_id") * step)
+          .cast("long").as("chunk_n_tokens"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_id") * step + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** Composite C4/Gopher-style quality gate — the keep/drop decision a
     * curation pass actually applies. Every rule is a NAMED boolean column
     * so the run is auditable per filter (what did `low_stopword` alone

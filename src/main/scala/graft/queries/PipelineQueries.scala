@@ -317,6 +317,12 @@ object PipelineQueries {
         n = 3, k = 8, bands = 4, minJaccardPermille = 200)
     }),
 
+    // token chunking: 32-token windows with 8-token overlap (step 24) —
+    // the RAG/embedding segmentation pass; map-side only, fuses into scan
+    "q51_chunking" -> ((s, d) =>
+      TextAnalysis.chunkDocs(Tables.documents(s, d), col("doc_id"), col("text"),
+        chunkTokens = 32, overlapTokens = 8)),
+
     // span-level contamination: not just WHICH train docs leak the
     // benchmark, but WHERE — the 0-based token positions of every leaked
     // shingle, the mask for surgical span removal instead of doc drops
@@ -561,6 +567,15 @@ object PipelineQueries {
         |  MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 990 / 1000.0) AS BIGINT))
         |      THEN n_chars END) AS p990_n_chars
         |FROM r GROUP BY lang""".stripMargin
+
+    m += "q51_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents WHERE len($toks) > 0),
+         |c AS (SELECT doc_id, w,
+         |  unnest(range(0, CAST(floor((len(w) - 1) / 24) AS BIGINT) + 1)) AS k FROM t)
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         |  CAST(least(32, len(w) - k * 24) AS BIGINT) AS chunk_n_tokens,
+         |  array_to_string(w[k * 24 + 1 : k * 24 + 32], ' ') AS chunk_text
+         |FROM c""".stripMargin
 
     m += "q50_contamination_spans" ->
       s"""WITH t AS (SELECT doc_id, source, $toks AS w FROM documents),

@@ -138,6 +138,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == ((0L, true, false, false)))
   }
 
+  test("chunkDocs: overlapping windows cover every token, last chunk short") {
+    // 10 tokens, chunk 4, overlap 1 -> step 3 -> starts 0,3,6,9
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, col("doc_id"), col("text"),
+      chunkTokens = 4, overlapTokens = 1)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 4L, "t6 t7 t8 t9"),
+      (1L, 3L, 1L, "t9"),          // tail chunk: short, still emitted
+      (3L, 0L, 1L, "x")))          // single-token doc: one chunk; empty doc absent
+    // coverage: every token index appears in some chunk
+    val covered = got.filter(_._1 == 1L).flatMap { case (_, k, len, _) =>
+      (k * 3 until k * 3 + len).toSet
+    }
+    assert(covered == (0L until 10L).toSet)
+  }
+
+  test("chunkDocs: zero overlap partitions exactly; bad params rejected") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, col("doc_id"), col("text"), 2, 0)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 0L, 2L, "a b"), (1L, 1L, 2L, "c d"), (1L, 2L, 1L, "e")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocs(docs, col("doc_id"), col("text"), 2, 2)
+    }
+  }
+
   test("fingerprint = RollingHash of the text (codegen expression)") {
     val got = Seq("spark").toDF("text")
       .select(TextAnalysis.fingerprint(col("text"))).as[Long].head()
