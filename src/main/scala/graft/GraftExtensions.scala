@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DeletionVariants, DotProduct, LangId, Lev1Witness, LshBucket, MinCommonVariant, MinHashSig, QuantizedDot, RollingHash, ShingleHashes, ShingleHashesAll, SimHash, TokenHashes, Unaccent}
+import graft.functions.{DeletionVariants, DotProduct, Int8Dot, LangId, Lev1Witness, LshBucket, MinCommonVariant, MinHashSig, QuantizedDot, RollingHash, ShingleHashes, ShingleHashesAll, SimHash, TokenHashes, Unaccent}
 
 /** `SparkSessionExtensions` hook exposing the engine's native expressions to
   * SQL (`spark.sql("SELECT unaccent(name) ...")`) — register with
@@ -79,6 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "quantized_dot",
       "quantized_dot(a, b) - exact BIGINT dot of floor(x*1000) components", 2) {
       args => QuantizedDot(args.head, args(1))
+    }
+    register(ext, "int8_dot",
+      "int8_dot(array<tinyint>, array<tinyint>) - exact BIGINT dot of int8 code vectors", 2) {
+      args => Int8Dot(args.head, args(1))
     }
     register(ext, "lang_id",
       "lang_id(str) - stopword-evidence language guess (de/en/es/fr/und)", 1) {

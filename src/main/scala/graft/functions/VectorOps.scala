@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
 
 /** Vector kernels for the similarity operators. Native expressions: the
   * Column form (`aggregate(zip_with(transform(...), ...))`) evaluates
@@ -18,6 +18,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   *  - [[DotProduct]]: plain double dot, left-to-right accumulation.
   */
 object VectorOps {
+  /** Integer dot product of two int8 code vectors — the hot kernel of the
+    * quantized ANN scan. Pure long arithmetic, no floats until the caller
+    * rescales by the two vectors' scales. */
+  def int8Dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
   def quantizedDot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
@@ -68,6 +82,22 @@ case class QuantizedDot(left: Expression, right: Expression) extends VectorBinar
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.functions.VectorOps.quantizedDot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
+    copy(left = l, right = r)
+}
+
+case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int8_dot"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ByteType, _), ArrayType(ByteType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<tinyint> arguments, got ${l.catalogString}, ${r.catalogString}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.int8Dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.int8Dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8Dot =
     copy(left = l, right = r)
 }
 

@@ -219,13 +219,27 @@ object Similarity {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int,
       score: (Column, Column) => Column, probeBits: Int = 1, tables: Int = 4): DataFrame = {
+    val candidateIds = lshCandidateIds(queries, corpus, planes, dim, probeBits, tables)
+    val scored = candidateIds
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")), "neighbor_id")
+      .withColumn("score", score(col("q_emb"), col("c_emb")))
+    rankTopK(scored, k)
+  }
+
+  /** The multi-table multi-probe candidate generator shared by the float
+    * and int8 re-rankers: (query_id, neighbor_id) id pairs, deduped
+    * BEFORE any embedding array is touched — a neighbor can match several
+    * (table, probe) pairs, and distinct over wide float-array rows costs
+    * far more than over two longs. */
+  private def lshCandidateIds(
+      queries: DataFrame, corpus: DataFrame, planes: Int, dim: Int,
+      probeBits: Int, tables: Int): DataFrame = {
     val cBuckets = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(col("embedding"), planes, dim, t).as("b")))
     val c = corpus
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-        explode(array(cBuckets: _*)).as("tb"))
-      .select(col("neighbor_id"), col("c_emb"),
-        col("tb.t").as("c_table"), col("tb.b").as("c_bucket"))
+      .select(col("vec_id").as("neighbor_id"), explode(array(cBuckets: _*)).as("tb"))
+      .select(col("neighbor_id"), col("tb.t").as("c_table"), col("tb.b").as("c_bucket"))
     val masks = (0L until (1L << planes)).filter(m => java.lang.Long.bitCount(m) <= probeBits)
     // compute each table's bucket once as a column, then explode the
     // (table, bucket ^ mask) probe list — keeps the plan tree linear in
@@ -236,22 +250,15 @@ object Similarity {
     }
     val qProbes = for (t <- 0 until tables; m <- masks)
       yield struct(lit(t).as("t"), col(s"__qb_$t").bitwiseXOR(lit(m)).as("b"))
-    val q = qb
-      .select(col("query_id"), col("q_emb"), explode(array(qProbes: _*)).as("tb"))
-      .select(col("query_id"), col("q_emb"), col("tb.t").as("q_table"), col("tb.b").as("probe"))
-    // dedupe on the id pair BEFORE touching embedding arrays: a neighbor
-    // can match several (table, probe) pairs, and distinct over wide
-    // float-array rows costs far more than over two longs
-    val candidateIds = q.select(col("query_id"), col("q_table"), col("probe"))
-      .join(c.select(col("neighbor_id"), col("c_table"), col("c_bucket")),
-        col("q_table") === col("c_table") && col("probe") === col("c_bucket"))
+    qb.select(col("query_id"), explode(array(qProbes: _*)).as("tb"))
+      .select(col("query_id"), col("tb.t").as("q_table"), col("tb.b").as("probe"))
+      .join(c, col("q_table") === col("c_table") && col("probe") === col("c_bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val scored = candidateIds
-      .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "query_id")
-      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")), "neighbor_id")
-      .withColumn("score", score(col("q_emb"), col("c_emb")))
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -259,5 +266,53 @@ object Similarity {
           .orderBy(col("score").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+
+  /** Per-row symmetric int8 quantization: `scale8` = max |component| (0
+    * for the zero vector), `code8ᵢ` = round(127·xᵢ/scale8) as tinyint —
+    * reconstruction error ≤ scale8/254 per component. The 100 TB play:
+    * the stored ANN index keeps codes + one float scale (4× smaller than
+    * float32) and DROPS the float embeddings after bucketing. Built-in
+    * HOFs are fine here — quantization is the index-BUILD pass; the scan
+    * kernel is the native [[graft.functions.Int8Dot]]. */
+  def int8Quantize(df: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val e = col(embCol)
+    df.withColumn("scale8",
+        coalesce(array_max(transform(e, x => abs(x))), lit(0f)).cast("float"))
+      .withColumn("code8",
+        when(col("scale8") === 0f,
+          transform(e, _ => lit(0).cast("byte")))
+          .otherwise(transform(e, x => round(x * lit(127f) / col("scale8")).cast("byte"))))
+  }
+
+  /** Approximate dot from int8 codes: int8_dot(a,b) · sa·sb / 127². */
+  def int8Score(aCode: Column, aScale: Column, bCode: Column, bScale: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(graft.functions.Int8Dot(
+      org.apache.spark.sql.graft.Bridge.expression(aCode),
+      org.apache.spark.sql.graft.Bridge.expression(bCode))) *
+      aScale.cast("double") * bScale.cast("double") / lit(16129.0)
+
+  /** [[lshTopK]] with int8-quantized re-ranking — the memory-bound-ANN
+    * configuration: same multi-table multi-probe candidate generation
+    * (buckets hash the floats at index-build time), but the re-rank scan
+    * reads 1-byte codes through the integer [[graft.functions.Int8Dot]]
+    * kernel, so the serving index is ~4× smaller and the scan ~4× less
+    * memory-bandwidth-bound. Recall vs the exact float scorer is
+    * property-tested, not assumed. */
+  def lshTopKInt8(
+      queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int,
+      probeBits: Int = 1, tables: Int = 4): DataFrame = {
+    val candidateIds = lshCandidateIds(queries, corpus, planes, dim, probeBits, tables)
+    val cIdx = int8Quantize(corpus.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("neighbor_id"),
+        col("code8").as("c_code"), col("scale8").as("c_scale"))
+    val qIdx = int8Quantize(queries.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"),
+        col("code8").as("q_code"), col("scale8").as("q_scale"))
+    val scored = candidateIds
+      .join(qIdx, "query_id")
+      .join(cIdx, "neighbor_id")
+      .withColumn("score",
+        int8Score(col("q_code"), col("q_scale"), col("c_code"), col("c_scale")))
+    rankTopK(scored, k)
   }
 }

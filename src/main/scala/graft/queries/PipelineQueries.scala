@@ -317,6 +317,19 @@ object PipelineQueries {
         n = 3, k = 8, bands = 4, minJaccardPermille = 200)
     }),
 
+    // int8-quantized ANN: same LSH candidate generation as q27, but the
+    // re-rank scan reads 1-byte codes through the integer Int8Dot kernel —
+    // the serving index is 4x smaller and drops the float embeddings.
+    // Rows-only like q27 (float rescale); SimilaritySpec pins recall.
+    "q52_ann_int8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopKInt8(
+        emb.filter(col("vec_id") < 64), emb, k = 5, planes = 6, dim = 64,
+        probeBits = 2, tables = 8)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // token chunking: 32-token windows with 8-token overlap (step 24) —
     // the RAG/embedding segmentation pass; map-side only, fuses into scan
     "q51_chunking" -> ((s, d) =>
@@ -766,10 +779,11 @@ object PipelineQueries {
          |WHERE a.vec_id < 256 AND a.vec_id < b.vec_id
          |  AND CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) AS BIGINT) >= 400000""".stripMargin
 
-    // q27_ann_lsh, q37_ann_ivf and q39_semdedup intentionally have NO
-    // oracle: LSH recall is probabilistic and k-means cells are trained
-    // artifacts. The driver records rows-only checks; SimilaritySpec /
-    // SemDedupSpec assert recall and soundness vs the exact forms instead.
+    // q27_ann_lsh, q37_ann_ivf, q39_semdedup and q52_ann_int8 intentionally
+    // have NO oracle: LSH recall is probabilistic, k-means cells are
+    // trained artifacts, and int8 rescaling is float arithmetic. The driver
+    // records rows-only checks; SimilaritySpec / SemDedupSpec assert
+    // recall, reconstruction error and soundness vs the exact forms.
     m.result()
   }
 

@@ -52,7 +52,8 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  lev1_witness('abc', 'abd') AS w,
         |  lev1_witness('abc', 'abcde') AS w2,
         |  quantized_dot(array(cast(1.0 as float)), array(cast(2.0 as float))) AS qd,
-        |  dot_product(array(cast(1.0 as float)), array(cast(2.0 as float))) AS dp
+        |  dot_product(array(cast(1.0 as float)), array(cast(2.0 as float))) AS dp,
+        |  int8_dot(array(cast(3 as tinyint)), array(cast(-2 as tinyint))) AS i8
         |""".stripMargin).head()
     assert(row.getString(0) == "Motorhead")
     assert(row.getLong(1) == 97L * 31 + 98)
@@ -67,6 +68,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.isNullAt(10)) // length gap 2 -> lev >= 2, no witness
     assert(row.getLong(11) == 1000L * 2000)
     assert(row.getDouble(12) == 2.0)
+    assert(row.getLong(13) == -6L)
   }
 
   test("lang_id and minhash_sig are callable from SQL") {

@@ -57,6 +57,49 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("int8Quantize: reconstruction within a quantization step, zero-vector safe") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").limit(100)
+      .union(Seq((99999L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val q = Similarity.int8Quantize(emb)
+    // max |x - code*scale/127| over all components <= scale/127 (round-off)
+    val worst = q.select(
+      array_max(zip_with(col("embedding"), col("code8"),
+        (x, c) => abs(x - c.cast("float") * col("scale8") / lit(127f)))).as("err"),
+      (col("scale8") / lit(127f)).as("bound"))
+      .filter(col("err") > col("bound")).count()
+    assert(worst == 0)
+    // zero vector: scale 0, all-zero codes, no NaN
+    val z = q.filter(col("vec_id") === 99999L)
+      .select(col("scale8"), array_max(col("code8")).cast("int"))
+      .as[(Float, Int)].head()
+    assert(z == ((0f, 0)))
+  }
+
+  test("int8_dot kernel: exact integer dot on known codes") {
+    val got = Seq((Seq(1.toByte, 2.toByte, 3.toByte), Seq(4.toByte, 5.toByte, 127.toByte)))
+      .toDF("a", "b")
+      .select(org.apache.spark.sql.graft.Bridge.column(graft.functions.Int8Dot(
+        org.apache.spark.sql.graft.Bridge.expression(col("a")),
+        org.apache.spark.sql.graft.Bridge.expression(col("b")))))
+      .as[Long].head()
+    assert(got == 4L + 10L + 381L)
+  }
+
+  test("lshTopKInt8 recall@5 vs float brute force (quantized re-rank)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5, Similarity.quantizedDot)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val int8 = Similarity.lshTopKInt8(queries, emb, 5, planes = 6, dim = 64,
+      probeBits = 2, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(int8).size.toDouble / exact.size
+    // same candidate sets as the float lshTopK (recall 0.80); int8
+    // re-ranking may flip near-ties only
+    assert(recall >= 0.7, s"int8 recall@5 = $recall")
+  }
+
   test("ivfTopK recall@5 vs brute force (seeded kmeans, clustered corpus)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 20)
