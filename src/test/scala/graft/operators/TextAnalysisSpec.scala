@@ -157,6 +157,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(covered == (0L until 10L).toSet)
   }
 
+  test("chunkDocs: coverage and content for arbitrary sizes (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      chunk <- Gen.choose(2, 8)
+      overlap <- Gen.choose(0, chunk - 1)
+    } yield (n, chunk, overlap)
+    val prop = Prop.forAll(gen) { case (n, chunk, overlap) =>
+      val toks = (0 until n).map(i => s"w$i")
+      val step = chunk - overlap
+      val got = TextAnalysis.chunkDocs(
+        Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), chunk, overlap)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+      // every chunk's text is exactly the original token slice at its start
+      val contentOk = got.forall { case (_, k, len, txt) =>
+        txt == toks.slice((k * step).toInt, (k * step).toInt + len.toInt).mkString(" ") &&
+          len == math.min(chunk, n - k * step)
+      }
+      // the union of [start, start+len) covers [0, n) with no gaps
+      val covered = got.flatMap { case (_, k, len, _) =>
+        (k * step) until (k * step + len)
+      }.toSet
+      contentOk && covered == (0L until n.toLong).toSet
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("chunkDocs: zero overlap partitions exactly; bad params rejected") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val got = TextAnalysis.chunkDocs(docs, col("doc_id"), col("text"), 2, 0)
