@@ -137,6 +137,26 @@ object TextAnalysis {
         perMille(col("n_grams") - col("n_distinct_grams"), col("n_grams"))
           .as("dup_gram_permille"))
 
+  /** Corpus-level boilerplate mining: document frequency of every distinct
+    * word n-gram, top `k` by df. The dedup/contamination tier's hot-shingle
+    * caps BOUND the cost of boilerplate grams — this op IDENTIFIES them
+    * (license headers, navigation chrome) so ingest can strip or blocklist
+    * the text itself. Grams surface as strings here (a blocklist is for
+    * humans and strippers, not hash joins). One explode + one hash
+    * aggregate + a global top-k — `limit` after `orderBy` plans as
+    * TakeOrdered: each partition keeps only its own top `k`, the driver
+    * merges k·partitions rows, so the global sort never shuffles the gram
+    * table. Ties at the cutoff break on the gram string — deterministic.
+    * → (gram, df) ordered by df desc, gram asc. */
+  def topNgrams(
+      df: org.apache.spark.sql.DataFrame, text: Column,
+      n: Int, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(Dedup.shingles(text, n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(k)
+
   /** Fixed-size token chunking with overlap — the segmentation pass an
     * embedding/RAG pipeline runs before encoding: chunk `k` covers tokens
     * `[k·step, k·step + chunkTokens)` with `step = chunkTokens −

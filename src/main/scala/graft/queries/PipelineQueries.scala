@@ -317,6 +317,12 @@ object PipelineQueries {
         n = 3, k = 8, bands = 4, minJaccardPermille = 200)
     }),
 
+    // corpus-level boilerplate mining: top-20 trigrams by document
+    // frequency — the list ingest turns into a strip/blocklist; the
+    // hot-shingle caps elsewhere only BOUND these grams' cost
+    "q53_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(Tables.documents(s, d), col("text"), n = 3, k = 20)),
+
     // int8-quantized ANN: same LSH candidate generation as q27, but the
     // re-rank scan reads 1-byte codes through the integer Int8Dot kernel —
     // the serving index is 4x smaller and drops the float embeddings.
@@ -580,6 +586,14 @@ object PipelineQueries {
         |  MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 990 / 1000.0) AS BIGINT))
         |      THEN n_chars END) AS p990_n_chars
         |FROM r GROUP BY lang""".stripMargin
+
+    m += "q53_top_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+         |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+         |  FROM t WHERE len(w) >= 3)
+         |SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+         |ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin
 
     m += "q51_chunking" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents WHERE len($toks) > 0),

@@ -138,6 +138,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == ((0L, true, false, false)))
   }
 
+  test("topNgrams: document frequency (not occurrences), deterministic cutoff") {
+    val docs = Seq(
+      (1L, "the same header x"),      // "the same header" + "same header x"
+      (2L, "the same header y"),
+      (3L, "the same header the same header"), // repeats within doc count ONCE
+      (4L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(docs, col("text"), n = 3, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // df("the same header") = 3 docs (doc 3's repeat not double-counted);
+    // everything else df = 1, tie broken alphabetically
+    assert(got == Seq(
+      ("the same header", 3L),
+      ("a b c", 1L),
+      ("b c d", 1L)))
+  }
+
   test("chunkDocs: overlapping windows cover every token, last chunk short") {
     // 10 tokens, chunk 4, overlap 1 -> step 3 -> starts 0,3,6,9
     val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
