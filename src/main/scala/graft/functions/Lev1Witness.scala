@@ -10,8 +10,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * computed ARITHMETICALLY in O(|a|+|b|), no neighborhood materialization:
   *
   *   - `a == b`           → `a` (itself — always in both neighborhoods)
-  *   - `|a| == |b| ± 1`   → the shorter string (it IS a deletion variant of
-  *                          the longer when the edit is an insert/delete)
+  *   - `|a| == |b| ± 1`   → the shorter string if deleting the longer's
+  *                          first-mismatch character makes them equal
+  *                          (single insert/delete); otherwise `lev ≥ 2` →
+  *                          null
   *   - `|a| == |b|, a≠b`  → if the suffixes after the first mismatching
   *                          position `i` agree, the pair is a single
   *                          substitution and deleting `i` from either side
@@ -32,8 +34,18 @@ object Lev1Witness {
     if (sa == sb) return a
     val la = sa.length
     val lb = sb.length
-    if (la == lb + 1) return b
-    if (lb == la + 1) return a
+    // |a| = |b| + 1: the shorter is a witness only if it really is a
+    // single deletion of the longer — skip the longer's first mismatching
+    // char and require the tails to agree (self-containment for
+    // standalone SQL use; lev('abc','xy') must yield null, not 'xy')
+    if (math.abs(la - lb) == 1) {
+      val (long, short, witness) = if (la > lb) (sa, sb, b) else (sb, sa, a)
+      var i = 0
+      while (i < short.length && long.charAt(i) == short.charAt(i)) i += 1
+      var j = i
+      while (j < short.length && long.charAt(j + 1) == short.charAt(j)) j += 1
+      return if (j == short.length) witness else null // 2nd mismatch → lev ≥ 2
+    }
     if (la != lb) return null // length gap ≥ 2 → lev ≥ 2
     var i = 0
     while (i < la && sa.charAt(i) == sb.charAt(i)) i += 1

@@ -74,9 +74,12 @@ object GenerateDataset {
   /** Ship the export to a serving database over JDBC — the final leg of the
     * reference's deployment story (`README.md:206-227` dumps the 5 tables
     * with pg_dump and restores them into the serving Postgres). `overwrite`
-    * replaces each table atomically from the database's view of a writer
-    * (the serving schema is rebuilt per run, like a restore into a fresh
-    * DB), standing in for the reference's per-artist upsert transactions.
+    * is Spark's drop-recreate-insert — NOT atomic from a concurrent
+    * reader's view (readers mid-write see a missing or partial table).
+    * Like the reference's restore flow, load into a FRESH schema/database
+    * (the `table` mapper re-points the names) and switch the serving
+    * alias over once the load commits; don't overwrite live tables in
+    * place.
     *
     * `writePartitions` bounds write parallelism: every task holds one JDBC
     * connection, and a 1000-executor cluster must not open 32k connections

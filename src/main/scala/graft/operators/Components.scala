@@ -38,16 +38,20 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** → (id, component_id = min reachable id). `vertices` must have column
     * `id`; `edges` columns `src`/`dst` (undirected: both orientations are
     * generated internally). Isolated vertices keep their own id.
     *
     * @param localEdgeThreshold run the single-task union-find when the
-    *        symmetrized edge list has at most this many rows (default 10M
-    *        ≈ 160 MB in one task — far under executor memory; dup-pair
-    *        graphs at 100 TB corpus scale are typically well inside this).
-    *        Set 0 to force the distributed loop (the specs do, to pin both
-    *        paths against each other).
+    *        symmetrized edge list has at most this many rows. At the 10M
+    *        default the one task streams a ~160 MB edge list and holds a
+    *        disjoint-set map for up to 20M touched vertices — on the order
+    *        of 1-2 GB of primitive-array state, inside a normally-sized
+    *        executor; lower the threshold for small executors. Set 0 to
+    *        force the distributed loop (the specs do, to pin both paths
+    *        against each other).
     * @param checkpointDir when set, per-round state in the distributed
     *        path is checkpointed reliably under this fault-tolerant path
     *        (HDFS/S3 on a real cluster; the reliable write is one extra
@@ -57,14 +61,20 @@ object Components {
     *        NOTE `unpersist()` does NOT delete reliable checkpoint data —
     *        the loop cleans up after itself instead: each invocation
     *        checkpoints into its own fresh subdirectory of `checkpointDir`
-    *        and deletes every finished round's snapshot as soon as the
-    *        following round has materialized, so at most three snapshots
-    *        (edges, previous labels, current labels) are ever alive. The
-    *        LAST snapshot outlives the call on purpose — the returned
-    *        DataFrame is lazy and may recompute from it; remove the
-    *        subdirectory (logged at creation) after consuming the result,
-    *        or run with
+    *        (path logged at INFO) and deletes every finished round's
+    *        snapshot as soon as the following round has materialized, so
+    *        at most three snapshots (edges, previous labels, current
+    *        labels) are ever alive. The LAST snapshot outlives the call on
+    *        purpose — the returned DataFrame is lazy and may recompute
+    *        from it; remove the logged subdirectory after consuming the
+    *        result, or run with
     *        `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
+    *        Checkpoint placement is a SparkContext-GLOBAL setting, so
+    *        reliable mode claims it for the duration of the call (the
+    *        previous value is restored before returning) — concurrent
+    *        reliable-mode invocations on one SparkContext are NOT
+    *        supported; run them serially or give each its own session's
+    *        context.
     */
   def connectedComponents(
       vertices: DataFrame,
@@ -72,33 +82,50 @@ object Components {
       maxIter: Int = 25,
       checkpointDir: Option[String] = None,
       localEdgeThreshold: Long = 10000000L): DataFrame = {
-    // one unique subdirectory per invocation: round-cleanup below may then
-    // delete stale rdd-* dirs freely without racing a concurrent loop (or
-    // any other checkpoint user) sharing the same base path
-    checkpointDir.foreach { base =>
-      vertices.sparkSession.sparkContext.setCheckpointDir(
-        s"$base/cc-${java.util.UUID.randomUUID()}")
+    val sc = vertices.sparkSession.sparkContext
+    val prevCkptDir = sc.getCheckpointDir
+    // one unique subdirectory per invocation: round-cleanup may then
+    // delete stale rdd-* dirs freely without touching anything another
+    // (earlier or later) checkpoint user put under the same base path
+    val ourDir = checkpointDir.map { base =>
+      sc.setCheckpointDir(s"$base/cc")
+      // setCheckpointDir appends its own random UUID segment — read the
+      // REAL directory back so per-round pruning lists the right path
+      val d = sc.getCheckpointDir.get
+      log.info(s"reliable round checkpoints under $d — " +
+        "remove after consuming the result")
+      d
     }
-    // lazy in both modes — the next action on the result both computes it
-    // and truncates its lineage in the same job
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
-    // materialize the symmetrized edge set once: the path choice needs its
-    // count, every propagation round joins against it, and the caller's
-    // edge lineage (e.g. near-dup pair mining) must not re-execute per use
-    val sym = truncate(
-      edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst"))))
-    val symCount = sym.count() // the one materializing action for sym
-    val labels =
-      if (symCount <= localEdgeThreshold) localUnionFind(sym)
-      else distributedLabels(sym, truncate, maxIter, reliable = checkpointDir.isDefined)
-    val out = vertices.select(col("id"))
-      .join(labels.withColumnRenamed("id", "__lid"), col("id") === col("__lid"), "left")
-      .select(col("id"),
-        coalesce(col("comp"), col("id").cast("long")).as("component_id"))
-    out
+    try {
+      // lazy in both modes — the next action on the result both computes
+      // it and truncates its lineage in the same job
+      def truncate(df: DataFrame): DataFrame =
+        if (checkpointDir.isDefined) df.checkpoint(eager = false)
+        else df.localCheckpoint(eager = false)
+      // materialize the symmetrized edge set once: the path choice needs
+      // its count, every propagation round joins against it, and the
+      // caller's edge lineage (e.g. near-dup pair mining) must not
+      // re-execute per use
+      val sym = truncate(
+        edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst"))))
+      val symCount = sym.count() // the one materializing action for sym
+      val labels =
+        if (symCount <= localEdgeThreshold) localUnionFind(sym)
+        else distributedLabels(sym, truncate, maxIter, ourDir)
+      vertices.select(col("id"))
+        .join(labels.withColumnRenamed("id", "__lid"), col("id") === col("__lid"), "left")
+        .select(col("id"),
+          coalesce(col("comp"), col("id").cast("long")).as("component_id"))
+    } finally {
+      // every .checkpoint() call in this invocation has already captured
+      // its placement, so restoring the global setting here is safe even
+      // though the returned frame is still lazy
+      if (checkpointDir.isDefined) prevCkptDir match {
+        case Some(d) => sc.setCheckpointDir(d)
+        case None => sc.setCheckpointDir(null)
+      }
+    }
   }
 
   /** Below-threshold path: the whole edge list through ONE task's
@@ -123,7 +150,14 @@ object Components {
           val rs = find(s); val rd = find(d)
           if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
         }
-        parent.keysIterator.map(k => (k, find(k))).toArray.iterator
+        // snapshot the keys as one primitive array (8 B/vertex), then
+        // STREAM the (id, root) rows — materializing boxed tuples for all
+        // touched vertices at once would multiply the task's memory. The
+        // final find() calls only compress values (every chain ends at an
+        // already-registered root), so iterating over the snapshot while
+        // the map's values update is safe.
+        val ks = parent.keysIterator.toArray
+        ks.iterator.map(k => (k, find(k)))
       }
       .toDF("id", "comp")
   }
@@ -134,23 +168,22 @@ object Components {
     * ids are assigned in creation order and this loop creates its frames
     * strictly sequentially, so everything between the two is a finished
     * round's state that nothing can read again. */
-  private def pruneCheckpoints(sc: org.apache.spark.SparkContext): Unit =
-    sc.getCheckpointDir.foreach { d =>
-      val path = new org.apache.hadoop.fs.Path(d)
-      val fs = path.getFileSystem(sc.hadoopConfiguration)
-      if (fs.exists(path)) {
-        val rdds = fs.listStatus(path).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("rdd-"))
-          .sortBy(_.getPath.getName.stripPrefix("rdd-").toLong)
-        rdds.drop(1).dropRight(1).foreach(s => fs.delete(s.getPath, true))
-      }
+  private def pruneCheckpoints(sc: org.apache.spark.SparkContext, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(sc.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val rdds = fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("rdd-"))
+        .sortBy(_.getPath.getName.stripPrefix("rdd-").toLong)
+      rdds.drop(1).dropRight(1).foreach(s => fs.delete(s.getPath, true))
     }
+  }
 
   /** Above-threshold path: fused-pair min-label propagation (see object
     * doc). Returns (id, comp) for every edge-touched vertex. */
   private def distributedLabels(
       sym: DataFrame, truncate: DataFrame => DataFrame, maxIter: Int,
-      reliable: Boolean): DataFrame = {
+      reliableDir: Option[String]): DataFrame = {
     // initial label = min(id, min neighbor): exactly what round 1 would
     // compute from identity labels, for the cost of ONE aggregate instead
     // of a join + aggregate — the distinct() is folded into the groupBy
@@ -207,7 +240,7 @@ object Components {
       // retain one vertex-sized snapshot per round in the fault-tolerant
       // store. `next` just materialized, so everything between the edge
       // set and it is dead.
-      if (reliable) pruneCheckpoints(sym.sparkSession.sparkContext)
+      reliableDir.foreach(pruneCheckpoints(sym.sparkSession.sparkContext, _))
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -71,7 +71,11 @@ object Multimodal {
             finally r.dispose()
           }
         } finally iis.close()
-      } catch { case _: java.io.IOException => (0, 0) }
+        // NonFatal, not just IOException: the JDK's GIF/BMP/PNG readers
+        // throw unchecked exceptions (IndexOutOfBounds, IllegalArgument…)
+        // on crafted or truncated headers, and the contract is that a bad
+        // row can never kill the job
+      } catch { case scala.util.control.NonFatal(_) => (0, 0) }
     }
   }
 
@@ -174,7 +178,9 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(out, outputFormat, bos)
         bos.toByteArray
-      } catch { case _: java.io.IOException => Array.emptyByteArray }
+        // NonFatal for the same reason as [[ImageIoDecoder]]: malformed
+        // payloads throw unchecked exceptions inside the JDK codecs
+      } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
     }
   }
 

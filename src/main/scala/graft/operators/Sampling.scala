@@ -28,7 +28,10 @@ object Sampling {
     * under repartitioning and retries — which is exactly what a training
     * pipeline needs: a document NEVER migrates between train and eval
     * across runs, engines, or cluster layouts (`randomSplit` guarantees
-    * none of that). `salt` versions the split: bump it to redraw. */
+    * none of that). `salt` versions the split: bump it to redraw.
+    * Null keys hash as the empty string, so they too get a deterministic
+    * total assignment (all landing in one split) rather than a silent
+    * `split = null` that downstream train/val filters would drop. */
   def hashSplit(
       df: DataFrame,
       key: Column,
@@ -36,7 +39,7 @@ object Sampling {
       salt: String = "v1"): DataFrame = {
     require(splitsPermille.map(_._2).sum == 1000,
       s"split per-milles must sum to 1000, got ${splitsPermille.map(_._2).sum}")
-    val bucket = sampleBucket(lit(salt), key)
+    val bucket = sampleBucket(lit(salt), coalesce(key.cast("string"), lit("")))
     val (assign, _) = splitsPermille.foldLeft((lit(null).cast("string"): Column, 0)) {
       case ((acc, cum), (name, p)) =>
         (when(bucket >= cum && bucket < cum + p, name).otherwise(acc), cum + p)

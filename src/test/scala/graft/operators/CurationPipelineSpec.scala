@@ -20,11 +20,10 @@ class CurationPipelineSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val total = docs.count()
 
-    // 0. PII redaction + language tag (map-side; corpus carries no PII, so
-    // redaction must be the identity here — pinned below)
-    val redacted = docs.drop("text")
-      .join(Pii.scrubDocs(docs, $"doc_id", $"text")
-        .select($"doc_id", $"scrubbed".as("text")), "doc_id")
+    // 0. PII redaction + language tag (map-side projection, NO join/
+    // shuffle; corpus carries no PII, so redaction must be the identity —
+    // pinned below)
+    val redacted = docs.withColumn("text", Pii.scrub($"text"))
       .withColumn("lang", TextAnalysis.langId($"text"))
     assert(redacted.count() == total)
     assert(redacted.join(docs.select($"doc_id", $"text".as("orig")), "doc_id")

@@ -39,6 +39,18 @@ class SamplingSpec extends SparkSpec {
     assert(v1.keySet == v2.keySet) // ...over the same rows
   }
 
+  test("hashSplit: null keys get a deterministic split, never split=null") {
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+    val got = Sampling.hashSplit(df, col("id"), Seq("train" -> 900, "val" -> 100))
+    assert(got.filter(col("split").isNull).count() == 0)
+    // null hashes like the empty string -> same bucket as an ''-keyed row
+    val nullSplit = got.filter(col("id").isNull).select("split").as[String].head()
+    val emptySplit = Sampling.hashSplit(
+      Seq("").toDF("id"), col("id"), Seq("train" -> 900, "val" -> 100))
+      .select("split").as[String].head()
+    assert(nullSplit == emptySplit)
+  }
+
   test("hashSplit rejects per-milles that do not sum to 1000") {
     val df = spark.range(10).toDF("id")
     intercept[IllegalArgumentException] {

@@ -78,8 +78,9 @@ class SimilarityJoinSpec extends SparkSpec {
         .as[Option[String]].head()
       if (levenshteinDist(a, b) <= 1)
         w.exists(v => variants(a).contains(v) && variants(b).contains(v))
-      else if (math.abs(a.length - b.length) >= 2) w.isEmpty
-      else true // same/±1 length but lev >= 2: witness defined but unused (lev guard runs first)
+      else w.isEmpty // self-contained: EVERY lev >= 2 pair yields null,
+                     // including same-length and ±1-length pairs — the
+                     // function is safe for standalone SQL use
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
     assert(res.passed, res.status.toString)
