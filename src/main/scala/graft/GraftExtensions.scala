@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DeletionVariants, DotProduct, Int8Dot, LangId, Lev1Witness, LshBucket, MinCommonVariant, MinHashSig, QuantizedDot, RollingHash, ShingleHashes, ShingleHashesAll, SimHash, TokenHashes, Unaccent}
+import graft.functions.{DeletionVariants, DotProduct, Int8Dot, LangId, Lev1Witness, LshBucket, MinCommonVariant, MinHashSig, QuantizedDot, RollingHash, ShingleHashes, ShingleHashesAll, Shingles, SimHash, TokenHashes, Unaccent}
 
 /** `SparkSessionExtensions` hook exposing the engine's native expressions to
   * SQL (`spark.sql("SELECT unaccent(name) ...")`) — register with
@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "shingle_hashes",
       "shingle_hashes(str, n) - distinct rolling_hash of word n-grams", 2) {
       args => ShingleHashes(args.head, foldableInt(args(1), "shingle_hashes n"))
+    }
+    register(ext, "shingles",
+      "shingles(str, n) - distinct space-joined word n-grams as strings", 2) {
+      args => Shingles(args.head, foldableInt(args(1), "shingles n"))
     }
     register(ext, "shingle_hashes_all",
       "shingle_hashes_all(str, n) - rolling_hash of word n-grams, duplicates kept", 2) {

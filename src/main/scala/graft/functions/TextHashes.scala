@@ -82,6 +82,31 @@ object TextHashes {
     new GenericArrayData(out.toArray)
   }
 
+  /** Distinct space-joined word n-grams as STRINGS, first-occurrence
+    * order — the surface form for boilerplate mining ([[Shingles]]), where
+    * the output feeds a human-readable blocklist rather than a hash join.
+    * Same tokenization and windowing as [[shingleHashes]]. */
+  def shingles(u: UTF8String, n: Int): ArrayData = {
+    val s = u.toString
+    val bounds = tokenBounds(s)
+    if (bounds.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new mutable.LinkedHashSet[String]()
+    var g = 0
+    while (g <= bounds.length - n) {
+      val sb = new java.lang.StringBuilder(bounds(g + n - 1)._2 - bounds(g)._1)
+      var t = 0
+      while (t < n) {
+        if (t > 0) sb.append(' ')
+        val (a, b) = bounds(g + t)
+        sb.append(s, a, b)
+        t += 1
+      }
+      seen += sb.toString
+      g += 1
+    }
+    new GenericArrayData(seen.toArray.map(g => UTF8String.fromString(g): Any))
+  }
+
   @inline private def eachShingleHash(u: UTF8String, n: Int)(emit: Long => Unit): Unit = {
     val s = u.toString
     val bounds = tokenBounds(s)
@@ -119,6 +144,21 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.tokenHashes($c)")
   override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType] && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingles requires a string argument and n >= 1")
+  override def prettyName: String = "shingles"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
 }
 

@@ -83,7 +83,11 @@ object Components {
       checkpointDir: Option[String] = None,
       localEdgeThreshold: Long = 10000000L): DataFrame = {
     val sc = vertices.sparkSession.sparkContext
-    val prevCkptDir = sc.getCheckpointDir
+    // save the RAW checkpoint dir: setCheckpointDir appends a UUID segment
+    // on every call, so restoring through the public setter would nest the
+    // caller's dir one level deeper — the CoreBridge accessors restore the
+    // exact prior value
+    val prevCkptDir = org.apache.spark.graft.CoreBridge.getCheckpointDirRaw(sc)
     // one unique subdirectory per invocation: round-cleanup may then
     // delete stale rdd-* dirs freely without touching anything another
     // (earlier or later) checkpoint user put under the same base path
@@ -97,36 +101,62 @@ object Components {
       d
     }
     try {
-      // lazy in both modes — the next action on the result both computes
-      // it and truncates its lineage in the same job
-      def truncate(df: DataFrame): DataFrame =
-        if (checkpointDir.isDefined) df.checkpoint(eager = false)
-        else df.localCheckpoint(eager = false)
+      // Truncation with a RELEASE handle. Local mode checkpoints the
+      // InternalRow RDD directly (rows copied — toRdd reuses row buffers)
+      // so the storage blocks can actually be freed per round:
+      // Dataset.localCheckpoint hides its RDD and Dataset.unpersist only
+      // consults the CacheManager, which never registered it. Lazy in both
+      // modes — the next action both computes and truncates in one job.
+      def snap(df: DataFrame): Snap =
+        if (checkpointDir.isDefined) Snap(df.checkpoint(eager = false), () => ())
+        else {
+          val rdd = df.queryExecution.toRdd.map(_.copy())
+          rdd.localCheckpoint()
+          Snap(
+            org.apache.spark.sql.graft.Bridge.internalCreateDataFrame(
+              df.sparkSession, rdd, df.schema),
+            () => { rdd.unpersist(blocking = false); () })
+        }
       // materialize the symmetrized edge set once: the path choice needs
       // its count, every propagation round joins against it, and the
       // caller's edge lineage (e.g. near-dup pair mining) must not
-      // re-execute per use
-      val sym = truncate(
+      // re-execute per use. Null endpoints are dropped up front — the old
+      // propagation joins ignored them implicitly; the union-find
+      // deserializer would throw on them.
+      val symSnap = snap(
         edges.select(col("src").cast("long"), col("dst").cast("long"))
-          .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst"))))
+          .filter(col("src").isNotNull && col("dst").isNotNull)
+          .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst"))
+            .filter(col("src").isNotNull && col("dst").isNotNull)))
+      val sym = symSnap.df
       val symCount = sym.count() // the one materializing action for sym
       val labels =
         if (symCount <= localEdgeThreshold) localUnionFind(sym)
-        else distributedLabels(sym, truncate, maxIter, ourDir)
+        else {
+          // the loop's final labels are themselves truncated, so the edge
+          // blocks can be released as soon as the iteration is done; the
+          // union-find path stays lazy over sym and must keep them
+          val l = distributedLabels(sym, snap, maxIter, ourDir)
+          symSnap.release()
+          l
+        }
       vertices.select(col("id"))
         .join(labels.withColumnRenamed("id", "__lid"), col("id") === col("__lid"), "left")
         .select(col("id"),
           coalesce(col("comp"), col("id").cast("long")).as("component_id"))
     } finally {
       // every .checkpoint() call in this invocation has already captured
-      // its placement, so restoring the global setting here is safe even
-      // though the returned frame is still lazy
-      if (checkpointDir.isDefined) prevCkptDir match {
-        case Some(d) => sc.setCheckpointDir(d)
-        case None => sc.setCheckpointDir(null)
-      }
+      // its placement, so restoring here is safe even though the returned
+      // frame is still lazy
+      if (checkpointDir.isDefined)
+        org.apache.spark.graft.CoreBridge.setCheckpointDirRaw(sc, prevCkptDir)
     }
   }
+
+  /** A truncated frame plus the handle that frees its storage blocks —
+    * no-op in reliable mode, where state lives in (separately pruned)
+    * checkpoint files rather than executor storage. */
+  private final case class Snap(df: DataFrame, release: () => Unit)
 
   /** Below-threshold path: the whole edge list through ONE task's
     * disjoint-set forest (path compression + min-root union, so the root
@@ -182,12 +212,12 @@ object Components {
   /** Above-threshold path: fused-pair min-label propagation (see object
     * doc). Returns (id, comp) for every edge-touched vertex. */
   private def distributedLabels(
-      sym: DataFrame, truncate: DataFrame => DataFrame, maxIter: Int,
+      sym: DataFrame, snap: DataFrame => Snap, maxIter: Int,
       reliableDir: Option[String]): DataFrame = {
     // initial label = min(id, min neighbor): exactly what round 1 would
     // compute from identity labels, for the cost of ONE aggregate instead
     // of a join + aggregate — the distinct() is folded into the groupBy
-    var labels = truncate(
+    var labels = snap(
       sym.groupBy(col("src"))
         .agg(least(col("src"), min(col("dst"))).cast("long").as("comp"))
         .select(col("src").as("id"), col("comp")))
@@ -213,7 +243,7 @@ object Components {
           col("comp") === col("__cid"), "left")
         .select(col("id"), coalesce(col("__ccomp"), col("comp")).as("comp"))
     }
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(labels.df)
     var converged = false
     var i = 0
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
@@ -221,19 +251,21 @@ object Components {
       // Fuse TWO rounds into ONE job: labels only ever decrease, so
       // checking convergence after a round-PAIR is safe (at worst one
       // no-op round of extra shuffle work) and halves the scheduled-job
-      // count. The intermediate round is truncated LAZILY as well: its
-      // subtree is referenced up to four times by the outer round's plan
-      // (edge join, union, both sides of the path-halving self-join), and
-      // the lazy persist makes those references hit cached blocks within
-      // the same job instead of re-executing the inner joins per
-      // reference.
+      // count. The intermediate round is PERSISTED (Dataset.persist, not
+      // checkpointed): its subtree is referenced up to four times by the
+      // outer round's plan (edge join, union, both sides of the
+      // path-halving self-join), and the cache makes those references hit
+      // the intermediate's blocks within the same job instead of
+      // re-executing the inner joins per reference — in BOTH modes
+      // (a lazily-marked reliable checkpoint is never written for an
+      // intermediate and does not persist anything by itself).
       val steps = math.min(2, maxIter - i)
-      val mid = if (steps == 2) Some(truncate(round(labels))) else None
-      val next = truncate(round(mid.getOrElse(labels)))
+      val mid = if (steps == 2) Some(round(labels.df).persist()) else None
+      val next = snap(round(mid.getOrElse(labels.df)))
       // the ONE action of the round-pair: computes both rounds, persists
       // the truncation blocks, and returns the convergence scalar
-      val s = labelSum(next)
-      labels.unpersist()
+      val s = labelSum(next.df)
+      labels.release() // frees the previous round's storage blocks
       mid.foreach(_.unpersist()) // next's own blocks are live; mid's aren't
       // reliable mode: also delete the finished rounds' snapshot FILES —
       // unpersist() never does, and a long convergence would otherwise
@@ -247,6 +279,8 @@ object Components {
       i += steps
       if (dbg) println(s"[cc] round $i sum=$s")
     }
-    labels
+    // the FINAL labels' storage intentionally stays alive — the caller's
+    // returned frame is lazy and reads it
+    labels.df
   }
 }

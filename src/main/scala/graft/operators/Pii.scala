@@ -51,15 +51,23 @@ object Pii {
       Ipv4Pattern, "<IP>")
 
   /** → (doc_id, n_emails, n_phones, n_ipv4, has_pii, scrubbed). Counts
-    * are taken on the ORIGINAL text (audit numbers), `scrubbed` is the
-    * redacted text. */
-  def scrubDocs(df: DataFrame, id: Column, text: Column): DataFrame =
+    * are STAGED to match the redaction exactly: emails count on the
+    * original text, phones on the email-scrubbed text, IPs after both —
+    * so each count is the number of `<…>` placeholders of that kind the
+    * scrub actually emitted. (Counting everything on the original would
+    * report a "phone" for a digit run inside an email's local part that
+    * the email replacement consumes — an audit row for a redaction that
+    * never happened.) */
+  def scrubDocs(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhonePattern, "<PHONE>")
     df.select(
       id.as("doc_id"),
       emailCount(text).as("n_emails"),
-      phoneCount(text).as("n_phones"),
-      ipv4Count(text).as("n_ipv4"),
+      phoneCount(afterEmail).as("n_phones"),
+      ipv4Count(afterPhone).as("n_ipv4"),
       scrub(text).as("scrubbed"))
       .withColumn("has_pii",
         col("n_emails") + col("n_phones") + col("n_ipv4") > 0)
+  }
 }

@@ -142,16 +142,20 @@ object TextAnalysis {
     * caps BOUND the cost of boilerplate grams — this op IDENTIFIES them
     * (license headers, navigation chrome) so ingest can strip or blocklist
     * the text itself. Grams surface as strings here (a blocklist is for
-    * humans and strippers, not hash joins). One explode + one hash
-    * aggregate + a global top-k — `limit` after `orderBy` plans as
-    * TakeOrdered: each partition keeps only its own top `k`, the driver
-    * merges k·partitions rows, so the global sort never shuffles the gram
-    * table. Ties at the cutoff break on the gram string — deterministic.
+    * humans and strippers, not hash joins; the fused
+    * [[graft.functions.Shingles]] kernel generates them codegen'd — the
+    * HOF composition ran interpreted and dominated the query 10×). One
+    * explode + one hash aggregate + a global top-k — `limit` after
+    * `orderBy` plans as TakeOrdered: each partition keeps only its own
+    * top `k`, the driver merges k·partitions rows, so the global sort
+    * never shuffles the gram table. Ties at the cutoff break on the gram
+    * string — deterministic.
     * → (gram, df) ordered by df desc, gram asc. */
   def topNgrams(
       df: org.apache.spark.sql.DataFrame, text: Column,
       n: Int, k: Int): org.apache.spark.sql.DataFrame =
-    df.select(explode(Dedup.shingles(text, n)).as("gram"))
+    df.select(explode(
+      Bridge.column(graft.functions.Shingles(Bridge.expression(text), n))).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("gram").asc)
@@ -161,12 +165,15 @@ object TextAnalysis {
     * embedding/RAG pipeline runs before encoding: chunk `k` covers tokens
     * `[k·step, k·step + chunkTokens)` with `step = chunkTokens −
     * overlapTokens`, so consecutive chunks share `overlapTokens` tokens
-    * and no token is lost (the last chunk may be short). Pure map-side —
-    * tokenization, the chunk-count sequence and the slice are all Column
-    * expressions fused into the scan; 100 TB chunks in one pass with no
-    * shuffle. Chunk text is the space-rejoined token slice (whitespace
-    * normalized — the tokenizer's contract). Docs with no tokens are
-    * absent.
+    * and no token is lost (the last chunk may be short, but always
+    * contributes at least one token BEYOND the shared overlap — a tail
+    * that would only repeat the previous chunk's content is not emitted,
+    * so no chunk is a subset of another and nothing is double-indexed).
+    * Pure map-side — tokenization, the chunk-count sequence and the slice
+    * are all Column expressions fused into the scan; 100 TB chunks in one
+    * pass with no shuffle. Chunk text is the space-rejoined token slice
+    * (whitespace normalized — the tokenizer's contract). Docs with no
+    * tokens are absent.
     *
     * → (doc_id, chunk_id, chunk_n_tokens, chunk_text)
     */
@@ -178,11 +185,16 @@ object TextAnalysis {
     val step = chunkTokens - overlapTokens
     df.select(id.as("doc_id"), tokens(text).as("__toks"))
       .filter(size(col("__toks")) > 0)
-      // starts at 0, step, 2·step, …; last start = floor((n−1)/step)·step < n
+      // starts at 0, step, 2·step, …; the last start is the largest with
+      // start + overlap < n, i.e. floor((max(n−overlap,1)−1)/step)·step —
+      // coverage still holds (last start + chunk = last start + step +
+      // overlap ≥ n) while a ≤-overlap tail, fully contained in the
+      // previous chunk, is never emitted.
       // (Column `/` is DOUBLE division — floor+cast keeps sequence integral)
       .select(col("doc_id"), col("__toks"),
         explode(sequence(lit(0),
-          floor((size(col("__toks")) - 1) / step).cast("int"))).as("chunk_id"))
+          floor((greatest(size(col("__toks")) - overlapTokens, lit(1)) - 1) / step)
+            .cast("int"))).as("chunk_id"))
       .select(
         col("doc_id"),
         col("chunk_id").cast("long").as("chunk_id"),

@@ -598,7 +598,8 @@ object PipelineQueries {
     m += "q51_chunking" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents WHERE len($toks) > 0),
          |c AS (SELECT doc_id, w,
-         |  unnest(range(0, CAST(floor((len(w) - 1) / 24) AS BIGINT) + 1)) AS k FROM t)
+         |  unnest(range(0,
+         |    CAST(floor((greatest(len(w) - 8, 1) - 1) / 24) AS BIGINT) + 1)) AS k FROM t)
          |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
          |  CAST(least(32, len(w) - k * 24) AS BIGINT) AS chunk_n_tokens,
          |  array_to_string(w[k * 24 + 1 : k * 24 + 32], ' ') AS chunk_text
@@ -659,19 +660,22 @@ object PipelineQueries {
          |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
          |    '@example.com or +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
          |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ok'
-         |  ELSE text END AS ptext FROM documents)
+         |  ELSE text END AS ptext FROM documents),
+         |s AS (SELECT doc_id, ptext,
+         |  regexp_replace(ptext, '${Pii.EmailPattern}', '<EMAIL>', 'g') AS after_email
+         |  FROM p),
+         |s2 AS (SELECT doc_id, ptext, after_email,
+         |  regexp_replace(after_email, '${Pii.PhonePattern}', '<PHONE>', 'g') AS after_phone
+         |  FROM s)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(ptext, '${Pii.EmailPattern}')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(ptext, '${Pii.PhonePattern}')) AS BIGINT) AS n_phones,
-         |  CAST(len(regexp_extract_all(ptext, '${Pii.Ipv4Pattern}')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(after_email, '${Pii.PhonePattern}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(after_phone, '${Pii.Ipv4Pattern}')) AS BIGINT) AS n_ipv4,
          |  len(regexp_extract_all(ptext, '${Pii.EmailPattern}')) +
-         |    len(regexp_extract_all(ptext, '${Pii.PhonePattern}')) +
-         |    len(regexp_extract_all(ptext, '${Pii.Ipv4Pattern}')) > 0 AS has_pii,
-         |  regexp_replace(regexp_replace(regexp_replace(ptext,
-         |    '${Pii.EmailPattern}', '<EMAIL>', 'g'),
-         |    '${Pii.PhonePattern}', '<PHONE>', 'g'),
-         |    '${Pii.Ipv4Pattern}', '<IP>', 'g') AS scrubbed
-         |FROM p""".stripMargin
+         |    len(regexp_extract_all(after_email, '${Pii.PhonePattern}')) +
+         |    len(regexp_extract_all(after_phone, '${Pii.Ipv4Pattern}')) > 0 AS has_pii,
+         |  regexp_replace(after_phone, '${Pii.Ipv4Pattern}', '<IP>', 'g') AS scrubbed
+         |FROM s2""".stripMargin
 
     m += "q48_hash_split" ->
       s"""WITH b AS (SELECT doc_id,

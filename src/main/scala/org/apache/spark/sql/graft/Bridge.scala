@@ -1,8 +1,11 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
 
 /** Column ⇄ Expression bridge. Spark 4 scopes `ExpressionUtils` as
   * `private[sql]`, so the one-line adapters live under the sql package;
@@ -11,4 +14,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Lift an `InternalRow` RDD back into a DataFrame (`private[sql]` on
+    * the session). Lets an operator hold the RDD REFERENCE across a
+    * truncation boundary — `Dataset.localCheckpoint` hides its RDD, so
+    * `Dataset.unpersist` cannot release the checkpoint's storage blocks
+    * (it only consults the CacheManager); with the reference in hand,
+    * `rdd.unpersist()` works. */
+  def internalCreateDataFrame(
+      spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

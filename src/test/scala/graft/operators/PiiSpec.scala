@@ -27,6 +27,18 @@ class PiiSpec extends SparkSpec {
       "two mails <EMAIL> <EMAIL> one ip <IP>")))
   }
 
+  test("audit counts match the redaction: phone-shaped email locals count once") {
+    // '+12345678@example.com' is ONE email redaction — the phone-shaped
+    // local part must not also be counted as a phone that never got a
+    // <PHONE> placeholder (counts are staged to mirror the scrub order)
+    val got = Pii.scrubDocs(
+      Seq((1L, "contact +12345678@example.com now")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+      .select("n_emails", "n_phones", "n_ipv4", "scrubbed")
+      .as[(Long, Long, Long, String)].head()
+    assert(got == ((1L, 0L, 0L, "contact <EMAIL> now")))
+  }
+
   test("recall over precision: out-of-range dotted quads still scrub") {
     val got = Pii.scrubDocs(
       Seq((1L, "bogus 999.999.999.999 quad")).toDF("doc_id", "text"),

@@ -138,6 +138,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == ((0L, true, false, false)))
   }
 
+  test("fused Shingles kernel ≡ HOF gram composition (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genDoc = Gen.choose(0, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "bb", "ccc", "d")).map(_.mkString(" ")))
+    val prop = Prop.forAll(genDoc, Gen.choose(1, 4)) { (doc: String, n: Int) =>
+      val row = Seq(doc).toDF("text").select(
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.Shingles(
+            org.apache.spark.sql.graft.Bridge.expression(col("text")), n)).as("fused"),
+        Dedup.shingles(col("text"), n).as("hof"))
+        .as[(Seq[String], Seq[String])].head()
+      row._1 == row._2
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("topNgrams: document frequency (not occurrences), deterministic cutoff") {
     val docs = Seq(
       (1L, "the same header x"),      // "the same header" + "same header x"
@@ -154,8 +171,9 @@ class TextAnalysisSpec extends SparkSpec {
       ("b c d", 1L)))
   }
 
-  test("chunkDocs: overlapping windows cover every token, last chunk short") {
-    // 10 tokens, chunk 4, overlap 1 -> step 3 -> starts 0,3,6,9
+  test("chunkDocs: overlapping windows cover every token, no subset chunks") {
+    // 10 tokens, chunk 4, overlap 1 -> step 3 -> starts 0,3,6 — a chunk at
+    // 9 would be just "t9", fully contained in the chunk at 6 -> not emitted
     val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
     val got = TextAnalysis.chunkDocs(docs, col("doc_id"), col("text"),
       chunkTokens = 4, overlapTokens = 1)
@@ -164,7 +182,6 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 0L, 4L, "t0 t1 t2 t3"),
       (1L, 1L, 4L, "t3 t4 t5 t6"),
       (1L, 2L, 4L, "t6 t7 t8 t9"),
-      (1L, 3L, 1L, "t9"),          // tail chunk: short, still emitted
       (3L, 0L, 1L, "x")))          // single-token doc: one chunk; empty doc absent
     // coverage: every token index appears in some chunk
     val covered = got.filter(_._1 == 1L).flatMap { case (_, k, len, _) =>
@@ -196,7 +213,10 @@ class TextAnalysisSpec extends SparkSpec {
       val covered = got.flatMap { case (_, k, len, _) =>
         (k * step) until (k * step + len)
       }.toSet
-      contentOk && covered == (0L until n.toLong).toSet
+      // no chunk is a subset of its predecessor: every non-first chunk
+      // contributes at least one token beyond the shared overlap
+      val noSubsets = got.drop(1).forall(_._3 > overlap)
+      contentOk && covered == (0L until n.toLong).toSet && noSubsets
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
