@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
@@ -326,5 +327,70 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact-substring self-deduplication at n-token granularity — the
+    * suffix-array dedup of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better") re-expressed as an inverted-index
+    * join: every maximal token span whose every n-gram occurs ≥ 2 times
+    * across the CORPUS (in another doc, or repeated within the same doc)
+    * is reported as the mask an exact-substring removal pass cuts out,
+    * keeping the rest of the document. Distinct from
+    * [[Contamination.ngramOverlapSpans]] (train-vs-benchmark) — this is
+    * train-vs-train, with no pair dimension: a position is duplicated or
+    * it is not.
+    *
+    * Shape: posexplode of the ORDERED n-gram hash multiset gives
+    * (doc, pos, h); one map-side-combined hash aggregate counts global
+    * occurrences per h; the ≥2 keys semi-join back (shuffle-hash build on
+    * the key side — NOT a count-window over h, which a boilerplate gram
+    * would skew into one giant unsplittable partition, and the groupBy's
+    * partial aggregation collapses those same hot grams to one row per
+    * map task); island-merging of the surviving positions is one
+    * doc-keyed window. Output mass = duplicated positions, never corpus².
+    * The corpus is shingled twice (count pass + mask pass) — at 100 TB two
+    * cheap codegen'd scans beat materializing corpus-sized postings.
+    *
+    * → (doc_id, span_start, span_end, n_dup_grams): half-open token spans
+    * [span_start, span_end), span_end = last duplicated gram pos + n;
+    * docs with no duplicated gram are absent.
+    */
+  def duplicateSpans(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val postings = df
+      .select(id.as("doc_id"),
+        posexplode(TextAnalysis.ngramHashesMultiset(text, n)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val dupKeys = postings.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("h"))
+    val dupPos = postings.join(dupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
+    // islands: consecutive positions share (pos − row_number) — adjacent
+    // AND overlapping duplicated grams merge into one maximal span
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n.toLong)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .drop("__grp")
+  }
+
+  /** The dedup DECISION: given per-doc duplicate-cluster assignments
+    * (from [[Components.connectedComponents]] over any near-dup pair
+    * tier) and a preference order, pick the canonical document of every
+    * cluster and emit the verdict for every doc — the drop-list a
+    * curation pass actually applies. `order` must be total within a
+    * cluster (append the id as the last key); the usual policy is
+    * (quality desc, id asc) — keep the best copy, not the first seen.
+    * One cluster-keyed window shuffle; no join back.
+    * → (doc_id, component_id, keep_id, is_kept). */
+  def keepBest(df: DataFrame, id: Column, component: Column, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(component).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn("__keep", first(id).over(w))
+      .select(id.as("doc_id"), component.as("component_id"),
+        col("__keep").as("keep_id"), (id === col("__keep")).as("is_kept"))
   }
 }

@@ -48,4 +48,32 @@ object Stats {
     ranked.groupBy(grp: _*)
       .agg(max(col("__n")).as(s"n_$valueCol"), qCols: _*)
   }
+
+  /** CCNet-style per-group quantile bucketing: label every row with the
+    * number of per-group cut values its `valueCol` strictly EXCEEDS —
+    * cuts (333, 667) give the head/middle/tail split CCNet uses for
+    * per-language perplexity curricula (head = bucket 0). Cut values are
+    * the nearest-rank members from [[groupedQuantiles]], so a value equal
+    * to a cut lands in the LOWER bucket and the semantics replay
+    * bit-for-bit on any engine — no interpolated floats.
+    *
+    * Scale shape: the threshold table is one row per group — broadcast
+    * back onto the corpus, so beyond the quantile computation itself the
+    * labeling pass is map-side only. (At 100 TB swap the exact quantiles
+    * for `approx_percentile` and keep this join unchanged.)
+    *
+    * → group cols + (tieCol, valueCol, bucket). */
+  def quantileBuckets(
+      df: DataFrame, groupCols: Seq[String], valueCol: String, tieCol: String,
+      cutsPermille: Seq[Int]): DataFrame = {
+    val grp = groupCols.map(col)
+    val thresholds = broadcast(
+      groupedQuantiles(df, groupCols, valueCol, tieCol, cutsPermille)
+        .select((grp ++ cutsPermille.map(p => col(s"p${p}_$valueCol"))): _*))
+    val bucket = cutsPermille
+      .map(p => when(col(valueCol) > col(s"p${p}_$valueCol"), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    df.join(thresholds, groupCols) // inner: every group has a threshold row
+      .select((grp :+ col(tieCol) :+ col(valueCol) :+ bucket.as("bucket")): _*)
+  }
 }

@@ -353,6 +353,37 @@ object PipelineQueries {
         n = 3, minShared = 2)
     }),
 
+    // exact-substring self-dedup (Lee et al. 2022): maximal token spans
+    // whose every 3-gram occurs >= 2 times corpus-wide — the removal mask
+    // of an exact-substring dedup pass. Inverted-index + island merge;
+    // train-vs-train counterpart of q50's train-vs-bench spans.
+    "q54_selfdup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(Tables.documents(s, d), col("doc_id"), col("text"), n = 3)),
+
+    // CCNet-style head/middle/tail bucketing by per-language n_chars
+    // terciles — nearest-rank cuts, value == cut lands low; the per-lang
+    // threshold table broadcasts back, labeling is map-side
+    "q55_quantile_buckets" -> ((s, d) =>
+      Stats.quantileBuckets(Tables.documents(s, d),
+        groupCols = Seq("lang"), valueCol = "n_chars", tieCol = "doc_id",
+        cutsPermille = Seq(333, 667))),
+
+    // the dedup DECISION on top of q32's clusters: keep the longest doc
+    // per near-dup component (ties to smallest id), verdict for every doc
+    "q56_canonical_pick" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+        n = 3, k = 8, bands = 4, minJaccardPermille = 200)
+      val comp = Components.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+        .select(col("id").as("doc_id"), col("component_id"))
+      Dedup.keepBest(
+        comp.join(docs.select(col("doc_id"), col("n_chars")), "doc_id"),
+        col("doc_id"), col("component_id"),
+        order = Seq(col("n_chars").desc, col("doc_id").asc))
+    }),
+
     // composite quality gate: the keep/drop decision of a curation pass,
     // one named boolean per rule (auditable) + their conjunction.
     // Thresholds sit inside the synthetic corpus's signal ranges (tokens
@@ -594,6 +625,68 @@ object PipelineQueries {
          |  FROM t WHERE len(w) >= 3)
          |SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
          |ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin
+
+    // q54: same rolling-hash gram space as q50; dup = total multiplicity
+    // >= 2 (cross-doc or within-doc), islands via the pos − row_number
+    // trick. MIN/MAX/COUNT stay BIGINT in DuckDB (only SUM goes HUGEINT).
+    m += "q54_selfdup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    ${DuckSql.rollingHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+         |        FROM t WHERE len(w) >= 3)),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+         |p AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+         |  FROM g WHERE h IN (SELECT h FROM dup))
+         |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 3 AS span_end,
+         |  CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+         |FROM p GROUP BY doc_id, pos - rn""".stripMargin
+
+    // q55: nearest-rank cuts exactly as the q40 oracle computes them;
+    // bucket = number of cuts strictly exceeded
+    m += "q55_quantile_buckets" ->
+      """WITH r AS (SELECT lang, n_chars, doc_id,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |q AS (SELECT lang,
+        |  MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 333 / 1000.0) AS BIGINT))
+        |      THEN n_chars END) AS t1,
+        |  MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 667 / 1000.0) AS BIGINT))
+        |      THEN n_chars END) AS t2
+        |  FROM r GROUP BY lang)
+        |SELECT d.lang, d.doc_id, d.n_chars,
+        |  CAST(CASE WHEN d.n_chars > q.t1 THEN 1 ELSE 0 END +
+        |       CASE WHEN d.n_chars > q.t2 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+        |FROM documents d JOIN q USING (lang)""".stripMargin
+
+    // q56: q32's recursive component closure + a keep-best window on top
+    m += "q56_canonical_pick" ->
+      s"""WITH RECURSIVE ${DuckSql.shingleCtes},
+         |${DuckSql.minhashCte(8)},
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc AS a_id, b.doc AS b_id
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc),
+         |verified AS (SELECT a_id, b_id
+         |  FROM cand JOIN hashed ha ON ha.doc_id = a_id JOIN hashed hb ON hb.doc_id = b_id
+         |  WHERE floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
+         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) >= 200),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+         |          UNION ALL SELECT b_id, a_id FROM verified),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id),
+         |j AS (SELECT c.doc_id, c.component_id, d.n_chars
+         |      FROM comp c JOIN documents d USING (doc_id)),
+         |k AS (SELECT component_id, doc_id AS keep_id FROM (
+         |  SELECT component_id, doc_id, row_number() OVER (
+         |    PARTITION BY component_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |  FROM j) WHERE rn = 1)
+         |SELECT j.doc_id, j.component_id, k.keep_id, j.doc_id = k.keep_id AS is_kept
+         |FROM j JOIN k USING (component_id)""".stripMargin
 
     m += "q51_chunking" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents WHERE len($toks) > 0),

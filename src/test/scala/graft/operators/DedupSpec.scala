@@ -203,4 +203,54 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(r => r._1 == 11L && r._2 == 10L && r._4)) // within increment
     assert(!got.exists(r => r._1 == 12L)) // fresh doc matches nothing
   }
+
+  test("duplicateSpans: cross-doc span, island merge, within-doc repeat") {
+    val docs = Seq(
+      // docs 1+2 share the 5-token run "one two three four five" →
+      // 3 overlapping dup 3-grams each, merged into ONE span of 5 tokens
+      (1L, "one two three four five zebra quilt jumble"),
+      (2L, "prefix word one two three four five xylophone"),
+      // doc 3 repeats its own 3-gram "ha ha ha" (positions 0..3 all hash
+      // "ha ha ha") → the whole run is one span; no other doc involved
+      (3L, "ha ha ha ha ha ha"),
+      // doc 4 shares nothing 3-token long with anyone
+      (4L, "totally distinct content nothing repeats here at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 5L, 3L),  // tokens [0,5): grams at 0,1,2
+      (2L, 2L, 7L, 3L),  // tokens [2,7): grams at 2,3,4
+      (3L, 0L, 6L, 4L))) // tokens [0,6): grams at 0,1,2,3 (self-repeat)
+  }
+
+  test("duplicateSpans: non-adjacent dup grams stay separate spans") {
+    val docs = Seq(
+      (1L, "alpha beta gamma SEP1 SEP2 SEP3 SEP4 delta epsilon zeta"),
+      (2L, "alpha beta gamma MID1 MID2 MID3 MID4 delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // each doc: gram at 0 ("alpha beta gamma") and gram at 7 ("delta
+    // epsilon zeta") duplicated, nothing between → two 3-token spans
+    assert(got == Set(
+      (1L, 0L, 3L, 1L), (1L, 7L, 10L, 1L),
+      (2L, 0L, 3L, 1L), (2L, 7L, 10L, 1L)))
+  }
+
+  test("keepBest: best-quality doc wins its cluster, ties to smallest id") {
+    val df = Seq(
+      // cluster 1: doc 5 is longest; cluster 10: tie on quality → id 10
+      (1L, 1L, 40L), (3L, 1L, 10L), (5L, 1L, 90L),
+      (10L, 10L, 70L), (12L, 10L, 70L),
+      (20L, 20L, 5L)) // singleton keeps itself
+      .toDF("doc_id", "comp", "n_chars")
+    val got = Dedup.keepBest(df, col("doc_id"), col("comp"),
+      order = Seq(col("n_chars").desc, col("doc_id").asc))
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 5L, false), (3L, 1L, 5L, false), (5L, 1L, 5L, true),
+      (10L, 10L, 10L, true), (12L, 10L, 10L, false),
+      (20L, 20L, 20L, true)))
+  }
 }

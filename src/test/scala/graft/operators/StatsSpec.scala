@@ -32,6 +32,31 @@ class StatsSpec extends SparkSpec {
     assert(got == (("g", 3L, Some(9L), None)))
   }
 
+  test("quantileBuckets: tercile split on 1..9, value == cut lands low") {
+    val df = (1L to 9L).map(i => ("g", i, i)).toDF("grp", "v", "id")
+    // cuts: rank ceil(9*.333)=3 -> 3, rank ceil(9*.667)=7 -> 7; value
+    // STRICTLY above a cut moves up, so 3 stays in bucket 0 and 7 in 1
+    val got = Stats.quantileBuckets(df, Seq("grp"), "v", "id", Seq(333, 667))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(got == Map(
+      1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L,
+      8L -> 2L, 9L -> 2L))
+  }
+
+  test("quantileBuckets: per-group cuts are independent") {
+    val df = (Seq(("a", 100L, 1L)) ++ (1L to 3L).map(i => ("b", i, 10L + i)))
+      .toDF("grp", "v", "id")
+    val got = Stats.quantileBuckets(df, Seq("grp"), "v", "id", Seq(500))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap // (grp, value) -> bucket
+    // a: single member is its own median -> bucket 0; b: median of
+    // [1,2,3] is 2 -> only 3 exceeds it
+    assert(got == Map(
+      ("a", 100L) -> 0L, ("b", 1L) -> 0L, ("b", 2L) -> 0L, ("b", 3L) -> 1L))
+  }
+
   test("approx_percentile (the 100 TB sketch path) stays near the exact ranks") {
     // the documented scale substitution: one t-digest sketch instead of a
     // per-group sort. Pin its error against groupedQuantiles on real data
