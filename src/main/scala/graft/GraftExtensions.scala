@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DeletionVariants, DotProduct, Int8Dot, LangId, Lev1Witness, LshBucket, MinCommonVariant, MinHashSig, QuantizedDot, RollingHash, ShingleHashes, ShingleHashesAll, Shingles, SimHash, TokenHashes, Unaccent}
+import graft.functions.{DeletionVariants, DotProduct, Int8Dot, LangId, Lev1Witness, LshBucket, MinCommonVariant, MinHashSig, QuantizedDot, RemoveTokenSpans, RollingHash, ShingleHashes, ShingleHashesAll, Shingles, SimHash, TokenHashes, Unaccent}
 
 /** `SparkSessionExtensions` hook exposing the engine's native expressions to
   * SQL (`spark.sql("SELECT unaccent(name) ...")`) — register with
@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "shingle_hashes_all",
       "shingle_hashes_all(str, n) - rolling_hash of word n-grams, duplicates kept", 2) {
       args => ShingleHashesAll(args.head, foldableInt(args(1), "shingle_hashes_all n"))
+    }
+    register(ext, "remove_token_spans",
+      "remove_token_spans(str, starts, ends) - cut the [startsᵢ, endsᵢ) token ranges, re-join with spaces", 3) {
+      args => RemoveTokenSpans(args.head, args(1), args(2))
     }
     register(ext, "simhash",
       "simhash(array<bigint>) - 30-bit SimHash signature of a token-hash bag", 1) {

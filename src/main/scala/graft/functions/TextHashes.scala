@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -107,6 +107,40 @@ object TextHashes {
     new GenericArrayData(seen.toArray.map(g => UTF8String.fromString(g): Any))
   }
 
+  /** Rewrite `s` with the token index ranges [startsᵢ, endsᵢ) cut out —
+    * the APPLY step of exact-substring dedup
+    * ([[graft.operators.Dedup.duplicateSpans]] produces the mask). Kept
+    * tokens are re-joined with single spaces (the tokenizer's
+    * whitespace-normalized contract); a fully-masked or token-free doc
+    * becomes "". Spans may overlap or arrive unsorted (they are sorted by
+    * start here); out-of-range indices are harmless. O(n + k log k). */
+  def removeSpans(u: UTF8String, starts: ArrayData, ends: ArrayData): UTF8String = {
+    val s = u.toString
+    val bounds = tokenBounds(s)
+    val k = math.min(starts.numElements(), ends.numElements())
+    val order = Array.range(0, k).sortBy(starts.getLong)
+    val sb = new java.lang.StringBuilder(s.length)
+    var si = 0
+    var activeEnd = Long.MinValue
+    var t = 0
+    var firstOut = true
+    while (t < bounds.length) {
+      while (si < k && starts.getLong(order(si)) <= t) {
+        val e = ends.getLong(order(si))
+        if (e > activeEnd) activeEnd = e
+        si += 1
+      }
+      if (t >= activeEnd) {
+        if (!firstOut) sb.append(' ')
+        val (a, b) = bounds(t)
+        sb.append(s, a, b)
+        firstOut = false
+      }
+      t += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   @inline private def eachShingleHash(u: UTF8String, n: Int)(emit: Long => Unit): Unit = {
     val s = u.toString
     val bounds = tokenBounds(s)
@@ -160,6 +194,30 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.shingles($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
+}
+
+case class RemoveTokenSpans(text: Expression, starts: Expression, ends: Expression)
+    extends TernaryExpression {
+  override def first: Expression = text
+  override def second: Expression = starts
+  override def third: Expression = ends
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, starts.dataType, ends.dataType) match {
+      case (_: StringType, ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "remove_token_spans requires (string, array<bigint>, array<bigint>)")
+    }
+  override def prettyName: String = "remove_token_spans"
+  override def nullSafeEval(t: Any, ss: Any, ee: Any): Any =
+    TextHashes.removeSpans(t.asInstanceOf[UTF8String],
+      ss.asInstanceOf[ArrayData], ee.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.TextHashes.removeSpans($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RemoveTokenSpans =
+    copy(text = f, starts = s, ends = t)
 }
 
 case class ShingleHashesAll(child: Expression, n: Int) extends UnaryExpression {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{MinHashSig, RollingHash, ShingleHashes, SimHash, TokenHashes}
+import graft.functions.{MinHashSig, RemoveTokenSpans, RollingHash, ShingleHashes, SimHash, TokenHashes}
 
 /** Deduplication operators for a training-data pipeline (builder prompt):
   * exact (hash-groupBy), n-gram Jaccard via inverted index, MinHash + LSH
@@ -375,6 +375,33 @@ object Dedup {
         (max(col("pos")) + lit(n.toLong)).as("span_end"),
         count(lit(1)).as("n_dup_grams"))
       .drop("__grp")
+  }
+
+  /** APPLY a span mask (e.g. [[duplicateSpans]]'s output) to the corpus:
+    * rewrite each document with every masked token range cut out — the
+    * second half of exact-substring dedup, where the doc survives minus
+    * its duplicated runs instead of being dropped whole. `spans` must
+    * carry (doc_id, span_start, span_end) in [[duplicateSpans]]'s
+    * half-open token indexing; overlapping/unsorted spans are fine.
+    *
+    * One doc-keyed shuffle (span aggregation + left join back to the
+    * corpus); the rewrite itself is the map-side codegen kernel
+    * [[graft.functions.RemoveTokenSpans]]. Docs with no mask rows pass
+    * through token-normalized (single-space re-join — the tokenizer's
+    * contract); fully-masked or token-free docs become "".
+    * → (doc_id, clean_text). */
+  def removeSpans(docs: DataFrame, id: Column, text: Column, spans: DataFrame): DataFrame = {
+    val agg = spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("__sp"))
+    docs.select(id.as("doc_id"), text.as("__text"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        Bridge.column(RemoveTokenSpans(
+          Bridge.expression(col("__text")),
+          Bridge.expression(coalesce(col("__sp").getField("s"), lit(Array.empty[Long]))),
+          Bridge.expression(coalesce(col("__sp").getField("e"), lit(Array.empty[Long])))))
+          .as("clean_text"))
   }
 
   /** The dedup DECISION: given per-doc duplicate-cluster assignments

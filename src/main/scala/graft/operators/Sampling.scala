@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -60,5 +61,40 @@ object Sampling {
       case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
     }
     df.filter(sampleBucket(stratum, key) < rate)
+  }
+
+  /** Temperature-scaled group mixing — the multilingual-training α
+    * exponent (XLM/mBERT style): rebalance group shares from p_g toward
+    * p_g^α by downsampling each group relative to the SMALLEST one,
+    * keep-rate r_g = (n_min/n_g)^(1−α) — the smallest group keeps
+    * everything (1000‰), dominant groups are damped by the temperature
+    * (α = 1 keeps the natural distribution, α = 0 equalizes counts).
+    * The keep decision is the deterministic [[sampleBucket]] Bernoulli —
+    * map-side, engine-replayable, stable under repartition and retries.
+    *
+    * Group sizes are one map-side-combined aggregate producing a
+    * rows-per-group table; the global min is an unpartitioned window
+    * over that TINY table (never a cross join against the corpus) and
+    * the resulting rate table broadcasts back — the corpus itself never
+    * shuffles. Engine parity of the rate: exact at α = 0.5 (computed
+    * via IEEE-correctly-rounded `sqrt`, replayed identically by the
+    * oracle); other α use `pow`, where the last ulp is libm-dependent —
+    * document-level decisions may then differ AT the rate boundary
+    * across engines (never across runs of the same engine).
+    *
+    * → input columns + (keep_permille, kept); filter on `kept` to apply.
+    */
+  def temperatureResample(
+      df: DataFrame, group: Column, key: Column, alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    val sizes = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+    val ratio = min(col("__n")).over(Window.partitionBy()).cast("double") / col("__n")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    val rates = broadcast(sizes
+      .withColumn("keep_permille", floor(rate * lit(1000.0)).cast("long"))
+      .select(col("__g"), col("keep_permille")))
+    df.join(rates, group === col("__g"))
+      .drop("__g")
+      .withColumn("kept", sampleBucket(group, key) < col("keep_permille"))
   }
 }

@@ -360,6 +360,15 @@ object PipelineQueries {
     "q54_selfdup_spans" -> ((s, d) =>
       Dedup.duplicateSpans(Tables.documents(s, d), col("doc_id"), col("text"), n = 3)),
 
+    // the APPLY half of q54: rewrite every doc with its duplicated runs
+    // cut out (map-side codegen kernel after one doc-keyed span join) —
+    // survivors keep their unique content instead of being dropped whole
+    "q57_selfdup_rewrite" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val spans = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+      Dedup.removeSpans(docs, col("doc_id"), col("text"), spans)
+    }),
+
     // CCNet-style head/middle/tail bucketing by per-language n_chars
     // terciles — nearest-rank cuts, value == cut lands low; the per-lang
     // threshold table broadcasts back, labeling is map-side
@@ -367,6 +376,15 @@ object PipelineQueries {
       Stats.quantileBuckets(Tables.documents(s, d),
         groupCols = Seq("lang"), valueCol = "n_chars", tieCol = "doc_id",
         cutsPermille = Seq(333, 667))),
+
+    // temperature-scaled language mixing (XLM α=0.5): per-lang keep-rate
+    // √(n_min/n_lang) — smallest language keeps all, English (3× the
+    // corpus share) is damped; deterministic hash Bernoulli, map-side
+    // after a broadcast rate join
+    "q58_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureResample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), alpha = 0.5)),
 
     // the dedup DECISION on top of q32's clusters: keep the longest doc
     // per near-dup component (ties to smallest id), verdict for every doc
@@ -643,6 +661,29 @@ object PipelineQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_dup_grams
          |FROM p GROUP BY doc_id, pos - rn""".stripMargin
 
+    // q57: a token is cut iff some duplicated gram starting at pos covers
+    // it (pos..pos+2); survivors re-join with single spaces, docs that
+    // are fully cut (or token-free) collapse to ''
+    m += "q57_selfdup_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    ${DuckSql.rollingHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+         |        FROM t WHERE len(w) >= 3)),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+         |p AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS tk
+         |        FROM p, (SELECT unnest(range(0, 3)) AS j)),
+         |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[i] AS word
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t)),
+         |kept AS (SELECT tok.doc_id, idx, word FROM tok
+         |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.idx = cov.tk
+         |  WHERE cov.tk IS NULL),
+         |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
     // q55: nearest-rank cuts exactly as the q40 oracle computes them;
     // bucket = number of cuts strictly exceeded
     m += "q55_quantile_buckets" ->
@@ -660,6 +701,18 @@ object PipelineQueries {
         |  CAST(CASE WHEN d.n_chars > q.t1 THEN 1 ELSE 0 END +
         |       CASE WHEN d.n_chars > q.t2 THEN 1 ELSE 0 END AS BIGINT) AS bucket
         |FROM documents d JOIN q USING (lang)""".stripMargin
+
+    // q58: rate = floor(sqrt(min_n/n)·1000) — sqrt is IEEE-correctly
+    // rounded on both engines, so the permille rates match exactly
+    m += "q58_temperature_mix" ->
+      s"""WITH s AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         |r AS (SELECT lang,
+         |  CAST(floor(sqrt((SELECT MIN(n) FROM s) * 1.0 / n) * 1000) AS BIGINT) AS keep_permille
+         |  FROM s)
+         |SELECT d.doc_id, d.lang, r.keep_permille,
+         |  ${DuckSql.rollingHash("d.lang || ':' || CAST(d.doc_id AS VARCHAR)")} % 1000
+         |    < r.keep_permille AS kept
+         |FROM documents d JOIN r USING (lang)""".stripMargin
 
     // q56: q32's recursive component closure + a keep-best window on top
     m += "q56_canonical_pick" ->

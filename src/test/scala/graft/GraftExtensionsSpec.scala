@@ -53,7 +53,8 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  lev1_witness('abc', 'abcde') AS w2,
         |  quantized_dot(array(cast(1.0 as float)), array(cast(2.0 as float))) AS qd,
         |  dot_product(array(cast(1.0 as float)), array(cast(2.0 as float))) AS dp,
-        |  int8_dot(array(cast(3 as tinyint)), array(cast(-2 as tinyint))) AS i8
+        |  int8_dot(array(cast(3 as tinyint)), array(cast(-2 as tinyint))) AS i8,
+        |  remove_token_spans('a b c d', array(1L), array(3L)) AS rts
         |""".stripMargin).head()
     assert(row.getString(0) == "Motorhead")
     assert(row.getLong(1) == 97L * 31 + 98)
@@ -69,6 +70,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(11) == 1000L * 2000)
     assert(row.getDouble(12) == 2.0)
     assert(row.getLong(13) == -6L)
+    assert(row.getString(14) == "a d") // tokens [1,3) cut
   }
 
   test("lang_id and minhash_sig are callable from SQL") {

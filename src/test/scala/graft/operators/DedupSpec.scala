@@ -238,6 +238,39 @@ class DedupSpec extends SparkSpec {
       (2L, 0L, 3L, 1L), (2L, 7L, 10L, 1L)))
   }
 
+  test("removeSpans: duplicateSpans mask applied end-to-end") {
+    val docs = Seq(
+      (1L, "one two three four five zebra quilt jumble"),
+      (2L, "prefix word one two three four five xylophone"),
+      (3L, "ha ha ha ha ha ha"), // fully duplicated -> ""
+      (4L, "totally  distinct\tcontent")) // untouched, whitespace-normalized
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+    val got = Dedup.removeSpans(docs, col("doc_id"), col("text"), spans)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "zebra quilt jumble",
+      2L -> "prefix word xylophone",
+      3L -> "",
+      4L -> "totally distinct content"))
+  }
+
+  test("remove_token_spans kernel: overlapping, unsorted, out-of-range spans") {
+    import graft.functions.TextHashes
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def run(text: String, spans: (Long, Long)*): String =
+      TextHashes.removeSpans(UTF8String.fromString(text),
+        new GenericArrayData(spans.map(_._1: Any).toArray),
+        new GenericArrayData(spans.map(_._2: Any).toArray)).toString
+    assert(run("a b c d e", (3L, 5L), (1L, 2L)) == "a c") // unsorted mask
+    assert(run("a b c d e", (1L, 3L), (2L, 4L)) == "a e") // overlap merges
+    assert(run("a b c", (10L, 20L), (-5L, -1L)) == "a b c") // out of range
+    assert(run("a b c", (0L, 99L)) == "") // covers everything
+    assert(run("  ", (0L, 1L)) == "") // token-free input
+    assert(run("a b c") == "a b c") // empty mask: normalize only
+  }
+
   test("keepBest: best-quality doc wins its cluster, ties to smallest id") {
     val df = Seq(
       // cluster 1: doc 5 is longest; cluster 10: tie on quality → id 10

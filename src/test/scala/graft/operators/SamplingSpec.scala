@@ -57,4 +57,25 @@ class SamplingSpec extends SparkSpec {
       Sampling.hashSplit(df, col("id"), Seq("train" -> 900, "val" -> 90))
     }
   }
+
+  test("temperatureResample: α=0.5 rates, α=1 natural, α=0 equalizing") {
+    // group a: 1 row (the min), group b: 4 rows
+    val df = (Seq(("a", 0L)) ++ (1L to 4L).map(("b", _))).toDF("g", "id")
+    def rates(alpha: Double): Map[String, Long] =
+      Sampling.temperatureResample(df, col("g"), col("id"), alpha)
+        .select("g", "keep_permille").distinct()
+        .as[(String, Long)].collect().toMap
+    assert(rates(0.5) == Map("a" -> 1000L, "b" -> 500L)) // √(1/4)
+    assert(rates(1.0) == Map("a" -> 1000L, "b" -> 1000L)) // natural
+    assert(rates(0.0) == Map("a" -> 1000L, "b" -> 250L)) // 1/4: equal E[n]
+  }
+
+  test("temperatureResample: kept is the hash-bucket decision, min group keeps all") {
+    val df = (Seq(("a", 0L)) ++ (1L to 40L).map(("b", _))).toDF("g", "id")
+    val got = Sampling.temperatureResample(df, col("g"), col("id"), alpha = 0.5)
+      .withColumn("bucket", Sampling.sampleBucket(col("g"), col("id")))
+      .as[(String, Long, Long, Boolean, Long)].collect()
+    assert(got.forall { case (_, _, rate, kept, bucket) => kept == (bucket < rate) })
+    assert(got.filter(_._1 == "a").forall(_._4)) // smallest group: all kept
+  }
 }
