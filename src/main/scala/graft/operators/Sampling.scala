@@ -84,6 +84,28 @@ object Sampling {
     *
     * → input columns + (keep_permille, kept); filter on `kept` to apply.
     */
+  /** Budget-capped selection per group: order each group's rows by
+    * `order` (quality first; append a unique key — the order must be
+    * total or the prefix is nondeterministic) and keep the longest
+    * prefix whose running `weight` total stays within `budget` — the
+    * "take the best documents until the token budget fills" pass of a
+    * data-selection pipeline, one per-group decision per corpus row.
+    * The running total is monotone, so once a row crosses the line every
+    * later row is out too: the kept set is exactly a prefix.
+    *
+    * One shuffle on the group key + a per-group sort (the window —
+    * spill-safe); no join back, no driver loop. The boundary row that
+    * would cross the budget is dropped (no partial documents).
+    *
+    * → input columns + (cum_weight, kept). */
+  def budgetSelect(
+      df: DataFrame, group: Column, order: Seq[Column], weight: Column,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order: _*)
+    df.withColumn("cum_weight", sum(weight).over(w))
+      .withColumn("kept", col("cum_weight") <= budget)
+  }
+
   def temperatureResample(
       df: DataFrame, group: Column, key: Column, alpha: Double): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")

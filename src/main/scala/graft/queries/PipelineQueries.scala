@@ -377,6 +377,18 @@ object PipelineQueries {
         groupCols = Seq("lang"), valueCol = "n_chars", tieCol = "doc_id",
         cutsPermille = Seq(333, 667))),
 
+    // token-budget curation: per source shard, keep the best docs (by
+    // n_chars, ties on doc_id) until an 800-token budget fills — the
+    // kept set is exactly a quality-ranked prefix; one window shuffle
+    "q59_token_budget" -> ((s, d) =>
+      Sampling.budgetSelect(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        col("source"), Seq(col("n_chars").desc, col("doc_id").asc),
+        col("n_tokens"), budget = 800L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_weight").as("cum_tokens"), col("kept"))),
+
     // temperature-scaled language mixing (XLM α=0.5): per-lang keep-rate
     // √(n_min/n_lang) — smallest language keeps all, English (3× the
     // corpus share) is damped; deterministic hash Bernoulli, map-side
@@ -701,6 +713,18 @@ object PipelineQueries {
         |  CAST(CASE WHEN d.n_chars > q.t1 THEN 1 ELSE 0 END +
         |       CASE WHEN d.n_chars > q.t2 THEN 1 ELSE 0 END AS BIGINT) AS bucket
         |FROM documents d JOIN q USING (lang)""".stripMargin
+
+    // q59: windowed SUM → CAST AS BIGINT (HUGEINT dtype discipline);
+    // unique doc_id makes RANGE/ROWS frames agree
+    m += "q59_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source, n_chars,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+         |    AS BIGINT) AS cum_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+         |    AS BIGINT) <= 800 AS kept
+         |FROM t""".stripMargin
 
     // q58: rate = floor(sqrt(min_n/n)·1000) — sqrt is IEEE-correctly
     // rounded on both engines, so the permille rates match exactly

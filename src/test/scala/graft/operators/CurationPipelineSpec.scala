@@ -8,15 +8,17 @@ import graft.SparkSpec
   * example on the real fixture, so the documented composition cannot
   * drift from the actual operator signatures, and pins the invariants a
   * curation pass must hold: redaction is identity on a PII-free corpus,
-  * stages only shrink the corpus, dedup keeps exactly one doc per
-  * duplicate group, the contamination gate removes every flagged doc,
-  * packing assigns every survivor a valid slot, and the final hash split
-  * covers every survivor deterministically.
+  * stages only shrink the corpus, dedup keeps exactly the best doc per
+  * duplicate group, span rewrite never lengthens a doc, the
+  * contamination gate removes every flagged doc, the temperature mix
+  * keeps the smallest language whole, the token budget keeps a
+  * quality-ranked prefix, packing assigns every survivor a valid slot,
+  * and the final hash split covers every survivor deterministically.
   */
 class CurationPipelineSpec extends SparkSpec {
   import spark.implicits._
 
-  test("pii scrub → quality gate → dedup → contamination gate → packing → split holds its invariants") {
+  test("pii scrub → gate → dedup → rewrite → decontam → mix → budget → packing → split holds its invariants") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val total = docs.count()
 
@@ -37,40 +39,77 @@ class CurationPipelineSpec extends SparkSpec {
     val nKept = kept.count()
     assert(nKept > 0 && nKept <= total)
 
-    // 2. near-dup dedup: LSH pairs -> components -> keep each group's min id
+    // 2. near-dup dedup: LSH pairs -> components -> keep the BEST doc of
+    // each duplicate group (longest, ties to smallest id) — the keep
+    // policy, not just the min id
     val pairs = Dedup.minhashNearDupPairs(kept, $"doc_id", $"text", 3, 8, 4, 800)
     val comp = Components.connectedComponents(
       kept.select($"doc_id".as("id")),
       pairs.select($"a_id".as("src"), $"b_id".as("dst")))
-    val uniq = kept.join(comp.filter($"id" === $"component_id"),
-      kept("doc_id") === comp("id"), "left_semi")
+      .select($"id".as("doc_id"), $"component_id")
+    val verdict = Dedup.keepBest(
+      comp.join(kept.select($"doc_id", $"n_chars"), "doc_id"),
+      $"doc_id", $"component_id", Seq($"n_chars".desc, $"doc_id".asc))
+    val uniq = kept.join(verdict.filter($"is_kept").select("doc_id"), "doc_id")
     val nUniq = uniq.count()
     val nGroups = comp.select("component_id").distinct().count()
     assert(nUniq == nGroups, "exactly one survivor per duplicate group")
     assert(nUniq <= nKept)
 
-    // 3. contamination gate against a held-out "benchmark" (source src0)
+    // 3. exact-substring rewrite: cut duplicated >= 13-token runs that
+    // survived doc-level dedup (sub-threshold overlaps), keep the rest;
+    // the rewrite can only shorten a doc, never lengthen it
+    val spans = Dedup.duplicateSpans(uniq, $"doc_id", $"text", n = 13)
+    val rewritten = uniq.drop("text")
+      .join(Dedup.removeSpans(uniq, $"doc_id", $"text", spans)
+        .withColumnRenamed("clean_text", "text"), "doc_id")
+      .filter(TextAnalysis.tokenCount($"text") > 0)
+    assert(rewritten.count() <= nUniq)
+    val lengthened = rewritten.select($"doc_id", TextAnalysis.tokenCount($"text").as("nt"))
+      .join(uniq.select($"doc_id", TextAnalysis.tokenCount($"text").as("orig")), "doc_id")
+      .filter($"nt" > $"orig").count()
+    assert(lengthened == 0, "span removal only shortens")
+
+    // 4. contamination gate against a held-out "benchmark" (source src0)
     val benchDocs = docs.filter($"source" === "src0").select("doc_id", "text")
     val flagged = Contamination.ngramOverlapPairs(benchDocs, $"doc_id", $"text",
-        uniq, $"doc_id", $"text", 3, 2)
+        rewritten, $"doc_id", $"text", 3, 2)
       .select($"train_id".as("doc_id")).distinct()
-    val clean = uniq.join(flagged, Seq("doc_id"), "left_anti")
+    val clean = rewritten.join(flagged, Seq("doc_id"), "left_anti")
     val nClean = clean.count()
-    assert(nClean == nUniq - flagged.join(uniq.select("doc_id"), "doc_id").count())
+    assert(nClean ==
+      rewritten.count() - flagged.join(rewritten.select("doc_id"), "doc_id").count())
 
-    // 4. pack the survivors into context windows per language shard
-    val packed = Packing.sequencePacking(clean, "lang", "doc_id",
+    // 5. temperature mix (α=0.5): damp the dominant language, smallest
+    // keeps everything
+    val mixed = Sampling.temperatureResample(clean, $"lang", $"doc_id", alpha = 0.5)
+      .filter($"kept").drop("keep_permille", "kept")
+    val minLang = clean.groupBy("lang").count().orderBy($"count".asc, $"lang".asc)
+      .as[(String, Long)].head()._1
+    assert(mixed.filter($"lang" === minLang).count() ==
+      clean.filter($"lang" === minLang).count(), "smallest language keeps all")
+
+    // 6. token-budget curation per language: best docs first until the
+    // budget fills — the kept set is a quality-ranked prefix
+    val budgeted = Sampling.budgetSelect(mixed, $"lang",
+      Seq($"n_chars".desc, $"doc_id".asc), TextAnalysis.tokenCount($"text").cast("long"),
+      budget = 100000L).filter($"kept").drop("cum_weight", "kept")
+    val nBudget = budgeted.count()
+    assert(nBudget > 0 && nBudget <= mixed.count())
+
+    // 7. pack the survivors into context windows per language shard
+    val packed = Packing.sequencePacking(budgeted, "lang", "doc_id",
       TextAnalysis.tokenCount($"text"), capacity = 4096)
-    assert(packed.count() == nClean)
+    assert(packed.count() == nBudget)
     val bad = packed.filter($"offset_in_bin" < 0 || $"offset_in_bin" >= 4096 ||
       $"bin_id" < 0 || $"pack_offset" < 0).count()
     assert(bad == 0, "every survivor has a valid window slot")
 
-    // 5. deterministic split LAST: total cover, and re-running the whole
+    // 8. deterministic split LAST: total cover, and re-running the whole
     // DAG cannot move a doc between train and val (hash of doc_id alone)
     val split = Sampling.hashSplit(packed, $"doc_id", Seq("train" -> 950, "val" -> 50))
     assert(split.filter($"split".isNull).count() == 0)
-    assert(split.count() == nClean)
+    assert(split.count() == nBudget)
     val again = Sampling.hashSplit(packed, $"doc_id", Seq("train" -> 950, "val" -> 50))
     assert(split.select("doc_id", "split").except(again.select("doc_id", "split")).count() == 0)
   }

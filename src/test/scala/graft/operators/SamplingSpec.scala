@@ -58,6 +58,24 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("budgetSelect: quality-ranked prefix, boundary row dropped, exact fit kept") {
+    val df = Seq(
+      // group a, quality order by q desc: (1, w=50), (2, w=50), (3, w=1)
+      // budget 100: rows 1+2 fill it exactly (kept), row 3 would cross
+      ("a", 1L, 9L, 50L), ("a", 2L, 8L, 50L), ("a", 3L, 7L, 1L),
+      // group b: first row alone exceeds the budget -> nothing kept
+      ("b", 4L, 9L, 101L), ("b", 5L, 8L, 1L))
+      .toDF("g", "id", "q", "w")
+    val got = Sampling.budgetSelect(df, col("g"),
+      Seq(col("q").desc, col("id").asc), col("w"), budget = 100L)
+      .select("id", "cum_weight", "kept")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, c, k) => id -> ((c, k)) }.toMap
+    assert(got == Map(
+      1L -> ((50L, true)), 2L -> ((100L, true)), 3L -> ((101L, false)),
+      4L -> ((101L, false)), 5L -> ((102L, false))))
+  }
+
   test("temperatureResample: α=0.5 rates, α=1 natural, α=0 equalizing") {
     // group a: 1 row (the min), group b: 4 rows
     val df = (Seq(("a", 0L)) ++ (1L to 4L).map(("b", _))).toDF("g", "id")
