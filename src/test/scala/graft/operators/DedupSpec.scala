@@ -238,6 +238,39 @@ class DedupSpec extends SparkSpec {
       (2L, 0L, 3L, 1L), (2L, 7L, 10L, 1L)))
   }
 
+  test("duplicateSpans ≡ brute-force positional oracle (property)") {
+    // tiny vocab forces dense collisions; n=2 keeps the oracle honest
+    val genDoc = Gen.choose(0, 9).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("x", "y", "z")).map(_.mkString(" ")))
+    val prop = Prop.forAll(Gen.choose(2, 6).flatMap(Gen.listOfN(_, genDoc))) {
+      docs: List[String] =>
+        val n = 2
+        val toks = docs.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+        val grams = toks.zipWithIndex.flatMap { case (w, d) =>
+          w.sliding(n).filter(_.size == n).zipWithIndex.map {
+            case (g, p) => (d.toLong, p.toLong, g.mkString(" ")) }
+        }
+        val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+        val expected = grams.filter(g => counts(g._3) >= 2)
+          .groupBy(_._1).toSeq.flatMap { case (d, ps) =>
+            // islands over sorted duplicated positions
+            val sorted = ps.map(_._2).sorted
+            val islands = sorted.foldLeft(List.empty[(Long, Long)]) {
+              case ((s, e) :: t, p) if p == e + 1 => (s, p) :: t
+              case (acc, p) => (p, p) :: acc
+            } // only CONSECUTIVE positions merge (the pos − rn islands)
+            islands.map { case (s, e) => (d, s, e + n, e - s + 1) }
+          }.toSet
+        val got = Dedup.duplicateSpans(
+          docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), n)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("removeSpans: duplicateSpans mask applied end-to-end") {
     val docs = Seq(
       (1L, "one two three four five zebra quilt jumble"),
