@@ -106,6 +106,34 @@ object TextAnalysis {
   def ngramHashesMultiset(text: Column, n: Int): Column =
     Bridge.column(graft.functions.ShingleHashesAll(Bridge.expression(text), n))
 
+  /** IDF-style lexical-commonness signal: the mean corpus document
+    * frequency of a document's tokens (×1000, exact integer — higher =
+    * more common vocabulary; very low flags codes/IDs/garbage, very high
+    * flags stopword soup). The TF-IDF-family quality filter reduced to
+    * its engine-replayable core: per-token df is the corpus-level fact,
+    * the per-doc mean is the signal; [[graft.operators.Stats.quantileBuckets]]
+    * composes on top for per-language thresholds.
+    *
+    * Shape: token postings → one distinct-(doc, token) aggregate → a
+    * vocab-sized df table → equi-join back per occurrence → one doc
+    * aggregate. The join fan-out equals the corpus token mass (linear —
+    * a stopword's big posting list is the occurrences themselves, not a
+    * pair blowup); tokens ride as 8-byte hashes, never strings. Docs with
+    * no tokens are absent.
+    *
+    * → (doc_id, n_tokens, mean_token_df_x1000). */
+  def tokenRarity(df: org.apache.spark.sql.DataFrame, id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val tk = df.select(id.as("doc_id"), explode(Dedup.tokenHashes(text)).as("h"))
+    val dfreq = tk.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    tk.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("df")).as("__sumdf"))
+      .select(col("doc_id"), col("n_tokens"),
+        perMille(col("__sumdf"), col("n_tokens")).as("mean_token_df_x1000"))
+  }
+
   /** Gopher-style intra-document repetition signals over word `n`-grams:
     * per doc, how dominant the single most frequent n-gram is and what
     * fraction of all n-gram occurrences are repeats of an earlier one —

@@ -377,6 +377,11 @@ object PipelineQueries {
         groupCols = Seq("lang"), valueCol = "n_chars", tieCol = "doc_id",
         cutsPermille = Seq(333, 667))),
 
+    // IDF-style lexical commonness: mean corpus df of each doc's tokens
+    // (×1000) — the TF-IDF-family quality filter's engine-neutral core
+    "q60_token_rarity" -> ((s, d) =>
+      TextAnalysis.tokenRarity(Tables.documents(s, d), col("doc_id"), col("text"))),
+
     // token-budget curation: per source shard, keep the best docs (by
     // n_chars, ties on doc_id) until an 800-token budget fills — the
     // kept set is exactly a quality-ranked prefix; one window shuffle
@@ -713,6 +718,19 @@ object PipelineQueries {
         |  CAST(CASE WHEN d.n_chars > q.t1 THEN 1 ELSE 0 END +
         |       CASE WHEN d.n_chars > q.t2 THEN 1 ELSE 0 END AS BIGINT) AS bucket
         |FROM documents d JOIN q USING (lang)""".stripMargin
+
+    // q60: SUM lives inside floor(...) then CAST — exact in double up to
+    // ~2^52 of token-df mass; same floor-division as the Spark perMille
+    m += "q60_token_rarity" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  unnest(list_transform($toks, t -> ${DuckSql.rollingHash("t")})) AS h
+         |  FROM documents),
+         |dfreq AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |          FROM tk GROUP BY h)
+         |SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(floor(SUM(df) * 1000 / COUNT(*)) AS BIGINT) AS mean_token_df_x1000
+         |FROM tk JOIN dfreq USING (h)
+         |GROUP BY tk.doc_id""".stripMargin
 
     // q59: windowed SUM → CAST AS BIGINT (HUGEINT dtype discipline);
     // unique doc_id makes RANGE/ROWS frames agree

@@ -155,6 +155,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("tokenRarity: mean document frequency, occurrences counted per token") {
+    val docs = Seq((1L, "x y"), (2L, "x z"), (3L, "x x"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenRarity(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long)].collect().toSet
+    // df: x in 3 docs, y/z in 1; doc 3's repeat counts x twice in ITS
+    // mean but only once in x's df; token-free doc 4 is absent
+    assert(got == Set(
+      (1L, 2L, 2000L), // (3+1)/2
+      (2L, 2L, 2000L), // (3+1)/2
+      (3L, 2L, 3000L))) // (3+3)/2
+  }
+
   test("topNgrams: document frequency (not occurrences), deterministic cutoff") {
     val docs = Seq(
       (1L, "the same header x"),      // "the same header" + "same header x"
