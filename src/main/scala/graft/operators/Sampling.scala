@@ -115,8 +115,13 @@ object Sampling {
     val rates = broadcast(sizes
       .withColumn("keep_permille", floor(rate * lit(1000.0)).cast("long"))
       .select(col("__g"), col("keep_permille")))
-    df.join(rates, group === col("__g"))
+    // null-safe: groupBy above counts NULL as a group, so the join must
+    // match it too — a plain === would silently drop null-group rows —
+    // and the bucket hash follows hashSplit's convention (null stratum
+    // hashes as the empty string) instead of propagating null into `kept`
+    df.join(rates, group <=> col("__g"))
       .drop("__g")
-      .withColumn("kept", sampleBucket(group, key) < col("keep_permille"))
+      .withColumn("kept",
+        sampleBucket(coalesce(group.cast("string"), lit("")), key) < col("keep_permille"))
   }
 }

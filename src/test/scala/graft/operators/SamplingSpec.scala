@@ -88,6 +88,15 @@ class SamplingSpec extends SparkSpec {
     assert(rates(0.0) == Map("a" -> 1000L, "b" -> 250L)) // 1/4: equal E[n]
   }
 
+  test("temperatureResample: a NULL group is a group, not silently dropped") {
+    val df = (Seq((Option.empty[String], 0L)) ++ (1L to 4L).map(i => (Some("b"), i)))
+      .toDF("g", "id")
+    val got = Sampling.temperatureResample(df, col("g"), col("id"), alpha = 0.5)
+    assert(got.count() == 5, "null-group row survives the rate join")
+    assert(got.filter(col("g").isNull).select("keep_permille", "kept")
+      .as[(Long, Boolean)].head() == ((1000L, true))) // min group: keeps all, kept non-null
+  }
+
   test("temperatureResample: kept is the hash-bucket decision, min group keeps all") {
     val df = (Seq(("a", 0L)) ++ (1L to 40L).map(("b", _))).toDF("g", "id")
     val got = Sampling.temperatureResample(df, col("g"), col("id"), alpha = 0.5)
