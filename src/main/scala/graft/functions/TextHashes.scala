@@ -113,11 +113,17 @@ object TextHashes {
     * tokens are re-joined with single spaces (the tokenizer's
     * whitespace-normalized contract); a fully-masked or token-free doc
     * becomes "". Spans may overlap or arrive unsorted (they are sorted by
-    * start here); out-of-range indices are harmless. O(n + k log k). */
+    * start here); out-of-range indices are harmless; mismatched array
+    * lengths throw (a corrupt mask must not pass silently).
+    * O(n + k log k). */
   def removeSpans(u: UTF8String, starts: ArrayData, ends: ArrayData): UTF8String = {
+    val k = starts.numElements()
+    // a corrupt mask must fail loudly — silently ignoring tail spans
+    // would let duplicated runs survive the "deduplicated" output
+    require(ends.numElements() == k,
+      s"remove_token_spans: starts has $k elements, ends has ${ends.numElements()}")
     val s = u.toString
     val bounds = tokenBounds(s)
-    val k = math.min(starts.numElements(), ends.numElements())
     val order = Array.range(0, k).sortBy(starts.getLong)
     val sb = new java.lang.StringBuilder(s.length)
     var si = 0

@@ -63,27 +63,6 @@ object Sampling {
     df.filter(sampleBucket(stratum, key) < rate)
   }
 
-  /** Temperature-scaled group mixing — the multilingual-training α
-    * exponent (XLM/mBERT style): rebalance group shares from p_g toward
-    * p_g^α by downsampling each group relative to the SMALLEST one,
-    * keep-rate r_g = (n_min/n_g)^(1−α) — the smallest group keeps
-    * everything (1000‰), dominant groups are damped by the temperature
-    * (α = 1 keeps the natural distribution, α = 0 equalizes counts).
-    * The keep decision is the deterministic [[sampleBucket]] Bernoulli —
-    * map-side, engine-replayable, stable under repartition and retries.
-    *
-    * Group sizes are one map-side-combined aggregate producing a
-    * rows-per-group table; the global min is an unpartitioned window
-    * over that TINY table (never a cross join against the corpus) and
-    * the resulting rate table broadcasts back — the corpus itself never
-    * shuffles. Engine parity of the rate: exact at α = 0.5 (computed
-    * via IEEE-correctly-rounded `sqrt`, replayed identically by the
-    * oracle); other α use `pow`, where the last ulp is libm-dependent —
-    * document-level decisions may then differ AT the rate boundary
-    * across engines (never across runs of the same engine).
-    *
-    * → input columns + (keep_permille, kept); filter on `kept` to apply.
-    */
   /** Budget-capped selection per group: order each group's rows by
     * `order` (quality first; append a unique key — the order must be
     * total or the prefix is nondeterministic) and keep the longest
@@ -106,6 +85,27 @@ object Sampling {
       .withColumn("kept", col("cum_weight") <= budget)
   }
 
+  /** Temperature-scaled group mixing — the multilingual-training α
+    * exponent (XLM/mBERT style): rebalance group shares from p_g toward
+    * p_g^α by downsampling each group relative to the SMALLEST one,
+    * keep-rate r_g = (n_min/n_g)^(1−α) — the smallest group keeps
+    * everything (1000‰), dominant groups are damped by the temperature
+    * (α = 1 keeps the natural distribution, α = 0 equalizes counts).
+    * The keep decision is the deterministic [[sampleBucket]] Bernoulli —
+    * map-side, engine-replayable, stable under repartition and retries.
+    *
+    * Group sizes are one map-side-combined aggregate producing a
+    * rows-per-group table; the global min is an unpartitioned window
+    * over that TINY table (never a cross join against the corpus) and
+    * the resulting rate table broadcasts back — the corpus itself never
+    * shuffles. Engine parity of the rate: exact at α = 0.5 (computed
+    * via IEEE-correctly-rounded `sqrt`, replayed identically by the
+    * oracle); other α use `pow`, where the last ulp is libm-dependent —
+    * document-level decisions may then differ AT the rate boundary
+    * across engines (never across runs of the same engine).
+    *
+    * → input columns + (keep_permille, kept); filter on `kept` to apply.
+    */
   def temperatureResample(
       df: DataFrame, group: Column, key: Column, alpha: Double): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")

@@ -69,11 +69,20 @@ object Stats {
     val grp = groupCols.map(col)
     val thresholds = broadcast(
       groupedQuantiles(df, groupCols, valueCol, tieCol, cutsPermille)
-        .select((grp ++ cutsPermille.map(p => col(s"p${p}_$valueCol"))): _*))
-    val bucket = cutsPermille
-      .map(p => when(col(valueCol) > col(s"p${p}_$valueCol"), lit(1L)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    df.join(thresholds, groupCols) // inner: every group has a threshold row
+        .select((groupCols.map(g => col(g).as(s"__t_$g")) ++
+          cutsPermille.map(p => col(s"p${p}_$valueCol"))): _*))
+    // null value rows land in the TOP bucket — [[groupedQuantiles]] ranks
+    // nulls last (largest), and the bucket label must agree or a
+    // null-score doc counted in the tail for the cuts would be labeled
+    // head
+    val bucket = when(col(valueCol).isNull, lit(cutsPermille.size.toLong))
+      .otherwise(cutsPermille
+        .map(p => when(col(valueCol) > col(s"p${p}_$valueCol"), lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _))
+    // null-safe group match: groupBy above emits a threshold row for a
+    // NULL group, and a plain equi-join would silently drop its rows
+    val cond = groupCols.map(g => col(g) <=> col(s"__t_$g")).reduce(_ && _)
+    df.join(thresholds, cond)
       .select((grp :+ col(tieCol) :+ col(valueCol) :+ bucket.as("bucket")): _*)
   }
 }

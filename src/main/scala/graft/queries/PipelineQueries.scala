@@ -662,8 +662,10 @@ object PipelineQueries {
          |ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin
 
     // q54: same rolling-hash gram space as q50; dup = total multiplicity
-    // >= 2 (cross-doc or within-doc), islands via the pos − row_number
-    // trick. MIN/MAX/COUNT stay BIGINT in DuckDB (only SUM goes HUGEINT).
+    // >= 2 (cross-doc or within-doc); islands merge on COVERAGE (gap <
+    // n), replayed with the same lag-flag running sum (the HUGEINT sum
+    // is only a grouping key, never an output column). MIN/MAX/COUNT
+    // stay BIGINT in DuckDB (only SUM goes HUGEINT).
     m += "q54_selfdup_spans" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
          |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
@@ -672,11 +674,14 @@ object PipelineQueries {
          |        FROM t WHERE len(w) >= 3)),
          |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
          |p AS (SELECT doc_id, pos,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
-         |  FROM g WHERE h IN (SELECT h FROM dup))
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 3
+         |         THEN 0 ELSE 1 END AS newg
+         |  FROM g WHERE h IN (SELECT h FROM dup)),
+         |s AS (SELECT doc_id, pos,
+         |    SUM(newg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM p)
          |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 3 AS span_end,
          |  CAST(COUNT(*) AS BIGINT) AS n_dup_grams
-         |FROM p GROUP BY doc_id, pos - rn""".stripMargin
+         |FROM s GROUP BY doc_id, grp""".stripMargin
 
     // q57: a token is cut iff some duplicated gram starting at pos covers
     // it (pos..pos+2); survivors re-join with single spaces, docs that

@@ -239,12 +239,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("duplicateSpans ≡ brute-force positional oracle (property)") {
-    // tiny vocab forces dense collisions; n=2 keeps the oracle honest
+    // tiny vocab forces dense collisions; n=3 exercises the gap-2 merge
     val genDoc = Gen.choose(0, 9).flatMap(k =>
       Gen.listOfN(k, Gen.oneOf("x", "y", "z")).map(_.mkString(" ")))
-    val prop = Prop.forAll(Gen.choose(2, 6).flatMap(Gen.listOfN(_, genDoc))) {
-      docs: List[String] =>
-        val n = 2
+    val prop = Prop.forAll(
+      Gen.choose(2, 6).flatMap(Gen.listOfN(_, genDoc)), Gen.choose(2, 3)) {
+      (docs: List[String], n: Int) =>
         val toks = docs.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
         val grams = toks.zipWithIndex.flatMap { case (w, d) =>
           w.sliding(n).filter(_.size == n).zipWithIndex.map {
@@ -253,13 +253,14 @@ class DedupSpec extends SparkSpec {
         val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
         val expected = grams.filter(g => counts(g._3) >= 2)
           .groupBy(_._1).toSeq.flatMap { case (d, ps) =>
-            // islands over sorted duplicated positions
+            // islands over sorted duplicated positions: coverage merge —
+            // grams overlap/touch iff the position gap is < n
             val sorted = ps.map(_._2).sorted
-            val islands = sorted.foldLeft(List.empty[(Long, Long)]) {
-              case ((s, e) :: t, p) if p == e + 1 => (s, p) :: t
-              case (acc, p) => (p, p) :: acc
-            } // only CONSECUTIVE positions merge (the pos − rn islands)
-            islands.map { case (s, e) => (d, s, e + n, e - s + 1) }
+            val islands = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+              case ((s, e, c) :: t, p) if p - e < n => (s, p, c + 1) :: t
+              case (acc, p) => (p, p, 1L) :: acc
+            }
+            islands.map { case (s, e, c) => (d, s, e + n, c) }
           }.toSet
         val got = Dedup.duplicateSpans(
           docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
@@ -269,6 +270,21 @@ class DedupSpec extends SparkSpec {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("duplicateSpans: coverage-overlapping grams merge into ONE disjoint span") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c x c d e"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // dup grams: "a b c" (d1:0, d2:0) and "c d e" (d1:2, d2:4). doc 1's
+    // positions {0,2} have gap 2 < 3 — their spans [0,3) and [2,5) share
+    // token 2, so ONE maximal span; doc 2's {0,4} stay apart (gap 4)
+    assert(got == Set(
+      (1L, 0L, 5L, 2L),
+      (2L, 0L, 3L, 1L), (2L, 4L, 7L, 1L)))
   }
 
   test("removeSpans: duplicateSpans mask applied end-to-end") {
@@ -302,6 +318,11 @@ class DedupSpec extends SparkSpec {
     assert(run("a b c", (0L, 99L)) == "") // covers everything
     assert(run("  ", (0L, 1L)) == "") // token-free input
     assert(run("a b c") == "a b c") // empty mask: normalize only
+    intercept[IllegalArgumentException] { // corrupt mask fails loudly
+      TextHashes.removeSpans(UTF8String.fromString("a b"),
+        new GenericArrayData(Array[Any](0L, 5L)),
+        new GenericArrayData(Array[Any](3L)))
+    }
   }
 
   test("keepBest: best-quality doc wins its cluster, ties to smallest id") {

@@ -57,6 +57,21 @@ class StatsSpec extends SparkSpec {
       ("a", 100L) -> 0L, ("b", 1L) -> 0L, ("b", 2L) -> 0L, ("b", 3L) -> 1L))
   }
 
+  test("quantileBuckets: null group survives, null value lands in the TOP bucket") {
+    val df = Seq(
+      (Option("g"), Option(1L), 1L), (Option("g"), Option(2L), 2L),
+      (Option("g"), Option.empty[Long], 3L), // null VALUE in group g
+      (Option.empty[String], Option(5L), 4L)) // null GROUP, single member
+      .toDF("grp", "v", "id")
+    val got = Stats.quantileBuckets(df, Seq("grp"), "v", "id", Seq(500))
+      .as[(Option[String], Long, Option[Long], Long)].collect()
+      .map(r => r._2 -> r._4).toMap // id -> bucket
+    // g's cut: rank ceil(3*.5)=2 over [1, 2, null] (nulls LAST) -> 2; the
+    // null value ranked last for the cut must also label as the tail;
+    // the null group's row must survive the null-safe threshold join
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("approx_percentile (the 100 TB sketch path) stays near the exact ranks") {
     // the documented scale substitution: one t-digest sketch instead of a
     // per-group sort. Pin its error against groupedQuantiles on real data
