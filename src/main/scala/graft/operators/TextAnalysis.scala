@@ -134,6 +134,41 @@ object TextAnalysis {
         perMille(col("__sumdf"), col("n_tokens")).as("mean_token_df_x1000"))
   }
 
+  /** Target-corpus affinity — the deterministic core of "quality =
+    * similarity to a curated corpus" filtering (the CCNet/GPT-3-style
+    * classifier signal, reduced to its n-gram-overlap proxy): per doc,
+    * the per-mille fraction of its DISTINCT word n-grams that appear
+    * anywhere in the curated `target` corpus. High = in-domain prose,
+    * low = off-distribution text; thresholds compose via
+    * [[graft.operators.Stats.quantileBuckets]].
+    *
+    * Shape: the target's distinct gram set is one aggregate (typically
+    * tiny next to the raw corpus — a curated reference is millions of
+    * docs against billions — so the join builds/broadcasts the target
+    * side); corpus postings left-join it, one doc aggregate counts
+    * hits. The per-doc gram count rides in the posting rows — no join
+    * back. Never corpus × target. Docs with no grams are absent.
+    *
+    * → (doc_id, n_grams, n_in_target, target_affinity_permille). */
+  def targetAffinity(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      target: org.apache.spark.sql.DataFrame, targetText: Column, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val postings = df
+      .select(id.as("doc_id"), Dedup.shingleHashes(text, n).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+        explode(col("hs")).as("h"))
+    val tset = target.select(explode(Dedup.shingleHashes(targetText, n)).as("h"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    postings.join(tset, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"), count(col("__hit")).as("n_in_target"))
+      .withColumn("target_affinity_permille",
+        perMille(col("n_in_target"), col("n_grams")))
+  }
+
   /** Gopher-style intra-document repetition signals over word `n`-grams:
     * per doc, how dominant the single most frequent n-gram is and what
     * fraction of all n-gram occurrences are repeats of an earlier one —

@@ -377,6 +377,16 @@ object PipelineQueries {
         groupCols = Seq("lang"), valueCol = "n_chars", tieCol = "doc_id",
         cutsPermille = Seq(333, 667))),
 
+    // target-corpus affinity (CCNet/GPT-3-style quality proxy): permille
+    // of each train doc's distinct bigrams present in the curated target
+    // (src0) — target gram set is the small build side, never a cross
+    "q61_target_affinity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.targetAffinity(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("text"), n = 2)
+    }),
+
     // IDF-style lexical commonness: mean corpus df of each doc's tokens
     // (×1000) — the TF-IDF-family quality filter's engine-neutral core
     "q60_token_rarity" -> ((s, d) =>
@@ -723,6 +733,23 @@ object PipelineQueries {
         |  CAST(CASE WHEN d.n_chars > q.t1 THEN 1 ELSE 0 END +
         |       CASE WHEN d.n_chars > q.t2 THEN 1 ELSE 0 END AS BIGINT) AS bucket
         |FROM documents d JOIN q USING (lang)""".stripMargin
+
+    // q61: COUNT(tgt.h) after the left join counts only matches (SQL
+    // COUNT skips nulls — same as Spark count(__hit))
+    m += "q61_target_affinity" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS w FROM documents),
+         |tgt AS (SELECT DISTINCT ${DuckSql.rollingHash("w[i] || ' ' || w[i+1]")} AS h
+         |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+         |        FROM t WHERE source = 'src0' AND len(w) >= 2)),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+         |    i -> ${DuckSql.rollingHash("w[i] || ' ' || w[i+1]")}))) AS h
+         |  FROM t WHERE source <> 'src0' AND len(w) >= 2),
+         |a AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(COUNT(tgt.h) AS BIGINT) AS n_in_target
+         |  FROM g LEFT JOIN tgt ON g.h = tgt.h GROUP BY g.doc_id)
+         |SELECT doc_id, n_grams, n_in_target,
+         |  CAST(floor(n_in_target * 1000 / n_grams) AS BIGINT) AS target_affinity_permille
+         |FROM a""".stripMargin
 
     // q60: SUM lives inside floor(...) then CAST — exact in double up to
     // ~2^52 of token-df mass; same floor-division as the Spark perMille

@@ -168,6 +168,22 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 2L, 3000L))) // (3+3)/2
   }
 
+  test("targetAffinity: distinct-gram overlap permille against the target set") {
+    val target = Seq((100L, "x y z")).toDF("doc_id", "text") // bigrams: "x y","y z"
+    val docs = Seq(
+      (1L, "x y q"), // {"x y","y q"} -> 1 of 2 in target
+      (2L, "q q"), // {"q q"} -> 0 of 1
+      (3L, "x y z w"), // {"x y","y z","z w"} -> 2 of 3
+      (4L, "x y x y")) // multiset {"x y","y x","x y"} -> DISTINCT {..} -> 1 of 2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.targetAffinity(
+      docs, col("doc_id"), col("text"), target, col("text"), n = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 1L, 500L), (2L, 1L, 0L, 0L),
+      (3L, 3L, 2L, 666L), (4L, 2L, 1L, 500L)))
+  }
+
   test("topNgrams: document frequency (not occurrences), deterministic cutoff") {
     val docs = Seq(
       (1L, "the same header x"),      // "the same header" + "same header x"
