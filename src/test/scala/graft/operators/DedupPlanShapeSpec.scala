@@ -73,4 +73,35 @@ class DedupPlanShapeSpec extends SparkSpec {
     assert(nExchanges(sampled) == 0,
       s"sampling must compose into the scan:\n${sampled.queryExecution.executedPlan}")
   }
+
+  test("duplicateSpans: semi-join on the gram key, never broadcast of the corpus") {
+    val spans = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"dup-position filter must be a semi join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"duplicateSpans degraded to a non-equi plan:\n$plan")
+  }
+
+  test("temperatureResample and quantileBuckets broadcast their tiny side") {
+    val langs = docs.withColumn("lang", TextAnalysis.langId(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    for (df <- Seq(
+      Sampling.temperatureResample(langs, col("lang"), col("doc_id"), alpha = 0.5),
+      Stats.quantileBuckets(langs, Seq("lang"), "n_chars", "doc_id", Seq(500)))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"rate/threshold table must broadcast back, not shuffle the corpus:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"degraded to a non-equi plan:\n$plan")
+    }
+  }
+
+  test("budgetSelect is one window exchange, no join") {
+    val budgeted = Sampling.budgetSelect(
+      docs.withColumn("w", lit(3L)), col("doc_id") % 2, Seq(col("doc_id")), col("w"), 5L)
+    val plan = budgeted.queryExecution.executedPlan.toString
+    assert(nExchanges(budgeted) == 1,
+      s"budget selection must be exactly the one group-keyed window shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"budget selection must not join:\n$plan")
+  }
 }
