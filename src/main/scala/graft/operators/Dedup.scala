@@ -351,11 +351,11 @@ object Dedup {
     * The corpus is shingled twice (count pass + mask pass) — at 100 TB two
     * cheap codegen'd scans beat materializing corpus-sized postings.
     *
-    * → (doc_id, span_start, span_end, n_dup_grams): DISJOINT maximal
-    * half-open token spans [span_start, span_end) — each is one
-    * contiguous run of duplicated-gram coverage (grams with position gap
-    * < n merge), span_end = last merged gram pos + n; docs with no
-    * duplicated gram are absent.
+    * → (doc_id, span_start, span_end, n_dup_grams): DISJOINT,
+    * non-touching maximal half-open token spans [span_start, span_end) —
+    * each is one contiguous run of duplicated-gram coverage (grams with
+    * position gap ≤ n merge: < n overlaps, == n touches), span_end =
+    * last merged gram pos + n; docs with no duplicated gram are absent.
     */
   def duplicateSpans(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val postings = df
@@ -368,15 +368,16 @@ object Dedup {
       .select(col("h"))
     val dupPos = postings.join(dupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
     // island merge on COVERAGE, not adjacency: gram at p covers tokens
-    // [p, p+n), so two duplicated grams overlap/touch iff their position
-    // gap is < n — a lag-flag running sum groups them (pos − row_number
-    // would only merge gap-1 neighbors and emit OVERLAPPING spans for
-    // gaps 2..n−1, double-counting tokens). Both window functions share
-    // one doc-keyed sort.
+    // [p, p+n), so coverages overlap at position gap < n and TOUCH at
+    // gap == n — both mean one contiguous duplicated run, so gap <= n
+    // merges. A lag-flag running sum groups them (pos − row_number would
+    // only merge gap-1 neighbors and emit overlapping spans for gaps
+    // 2..n−1 plus split adjacent runs at gap n). Both window functions
+    // share one doc-keyed sort.
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dupPos
       .withColumn("__new",
-        when(col("pos") - lag(col("pos"), 1).over(w) < n, lit(0L)).otherwise(lit(1L)))
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, lit(0L)).otherwise(lit(1L)))
       .withColumn("__grp", sum(col("__new")).over(w))
       .groupBy(col("doc_id"), col("__grp"))
       .agg(min(col("pos")).as("span_start"),

@@ -159,9 +159,10 @@ object TextAnalysis {
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
         explode(col("hs")).as("h"))
-    val tset = target.select(explode(Dedup.shingleHashes(targetText, n)).as("h"))
-      .distinct()
-      .withColumn("__hit", lit(1L))
+    val tset = broadcast(
+      target.select(explode(Dedup.shingleHashes(targetText, n)).as("h"))
+        .distinct()
+        .withColumn("__hit", lit(1L)))
     postings.join(tset, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(max(col("n_grams")).as("n_grams"), count(col("__hit")).as("n_in_target"))

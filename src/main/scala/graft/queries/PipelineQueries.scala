@@ -672,10 +672,10 @@ object PipelineQueries {
          |ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin
 
     // q54: same rolling-hash gram space as q50; dup = total multiplicity
-    // >= 2 (cross-doc or within-doc); islands merge on COVERAGE (gap <
-    // n), replayed with the same lag-flag running sum (the HUGEINT sum
-    // is only a grouping key, never an output column). MIN/MAX/COUNT
-    // stay BIGINT in DuckDB (only SUM goes HUGEINT).
+    // >= 2 (cross-doc or within-doc); islands merge on COVERAGE (gap <=
+    // n: overlap or touch), replayed with the same lag-flag running sum
+    // (the HUGEINT sum is only a grouping key, never an output column).
+    // MIN/MAX/COUNT stay BIGINT in DuckDB (only SUM goes HUGEINT).
     m += "q54_selfdup_spans" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
          |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
@@ -684,7 +684,7 @@ object PipelineQueries {
          |        FROM t WHERE len(w) >= 3)),
          |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
          |p AS (SELECT doc_id, pos,
-         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 3
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3
          |         THEN 0 ELSE 1 END AS newg
          |  FROM g WHERE h IN (SELECT h FROM dup)),
          |s AS (SELECT doc_id, pos,
@@ -717,7 +717,10 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
     // q55: nearest-rank cuts exactly as the q40 oracle computes them;
-    // bucket = number of cuts strictly exceeded
+    // bucket = number of cuts strictly exceeded. Null-parity with the
+    // operator even though today's data is null-free: the join matches
+    // NULL groups (IS NOT DISTINCT FROM) and a NULL value labels as the
+    // top bucket, mirroring the nulls-last rank the cuts use.
     m += "q55_quantile_buckets" ->
       """WITH r AS (SELECT lang, n_chars, doc_id,
         |  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
@@ -730,9 +733,10 @@ object PipelineQueries {
         |      THEN n_chars END) AS t2
         |  FROM r GROUP BY lang)
         |SELECT d.lang, d.doc_id, d.n_chars,
-        |  CAST(CASE WHEN d.n_chars > q.t1 THEN 1 ELSE 0 END +
-        |       CASE WHEN d.n_chars > q.t2 THEN 1 ELSE 0 END AS BIGINT) AS bucket
-        |FROM documents d JOIN q USING (lang)""".stripMargin
+        |  CAST(CASE WHEN d.n_chars IS NULL THEN 2 ELSE
+        |    CASE WHEN d.n_chars > q.t1 THEN 1 ELSE 0 END +
+        |    CASE WHEN d.n_chars > q.t2 THEN 1 ELSE 0 END END AS BIGINT) AS bucket
+        |FROM documents d JOIN q ON d.lang IS NOT DISTINCT FROM q.lang""".stripMargin
 
     // q61: COUNT(tgt.h) after the left join counts only matches (SQL
     // COUNT skips nulls — same as Spark count(__hit))

@@ -96,6 +96,14 @@ class DedupPlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("targetAffinity broadcasts the target gram set") {
+    val affinity = TextAnalysis.targetAffinity(
+      docs, col("doc_id"), col("text"), docs.limit(1), col("text"), n = 2)
+    val plan = affinity.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the target set must be the broadcast side, never a corpus shuffle on h:\n$plan")
+  }
+
   test("budgetSelect is one window exchange, no join") {
     val budgeted = Sampling.budgetSelect(
       docs.withColumn("w", lit(3L)), col("doc_id") % 2, Seq(col("doc_id")), col("w"), 5L)

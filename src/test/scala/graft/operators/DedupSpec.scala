@@ -254,10 +254,10 @@ class DedupSpec extends SparkSpec {
         val expected = grams.filter(g => counts(g._3) >= 2)
           .groupBy(_._1).toSeq.flatMap { case (d, ps) =>
             // islands over sorted duplicated positions: coverage merge —
-            // grams overlap/touch iff the position gap is < n
+            // gap < n overlaps, gap == n touches; both are one run
             val sorted = ps.map(_._2).sorted
             val islands = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
-              case ((s, e, c) :: t, p) if p - e < n => (s, p, c + 1) :: t
+              case ((s, e, c) :: t, p) if p - e <= n => (s, p, c + 1) :: t
               case (acc, p) => (p, p, 1L) :: acc
             }
             islands.map { case (s, e, c) => (d, s, e + n, c) }
@@ -285,6 +285,22 @@ class DedupSpec extends SparkSpec {
     assert(got == Set(
       (1L, 0L, 5L, 2L),
       (2L, 0L, 3L, 1L), (2L, 4L, 7L, 1L)))
+  }
+
+  test("duplicateSpans: TOUCHING coverage (gap == n) is one contiguous run") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c q1"), // duplicates doc 1's gram at pos 0
+      (3L, "q2 d e f")) // duplicates doc 1's gram at pos 3
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1's dup positions {0, 3}: coverages [0,3) and [3,6) touch ->
+    // tokens [0,6) are one duplicated run, not two adjacent spans
+    assert(got == Set(
+      (1L, 0L, 6L, 2L),
+      (2L, 0L, 3L, 1L),
+      (3L, 1L, 4L, 1L)))
   }
 
   test("removeSpans: duplicateSpans mask applied end-to-end") {
