@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE codec is REAL: [[ImageIoDecoder]] / [[ImageIoResizer]] ride
   * the JDK's own `javax.imageio` (PNG/JPEG/GIF/BMP), zero added
-  * dependencies. Audio/video codecs remain stubbed ([[StubDecoder]]
-  * derives deterministic fake dimensions from payload bytes — no A/V
-  * library ships with the JDK); the stub also stays the oracle-replayable
-  * path for the q29/q45 correctness gate, since DuckDB can recompute its
-  * arithmetic but not a pixel decode. Either way the surrounding plumbing —
+  * dependencies. The AUDIO header codec is REAL too: [[WavDecoder]] rides
+  * `javax.sound.sampled` (WAV/AIFF/AU). Compressed A/V (MP3/FLAC/video)
+  * remains stubbed ([[StubDecoder]] derives deterministic fake dimensions
+  * from payload bytes — those codecs don't ship with the JDK); the stub
+  * also stays the oracle-replayable path for the q29/q45 correctness
+  * gate, since DuckDB can recompute its arithmetic but not a pixel
+  * decode. Either way the surrounding plumbing —
   * schema, encoders, partition batching, null-safety, the query surface —
   * is identical, and a production A/V decoder drops in behind
   * [[MediaDecoder]] without touching the plan shape.
@@ -76,6 +78,54 @@ object Multimodal {
         // on crafted or truncated headers, and the contract is that a bad
         // row can never kill the job
       } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+    }
+  }
+
+  /** Audio metadata of one payload. */
+  final case class AudioMeta(
+      id: Long, byte_len: Long, sample_rate: Int, channels: Int, n_frames: Long)
+
+  /** The pluggable audio-codec boundary (same contract as
+    * [[MediaDecoder]]: Serializable, ships once per partition). */
+  trait AudioDecoder extends Serializable {
+    /** → (sampleRate Hz, channels, frame count). */
+    def audioMeta(content: Array[Byte]): (Int, Int, Long)
+  }
+
+  /** REAL audio decoder — `javax.sound.sampled`, which ships with the JDK
+    * (zero added dependencies): parses the WAV/AIFF/AU container HEADER
+    * for format and frame count, never the samples, so metadata over a
+    * 100 TB audio column costs header bytes per row. Corrupt or
+    * unrecognized payloads yield (0, 0, 0) — a bad row must surface as a
+    * filterable zero record, not kill the job (compressed formats like
+    * MP3/FLAC need codecs outside the JDK and land here as (0, 0, 0)
+    * until a richer decoder is plugged in). */
+  object WavDecoder extends AudioDecoder {
+    def audioMeta(content: Array[Byte]): (Int, Int, Long) = {
+      if (content == null || content.isEmpty) return (0, 0, 0L)
+      try {
+        // ByteArrayInputStream supports mark/reset, which the codec
+        // probe requires
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val f = in.getFormat
+          (f.getSampleRate.toInt, f.getChannels, in.getFrameLength)
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => (0, 0, 0L) }
+    }
+  }
+
+  /** [[extractMeta]]'s audio twin: partition-batched header decode. */
+  def extractAudioMeta(rows: Dataset[MediaRow], decoder: AudioDecoder): Dataset[AudioMeta] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      val d = decoder
+      it.map { r =>
+        val len = if (r.content == null) 0L else r.content.length.toLong
+        val (sr, ch, nf) = d.audioMeta(r.content)
+        AudioMeta(r.id, len, sr, ch, nf)
+      }
     }
   }
 

@@ -71,6 +71,32 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Set((1L, 7, 5), (2L, 3, 11), (3L, 0, 0), (4L, 0, 0)))
   }
 
+  /** An actual in-memory WAV, written by the same javax.sound the decoder
+    * reads with. */
+  private def wavBytes(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * 2 * channels)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavDecoder: true WAV header through extractAudioMeta; corrupt -> zeros") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, wavBytes(8000, 1, 800), "wav"),
+      Multimodal.MediaRow(2L, wavBytes(44100, 2, 441), "wav"),
+      Multimodal.MediaRow(3L, "not audio at all".getBytes, "wav"),
+      Multimodal.MediaRow(4L, null, "wav")).toDS()
+    val got = Multimodal.extractAudioMeta(media, Multimodal.WavDecoder)
+      .collect().map(m => (m.id, m.sample_rate, m.channels, m.n_frames)).toSet
+    assert(got == Set(
+      (1L, 8000, 1, 800L), (2L, 44100, 2, 441L),
+      (3L, 0, 0, 0L), (4L, 0, 0, 0L)))
+  }
+
   test("ImageIoResizer: real pixel resample round-trips through the decoder") {
     val media = Seq(
       Multimodal.MediaRow(1L, pngBytes(8, 6), "png"),
