@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE codec is REAL: [[ImageIoDecoder]] / [[ImageIoResizer]] ride
   * the JDK's own `javax.imageio` (PNG/JPEG/GIF/BMP), zero added
-  * dependencies. The AUDIO header codec is REAL too: [[WavDecoder]] rides
-  * `javax.sound.sampled` (WAV/AIFF/AU). Compressed A/V (MP3/FLAC/video)
-  * remains stubbed ([[StubDecoder]] derives deterministic fake dimensions
-  * from payload bytes — those codecs don't ship with the JDK); the stub
-  * also stays the oracle-replayable path for the q29/q45 correctness
-  * gate, since DuckDB can recompute its arithmetic but not a pixel
-  * decode. Either way the surrounding plumbing —
+  * dependencies. The AUDIO header codec is REAL too ([[WavDecoder]] rides
+  * `javax.sound.sampled` — WAV/AIFF/AU), and so is the VIDEO header
+  * ([[Mp4Decoder]] walks the ISO-BMFF box structure by hand — MP4/MOV
+  * track dimensions without any codec library). Compressed SAMPLE decode
+  * (MP3/FLAC/H.264 pixels) remains stubbed ([[StubDecoder]] derives
+  * deterministic fake dimensions from payload bytes — those codecs don't
+  * ship with the JDK); the stub also stays the oracle-replayable path
+  * for the q29/q45 correctness gate, since DuckDB can recompute its
+  * arithmetic but not a pixel decode. Either way the surrounding
+  * plumbing —
   * schema, encoders, partition batching, null-safety, the query surface —
   * is identical, and a production A/V decoder drops in behind
   * [[MediaDecoder]] without touching the plan shape.
@@ -78,6 +81,58 @@ object Multimodal {
         // on crafted or truncated headers, and the contract is that a bad
         // row can never kill the job
       } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+    }
+  }
+
+  /** REAL video header decoder — MP4/MOV (ISO base media file format) is
+    * a plain big-endian box structure, so track dimensions parse with no
+    * codec library at all: walk sibling boxes, recurse into moov → trak,
+    * read `tkhd`'s 16.16 fixed-point width/height (skipping zero-dim
+    * audio/metadata tracks). Header bytes only — the mdat sample payload
+    * is never touched, so metadata over a 100 TB video column costs the
+    * moov box per row. Corrupt/truncated/non-BMFF payloads yield (0, 0).
+    */
+  object Mp4Decoder extends MediaDecoder {
+    def dimensions(content: Array[Byte]): (Int, Int) = {
+      if (content == null || content.length < 8) return (0, 0)
+      try scan(content, 0, content.length, depth = 0).getOrElse((0, 0))
+      catch { case scala.util.control.NonFatal(_) => (0, 0) }
+    }
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+
+    private def scan(b: Array[Byte], from: Int, until: Int, depth: Int): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= until) {
+        var size = be32(b, off)
+        var hdr = 8
+        if (size == 1 && off + 16 <= until) { size = be64(b, off + 8); hdr = 16 }
+        else if (size == 0) size = (until - off).toLong // box runs to EOF
+        if (size < hdr) return None // malformed — stop, caller yields (0,0)
+        val end = math.min(off + size, until.toLong).toInt
+        new String(b, off + 4, 4, "ISO-8859-1") match {
+          case "moov" | "trak" if depth < 4 =>
+            val r = scan(b, off + hdr, end, depth + 1)
+            if (r.isDefined) return r
+          case "tkhd" =>
+            val ver = b(off + hdr) & 0xff
+            // v0 payload: ver/flags 4 + times/ids/reserved 72 = width at 76;
+            // v1 widens the three time fields by 4 bytes each
+            val wOff = off + hdr + (if (ver == 1) 88 else 76)
+            if (wOff + 8 <= end) {
+              val w = (be32(b, wOff) >> 16).toInt
+              val h = (be32(b, wOff + 4) >> 16).toInt
+              if (w > 0 && h > 0) return Some((w, h)) // else: audio track
+            }
+          case _ =>
+        }
+        off = end
+      }
+      None
     }
   }
 

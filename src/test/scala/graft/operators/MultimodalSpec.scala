@@ -97,6 +97,38 @@ class MultimodalSpec extends SparkSpec {
       (3L, 0, 0, 0L), (4L, 0, 0, 0L)))
   }
 
+  /** Minimal ISO-BMFF builder: [size][type][payload] boxes. */
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+    bb.array()
+  }
+  private def tkhd(version: Int, w: Int, h: Int): Array[Byte] = {
+    val payload = new Array[Byte](if (version == 1) 96 else 84)
+    payload(0) = version.toByte
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    bb.position(if (version == 1) 88 else 76)
+    bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+    payload
+  }
+
+  test("Mp4Decoder: tkhd dims through a real box walk, audio tracks skipped") {
+    val ftyp = mp4Box("ftyp", "isom0000".getBytes("ISO-8859-1"))
+    // audio trak (zero dims) FIRST — the walker must keep scanning
+    val v0 = ftyp ++ mp4Box("moov",
+      mp4Box("trak", mp4Box("tkhd", tkhd(0, 0, 0))) ++
+        mp4Box("trak", mp4Box("tkhd", tkhd(0, 640, 360))))
+    val v1 = ftyp ++ mp4Box("moov", mp4Box("trak", mp4Box("tkhd", tkhd(1, 1920, 1080))))
+    val media = Seq(
+      Multimodal.MediaRow(1L, v0, "mp4"),
+      Multimodal.MediaRow(2L, v1, "mp4"),
+      Multimodal.MediaRow(3L, "mdat only, no moov".getBytes, "mp4"),
+      Multimodal.MediaRow(4L, null, "mp4")).toDS()
+    val got = Multimodal.extractMeta(media, Multimodal.Mp4Decoder)
+      .collect().map(m => (m.id, m.width, m.height)).toSet
+    assert(got == Set((1L, 640, 360), (2L, 1920, 1080), (3L, 0, 0), (4L, 0, 0)))
+  }
+
   test("ImageIoResizer: real pixel resample round-trips through the decoder") {
     val media = Seq(
       Multimodal.MediaRow(1L, pngBytes(8, 6), "png"),
