@@ -168,6 +168,22 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 2L, 3000L))) // (3+3)/2
   }
 
+  test("approx_count_distinct (the 100 TB vocab path) stays near the exact counts") {
+    // the q44 scaladoc's documented scale substitution — pin its error on
+    // real data so it's a measured claim. HLL++ is deterministic for a
+    // given dataset + rsd, so this cannot flake.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val t = docs.select(col("source"), explode(Dedup.tokenHashes(col("text"))).as("h"))
+    val exact = t.groupBy("source").agg(count_distinct(col("h")).as("x"))
+      .as[(String, Long)].collect().toMap
+    val approx = t.groupBy("source").agg(approx_count_distinct(col("h"), 0.02).as("a"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (s, x) =>
+      assert(math.abs(approx(s) - x).toDouble / x < 0.05,
+        s"source $s: exact $x vs approx ${approx(s)}")
+    }
+  }
+
   test("targetAffinity: distinct-gram overlap permille against the target set") {
     val target = Seq((100L, "x y z")).toDF("doc_id", "text") // bigrams: "x y","y z"
     val docs = Seq(
