@@ -118,7 +118,7 @@ object Multimodal {
           case "moov" | "trak" if depth < 4 =>
             val r = scan(b, off + hdr, end, depth + 1)
             if (r.isDefined) return r
-          case "tkhd" =>
+          case "tkhd" if off + hdr < end => // header-only tkhd: no payload to read
             val ver = b(off + hdr) & 0xff
             // v0 payload: ver/flags 4 + times/ids/reserved 72 = width at 76;
             // v1 widens the three time fields by 4 bytes each
@@ -165,7 +165,12 @@ object Multimodal {
           new java.io.ByteArrayInputStream(content))
         try {
           val f = in.getFormat
-          (f.getSampleRate.toInt, f.getChannels, in.getFrameLength)
+          // streaming-style containers (e.g. AU with dataSize 0xFFFFFFFF)
+          // parse fine but report AudioSystem.NOT_SPECIFIED (-1) — clamp
+          // to 0 so the "filterable zero record" contract holds and no
+          // negative frame count leaks into duration arithmetic
+          (math.max(0, f.getSampleRate.toInt), math.max(0, f.getChannels),
+            math.max(0L, in.getFrameLength))
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => (0, 0, 0L) }
     }

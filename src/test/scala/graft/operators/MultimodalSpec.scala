@@ -97,6 +97,22 @@ class MultimodalSpec extends SparkSpec {
       (3L, 0, 0, 0L), (4L, 0, 0, 0L)))
   }
 
+  test("WavDecoder: streaming AU header (unknown data size) never emits -1 frames") {
+    // AU with dataSize 0xFFFFFFFF is legal (pipes/recorders) and parses
+    // with getFrameLength == NOT_SPECIFIED (-1); the decoder must clamp,
+    // keeping the valid rate/channels and a zero frame count
+    val au = java.nio.ByteBuffer.allocate(28)
+      .put(".snd".getBytes("ISO-8859-1"))
+      .putInt(24).putInt(-1) // header size; data size UNKNOWN
+      .putInt(3).putInt(8000).putInt(1) // 16-bit linear PCM, 8 kHz mono
+      .putInt(0) // one frame of payload
+      .array()
+    val got = Multimodal.extractAudioMeta(
+      Seq(Multimodal.MediaRow(1L, au, "au")).toDS(), Multimodal.WavDecoder)
+      .collect().map(m => (m.sample_rate, m.channels, m.n_frames)).toSet
+    assert(got == Set((8000, 1, 0L)))
+  }
+
   /** Minimal ISO-BMFF builder: [size][type][payload] boxes. */
   private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + payload.length)

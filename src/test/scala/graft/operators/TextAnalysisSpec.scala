@@ -173,14 +173,12 @@ class TextAnalysisSpec extends SparkSpec {
     // real data so it's a measured claim. HLL++ is deterministic for a
     // given dataset + rsd, so this cannot flake.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val t = docs.select(col("source"), explode(Dedup.tokenHashes(col("text"))).as("h"))
-    val exact = t.groupBy("source").agg(count_distinct(col("h")).as("x"))
-      .as[(String, Long)].collect().toMap
-    val approx = t.groupBy("source").agg(approx_count_distinct(col("h"), 0.02).as("a"))
-      .as[(String, Long)].collect().toMap
-    exact.foreach { case (s, x) =>
-      assert(math.abs(approx(s) - x).toDouble / x < 0.05,
-        s"source $s: exact $x vs approx ${approx(s)}")
+    val both = docs.select(col("source"), explode(Dedup.tokenHashes(col("text"))).as("h"))
+      .groupBy("source") // one job computes both sides of the comparison
+      .agg(count_distinct(col("h")).as("x"), approx_count_distinct(col("h"), 0.02).as("a"))
+      .as[(String, Long, Long)].collect()
+    both.foreach { case (s, x, a) =>
+      assert(math.abs(a - x).toDouble / x < 0.05, s"source $s: exact $x vs approx $a")
     }
   }
 
