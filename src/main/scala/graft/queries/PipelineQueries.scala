@@ -377,6 +377,19 @@ object PipelineQueries {
         groupCols = Seq("lang"), valueCol = "n_chars", tieCol = "doc_id",
         cutsPermille = Seq(333, 667))),
 
+    // bloom-routed blocklist anti-join: lineitem minus the 'F'-status
+    // orders — EXACT left_anti semantics; rows the broadcast Bloom sketch
+    // proves absent settle map-side with no exchange, only the maybe
+    // sliver (members + fpp share) takes the confirming equi-join
+    "q62_bloom_anti" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val block = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      graft.operators.BloomJoin.bloomAntiJoin(
+        li, col("l_orderkey"), block, col("o_orderkey"),
+        expectedItems = 10000L, fpp = 0.01)
+    }),
+
     // target-corpus affinity (CCNet/GPT-3-style quality proxy): permille
     // of each train doc's distinct bigrams present in the curated target
     // (src0) — target gram set is the small build side, never a cross
@@ -737,6 +750,13 @@ object PipelineQueries {
         |    CASE WHEN d.n_chars > q.t1 THEN 1 ELSE 0 END +
         |    CASE WHEN d.n_chars > q.t2 THEN 1 ELSE 0 END END AS BIGINT) AS bucket
         |FROM documents d JOIN q ON d.lang IS NOT DISTINCT FROM q.lang""".stripMargin
+
+    // q62: the Bloom sketch is routing only — the result IS the plain
+    // anti join, so the oracle is the NOT EXISTS form verbatim
+    m += "q62_bloom_anti" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderstatus = 'F' AND o.o_orderkey = l.l_orderkey)""".stripMargin
 
     // q61: COUNT(tgt.h) after the left join counts only matches (SQL
     // COUNT skips nulls — same as Spark count(__hit))
