@@ -121,6 +121,57 @@ object Dedup {
       .filter(col("jaccard_permille") >= minJaccardPermille)
   }
 
+  /** Bag-of-words cosine near-dup pairs over token-FREQUENCY vectors —
+    * the sparse-vector sibling of [[jaccardPairs]] (Jaccard sees a
+    * shingle once; cosine weights by how often a token repeats, so it
+    * catches "same vocabulary, different order" rewrites that shingle
+    * overlap misses).
+    *
+    * Semantics: the vocabulary is first pruned to tokens appearing in at
+    * most `maxTokenDf` documents (the standard stopword/boilerplate cap —
+    * it is PART of the metric, norms included, exactly like stopword
+    * removal before vectorizing); over that vocabulary,
+    * `cos²(a,b)·1000 = ⌊1000·dot²/(‖a‖²·‖b‖²)⌋` in EXACT integer
+    * arithmetic (squares avoid sqrt; every engine replays bit-for-bit —
+    * exact while ‖·‖² < ~3·10⁶, far above any real document).
+    *
+    * Shape: inverted index on the token hash. Per-doc norms ride along
+    * the postings (no join-back of the pair table); df=1 postings are
+    * pruned before the self-join (output-invariant: a single-doc token
+    * contributes to norms but can never contribute to a pair's dot).
+    * One tf aggregate, one df aggregate, the h-keyed shuffle_hash
+    * self-join (AQE reuses the identical exchange), one pair aggregate.
+    * Cost is posting-list overlap mass bounded by the df cap — never
+    * corpus².
+    * → (a_id, b_id, dot, a_norm2, b_norm2, cos2_permille). */
+  def tfCosinePairs(
+      df: DataFrame, id: Column, text: Column,
+      minCos2Permille: Int, maxTokenDf: Long = 1000000L): DataFrame = {
+    val tf = df.select(id.as("doc"), explode(tokenHashes(text)).as("h"))
+      .groupBy(col("doc"), col("h")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("h")).agg(count(lit(1)).as("df_count"))
+    val sem = tf.join(dfs.filter(col("df_count") <= maxTokenDf), "h")
+    val norms = sem.groupBy(col("doc")).agg(sum(col("tf") * col("tf")).as("n2"))
+    val postings = sem.filter(col("df_count") >= 2).join(norms, "doc")
+    val cos2 = Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      Bridge.expression(lit(1000L) * col("dot") * col("dot")),
+      Bridge.expression(col("a_norm2") * col("b_norm2"))))
+    postings.select(col("h"), col("doc").as("a_id"), col("tf").as("a_tf"), col("n2").as("a_n2"))
+      .hint("shuffle_hash")
+      .join(postings.select(col("h").as("h2"), col("doc").as("b_id"),
+          col("tf").as("b_tf"), col("n2").as("b_n2")),
+        col("h") === col("h2") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      // norms are functionally dependent on the ids (max() for readable
+      // determinism, same as jaccardPairs)
+      .agg(sum(col("a_tf") * col("b_tf")).as("dot"),
+        max(col("a_n2")).as("a_norm2"), max(col("b_n2")).as("b_norm2"))
+      .withColumn("cos2_permille", cos2)
+      // ⌊1000·dot²/D⌋ ≥ τ  ⟺  1000·dot² ≥ τ·D for integer τ, so filtering
+      // on the floored output is the exact threshold
+      .filter(col("cos2_permille") >= minCos2Permille)
+  }
+
   /** Deterministic affine-permutation parameters for MinHash: k pairs
     * (aᵢ, bᵢ), aᵢ odd so it is a bijection mod 2³¹ regions; generated from
     * a fixed linear congruential walk so the oracle SQL can embed the same

@@ -377,6 +377,14 @@ object PipelineQueries {
         groupCols = Seq("lang"), valueCol = "n_chars", tieCol = "doc_id",
         cutsPermille = Seq(333, 667))),
 
+    // bag-of-words cosine near-dup pairs: token-frequency vectors over
+    // the df≤100 vocabulary, exact integer cos²·1000 — catches
+    // same-vocabulary/different-order rewrites that shingle Jaccard
+    // misses; inverted-index self-join, norms ride the postings
+    "q63_tf_cosine" -> ((s, d) =>
+      Dedup.tfCosinePairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        minCos2Permille = 250, maxTokenDf = 100L)),
+
     // bloom-routed blocklist anti-join: lineitem minus the 'F'-status
     // orders — EXACT left_anti semantics; rows the broadcast Bloom sketch
     // proves absent settle map-side with no exchange, only the maybe
@@ -750,6 +758,26 @@ object PipelineQueries {
         |    CASE WHEN d.n_chars > q.t1 THEN 1 ELSE 0 END +
         |    CASE WHEN d.n_chars > q.t2 THEN 1 ELSE 0 END END AS BIGINT) AS bucket
         |FROM documents d JOIN q ON d.lang IS NOT DISTINCT FROM q.lang""".stripMargin
+
+    // q63: HUGEINT-exact products/'//' floor-division replay the Spark
+    // long arithmetic; every aggregate is CAST AS BIGINT (dtype rule)
+    m += "q63_tf_cosine" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(list_transform($toks,
+         |    t -> ${DuckSql.rollingHash("t")})) AS h FROM documents),
+         |tf AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, h),
+         |dfs AS (SELECT h, COUNT(*) AS df_count FROM tf GROUP BY h),
+         |sem AS (SELECT tf.doc_id, tf.h, tf.tf, dfs.df_count
+         |        FROM tf JOIN dfs USING (h) WHERE df_count <= 100),
+         |norms AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM sem GROUP BY doc_id),
+         |p AS (SELECT sem.doc_id, h, tf, n2 FROM sem JOIN norms USING (doc_id)
+         |      WHERE df_count >= 2),
+         |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot,
+         |         CAST(MAX(a.n2) AS BIGINT) AS a_norm2, CAST(MAX(b.n2) AS BIGINT) AS b_norm2
+         |       FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a_id, b_id, dot, a_norm2, b_norm2,
+         |  CAST((1000 * dot * dot) // (a_norm2 * b_norm2) AS BIGINT) AS cos2_permille
+         |FROM pr WHERE (1000 * dot * dot) // (a_norm2 * b_norm2) >= 250""".stripMargin
 
     // q62: the Bloom sketch is routing only — the result IS the plain
     // anti join, so the oracle is the NOT EXISTS form verbatim

@@ -341,6 +341,54 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  /** Brute-force TF-cosine reference: df-capped vocab, integer cos²·1000. */
+  private def bruteTfCosine(
+      docs: Seq[(Long, String)], tau: Int, maxDf: Long): Set[(Long, Long, Long, Long, Long, Long)] = {
+    val tf = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty)
+        .map(tok => RollingHash.hash(UTF8String.fromString(tok)))
+        .groupBy(identity).map { case (h, o) => h -> o.length.toLong }
+    }.toMap
+    val dfCount = tf.values.flatMap(_.keys).groupBy(identity).map { case (h, o) => h -> o.size }
+    val sem = tf.map { case (id, v) => id -> v.filter(kv => dfCount(kv._1) <= maxDf) }
+    val ids = docs.map(_._1).sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = sem(ids(i)); b = sem(ids(j))
+      dot = a.keySet.intersect(b.keySet).toSeq.map(h => a(h) * b(h)).sum
+      if dot > 0
+      n2 = (m: Map[Long, Long]) => m.values.map(v => v * v).sum
+      (na, nb) = (n2(a), n2(b))
+      cos2 = 1000L * dot * dot / (na * nb)
+      if cos2 >= tau
+    } yield (ids(i), ids(j), dot, na, nb, cos2)).toSet
+  }
+
+  test("tfCosinePairs ≡ brute-force integer cosine (property)") {
+    val genDoc = Gen.choose(1, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    val genCorpus = Gen.choose(2, 8).flatMap(k => Gen.listOfN(k, genDoc))
+    val prop = Prop.forAll(genCorpus, Gen.oneOf(1L, 3L, 100L)) { (texts, maxDf) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.tfCosinePairs(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), minCos2Permille = 300, maxTokenDf = maxDf)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      got == bruteTfCosine(docs, 300, maxDf)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("tfCosinePairs: repeated-vocabulary rewrite scores high, disjoint docs absent") {
+    val docs = Seq(
+      (1L, "x y z x"), (2L, "z x x y"), // same bag, reordered → cos=1
+      (3L, "p q r s")                    // disjoint vocab
+    ).toDF("doc_id", "text")
+    val got = Dedup.tfCosinePairs(docs, col("doc_id"), col("text"), 900)
+      .select("a_id", "b_id", "cos2_permille").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1000L)))
+  }
+
   test("keepBest: best-quality doc wins its cluster, ties to smallest id") {
     val df = Seq(
       // cluster 1: doc 5 is longest; cluster 10: tie on quality → id 10
