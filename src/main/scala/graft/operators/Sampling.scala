@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Per-mille keep-bucket of a (stratum, key) pair — pinned hash
-    * arithmetic, shared by the oracle generator. */
+    * arithmetic, shared by the oracle generator. The polynomial hash is
+    * engine-neutral but NOT avalanche-mixed: consecutive integer keys
+    * land in consecutive buckets, so any k-row run of sequential ids
+    * realizes a `p` rate as ⌊kp⌋±1 rows in a contiguous block (exact per
+    * 1000-run, never biased overall) rather than an i.i.d. draw — fine
+    * for rates/splits, but don't treat adjacent-id decisions as
+    * independent. */
   def sampleBucket(stratum: Column, key: Column): Column =
     pmod(Dedup.rollingHash(concat(stratum, lit(":"), key.cast("string"))), lit(1000L))
 
@@ -83,6 +89,39 @@ object Sampling {
     val w = Window.partitionBy(group).orderBy(order: _*)
     df.withColumn("cum_weight", sum(weight).over(w))
       .withColumn("kept", col("cum_weight") <= budget)
+  }
+
+  /** Data-recipe up-sampling: materialize each group's rows
+    * `weightsPermille(group)/1000` times in expectation — the "2.3 epochs
+    * of Wikipedia, 0.8 of CommonCrawl" mixing step that turns a recipe
+    * table into the actual training stream. Integer epochs replicate
+    * every row (`epoch` = 0..n-1); the fractional remainder is one extra
+    * copy for rows whose deterministic hash bucket falls under it — so
+    * the realized rate is exact in expectation and every engine/run/
+    * partitioning materializes the SAME set (same guarantees as
+    * [[hashSplit]]; `salt` versions the draw). A weight of 0 drops the
+    * group; 1000 passes it through unchanged.
+    *
+    * Pure map-side: a literal when-chain resolves the weight, the row
+    * explodes its own `sequence` — no shuffle, no join; composes into
+    * the scan. At 100 TB the blow-up factor is the recipe's, never more.
+    * → input columns + epoch. */
+  def epochUpsample(
+      df: DataFrame, group: Column, key: Column,
+      weightsPermille: Map[String, Int], defaultPermille: Int,
+      salt: String = "v1"): DataFrame = {
+    require((defaultPermille +: weightsPermille.values.toSeq).forall(_ >= 0),
+      "epoch weights must be >= 0")
+    val w = weightsPermille.foldLeft(lit(defaultPermille): Column) {
+      case (acc, (g, p)) => when(group === g, lit(p)).otherwise(acc)
+    }
+    val stratum = concat(lit(salt), lit(":"), coalesce(group.cast("string"), lit("")))
+    val reps = (w.cast("long") / 1000L).cast("long") +
+      when(sampleBucket(stratum, key) < pmod(w.cast("long"), lit(1000L)), 1L).otherwise(0L)
+    df.withColumn("__reps", reps)
+      .filter(col("__reps") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__reps") - 1L)))
+      .drop("__reps")
   }
 
   /** Temperature-scaled group mixing — the multilingual-training α

@@ -377,6 +377,17 @@ object PipelineQueries {
         groupCols = Seq("lang"), valueCol = "n_chars", tieCol = "doc_id",
         cutsPermille = Seq(333, 667))),
 
+    // data-recipe up-sampling: 3 epochs of src0, 1.5 of src1, src2
+    // dropped, 0.8 of everything else — integer epochs replicate,
+    // the fractional remainder is a deterministic hash Bernoulli;
+    // pure map-side explode, no shuffle
+    "q64_epoch_mix" -> ((s, d) =>
+      Sampling.epochUpsample(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"),
+        weightsPermille = Map("src0" -> 3000, "src1" -> 1500, "src2" -> 0),
+        defaultPermille = 800)),
+
     // bag-of-words cosine near-dup pairs: token-frequency vectors over
     // the df≤100 vocabulary, exact integer cos²·1000 — catches
     // same-vocabulary/different-order rewrites that shingle Jaccard
@@ -758,6 +769,19 @@ object PipelineQueries {
         |    CASE WHEN d.n_chars > q.t1 THEN 1 ELSE 0 END +
         |    CASE WHEN d.n_chars > q.t2 THEN 1 ELSE 0 END END AS BIGINT) AS bucket
         |FROM documents d JOIN q ON d.lang IS NOT DISTINCT FROM q.lang""".stripMargin
+
+    // q64: range(reps) is empty for reps <= 0, so unnest drops zero-weight
+    // rows exactly like the Spark filter; bucket replays sampleBucket
+    m += "q64_epoch_mix" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |  CASE WHEN source = 'src0' THEN 3000 WHEN source = 'src1' THEN 1500
+         |       WHEN source = 'src2' THEN 0 ELSE 800 END AS w,
+         |  ${DuckSql.rollingHash("'v1:' || coalesce(source, '') || ':' || CAST(doc_id AS VARCHAR)")} % 1000 AS bk
+         |  FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  (w // 1000) + (CASE WHEN bk < (w % 1000) THEN 1 ELSE 0 END) AS reps FROM b)
+         |SELECT doc_id, source, CAST(unnest(range(reps)) AS BIGINT) AS epoch
+         |FROM r WHERE reps > 0""".stripMargin
 
     // q63: HUGEINT-exact products/'//' floor-division replay the Spark
     // long arithmetic; every aggregate is CAST AS BIGINT (dtype rule)

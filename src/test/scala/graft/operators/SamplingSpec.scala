@@ -105,4 +105,33 @@ class SamplingSpec extends SparkSpec {
     assert(got.forall { case (_, _, rate, kept, bucket) => kept == (bucket < rate) })
     assert(got.filter(_._1 == "a").forall(_._4)) // smallest group: all kept
   }
+
+  test("epochUpsample: integer epochs replicate, weight 0 drops, 1000 passes through") {
+    // scattered keys: the polynomial hash maps CONSECUTIVE keys to
+    // consecutive buckets (a 50-id run can sit entirely below the
+    // fraction cut), so the Bernoulli share is only visible on spread ids
+    val df = (1L to 200L).map(i => (i * 7919L, if (i <= 50) "w" else if (i <= 100) "z"
+      else if (i <= 150) "c" else "p")).toDF("doc_id", "source")
+    val out = Sampling.epochUpsample(df, col("source"), col("doc_id"),
+      Map("w" -> 3000, "z" -> 0, "c" -> 1000), defaultPermille = 1500)
+      .as[(Long, String, Long)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("w") == 150) // exactly 3 copies each
+    assert(!bySrc.contains("z"))
+    assert(bySrc("c") == 50)  // unchanged
+    // 1.5 epochs: 50 base + hash-fraction extra, strictly between
+    assert(bySrc("p") > 50 && bySrc("p") < 100)
+    // epoch numbering is a dense 0..n-1 per row
+    val epochs = out.filter(_._2 == "w").groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq)
+    assert(epochs.values.forall(_ == Seq(0L, 1L, 2L)))
+  }
+
+  test("epochUpsample: deterministic across repartitioning and runs") {
+    val df = (1L to 300L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.epochUpsample(d, col("source"), col("doc_id"),
+        Map("s0" -> 2500), defaultPermille = 700)
+        .as[(Long, String, Long)].collect().toSet
+    assert(run(df) == run(df.repartition(13)))
+  }
 }
