@@ -116,6 +116,32 @@ object Contamination {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Semantic (embedding-space) contamination — the meaning-level sibling
+    * of [[ngramOverlapPairs]]: flag every (benchmark, train) pair whose
+    * embedding similarity reaches `minScoreQ`, catching paraphrased eval
+    * leakage that shares no surface n-grams.
+    *
+    * Scores are the exact quantized integer dot
+    * ([[Similarity.quantizedDot]] — engine-replayable; on unit vectors
+    * ≈ cosine·10⁶). Shape: the benchmark side is eval-suite-sized, so it
+    * BROADCASTS whole and the corpus streams through map-side — a
+    * deliberate |bench|·|corpus| dot-product sweep with ZERO shuffles,
+    * embarrassingly parallel (the same bounded-build-side rationale as
+    * the n-gram operator's shuffle-hash bench side). For a benchmark side
+    * too big to broadcast, pre-bucket both sides with
+    * [[Similarity.lshTopK]]'s sign-random-projection tables instead and
+    * confirm within buckets — the corpus-scale path.
+    * → (bench_id, train_id, score). */
+  def semanticOverlapPairs(
+      bench: DataFrame, benchId: Column, benchEmb: Column,
+      train: DataFrame, trainId: Column, trainEmb: Column,
+      minScoreQ: Long): DataFrame =
+    train.select(trainId.as("train_id"), trainEmb.as("__t_emb"))
+      .crossJoin(broadcast(bench.select(benchId.as("bench_id"), benchEmb.as("__b_emb"))))
+      .withColumn("score", Similarity.quantizedDot(col("__b_emb"), col("__t_emb")))
+      .filter(col("score") >= minScoreQ)
+      .select(col("bench_id"), col("train_id"), col("score"))
+
   /** Per-benchmark-doc contamination summary: how many train docs overlap
     * it and the worst coverage. Benchmark docs with no qualifying overlap
     * are ABSENT (join the benchmark table back for a full report). */

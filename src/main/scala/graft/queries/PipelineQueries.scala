@@ -377,6 +377,17 @@ object PipelineQueries {
         groupCols = Seq("lang"), valueCol = "n_chars", tieCol = "doc_id",
         cutsPermille = Seq(333, 667))),
 
+    // semantic contamination: embedding-space leakage the n-gram check
+    // can't see — bench (vec_id < 64) broadcasts whole, the corpus
+    // streams map-side through the exact quantized dot; zero shuffles
+    "q65_semantic_contamination" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Contamination.semanticOverlapPairs(
+        emb.filter(col("vec_id") < 64), col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") >= 64), col("vec_id"), col("embedding"),
+        minScoreQ = 300000L)
+    }),
+
     // data-recipe up-sampling: 3 epochs of src0, 1.5 of src1, src2
     // dropped, 0.8 of everything else — integer epochs replicate,
     // the fractional remainder is a deterministic hash Bernoulli;
@@ -769,6 +780,17 @@ object PipelineQueries {
         |    CASE WHEN d.n_chars > q.t1 THEN 1 ELSE 0 END +
         |    CASE WHEN d.n_chars > q.t2 THEN 1 ELSE 0 END END AS BIGINT) AS bucket
         |FROM documents d JOIN q ON d.lang IS NOT DISTINCT FROM q.lang""".stripMargin
+
+    // q65: the same quantized-dot replay as q26, thresholded cross-corpus
+    // (QuantCols duplicated from q26's `quant`, which is declared later)
+    val quantQ65 = "list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT))"
+    m += "q65_semantic_contamination" ->
+      s"""WITH bv AS (SELECT vec_id, $quantQ65 AS q FROM embeddings WHERE vec_id < 64),
+         |tv AS (SELECT vec_id, $quantQ65 AS c FROM embeddings WHERE vec_id >= 64),
+         |s AS (SELECT bv.vec_id AS bench_id, tv.vec_id AS train_id,
+         |  CAST(list_sum(list_transform(list_zip(q, c), p -> p[1] * p[2])) AS BIGINT) AS score
+         |  FROM bv, tv)
+         |SELECT bench_id, train_id, score FROM s WHERE score >= 300000""".stripMargin
 
     // q64: range(reps) is empty for reps <= 0, so unnest drops zero-weight
     // rows exactly like the Spark filter; bucket replays sampleBucket

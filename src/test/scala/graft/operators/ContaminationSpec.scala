@@ -126,4 +126,21 @@ class ContaminationSpec extends SparkSpec {
     // doc 1: train 10 shares all 3, train 11 shares "b c d","c d e" -> 2
     assert(report == Set((1L, 2L, 3L, 1000L)))
   }
+
+  test("semanticOverlapPairs: threshold on the exact quantized dot, zero shuffles") {
+    // unit-ish 2d vectors: (1,0)·(1,0)=1e6, (1,0)·(0.6,0.8)=600000,
+    // (1,0)·(0,1)=0 — quantized exactly since 3 decimals suffice
+    val bench = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.6f, 0.8f)), (12L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Contamination.semanticOverlapPairs(
+      bench, col("vec_id"), col("embedding"),
+      train, col("vec_id"), col("embedding"), minScoreQ = 500000L)
+    assert(out.as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 10L, 1000000L), (1L, 11L, 600000L)))
+    // the sweep is map-side: broadcast + filter, no exchange anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange"), s"semantic sweep must not shuffle:\n$plan")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.SparkSpec
 
 /** Registry-wide plan guard: NO query in `SparkEntry.queries` may plan a
-  * nested-loop or cartesian join, except the three that are quadratic BY
+  * nested-loop or cartesian join, except the four that are quadratic BY
   * DESIGN and documented as such at their definition:
   *
   *  - q26_ann_topk   — the exact ANN baseline (it IS the recall oracle);
@@ -11,7 +11,11 @@ import graft.SparkSpec
   *                     side (q27/q39 are the corpus-scale paths);
   *  - q37_ann_ivf    — a broadcast cross join against the nlist-row
   *                     centroid table (dimension-sized build side; the
-  *                     corpus side streams — not corpus²).
+  *                     corpus side streams — not corpus²);
+  *  - q65_semantic_contamination — the benchmark side is eval-suite-sized
+  *                     and broadcasts whole; the corpus streams map-side
+  *                     (|bench|·|corpus| dots, zero shuffles — never
+  *                     corpus²; LSH bucketing is the big-bench path).
   *
   * Any other query acquiring a BroadcastNestedLoopJoin or CartesianProduct
   * is a scale regression — usually a lost equi-key or a dropped hint —
@@ -20,7 +24,7 @@ import graft.SparkSpec
 class PlanSanitySpec extends SparkSpec {
 
   private val quadraticByDesign =
-    Set("q26_ann_topk", "q31_embed_dup", "q37_ann_ivf")
+    Set("q26_ann_topk", "q31_embed_dup", "q37_ann_ivf", "q65_semantic_contamination")
 
   test("no undeclared nested-loop/cartesian joins across the whole registry") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
