@@ -59,11 +59,20 @@ object BloomJoin {
     * per-partition sketches merge map-side, one bitset reaches the
     * driver); an empty filter side yields the empty sketch rather than
     * the NPE `DataFrameStatFunctions.bloomFilter` hits on null. */
+  /** Pass as `expectedItems` to size the sketch by COUNTING the filter
+    * side first (one cheap aggregate over the small side). An explicit
+    * estimate saves that job — but a low-ball estimate quietly saturates
+    * the bitset and the realized fpp routes most of the big side into
+    * the confirm join, so auto-sizing is the default everywhere the
+    * cardinality isn't provably known. */
+  val AutoSize: Long = -1L
+
   def buildFilter(
       filterSide: DataFrame, key: Column,
       expectedItems: Long, fpp: Double): Array[Byte] = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
-    val n = math.max(expectedItems, 1L)
+    val sized = if (expectedItems == AutoSize) filterSide.count() else expectedItems
+    val n = math.max(sized, 1L)
     val numBits = BloomFilter.optimalNumOfBits(n, fpp)
     val agg = new BloomFilterAggregate(
       Bridge.expression(xxhash64(key)), Literal(n), Literal(numBits))
@@ -82,17 +91,27 @@ object BloomJoin {
     Bridge.column(BloomContains(bytes, Bridge.expression(xxhash64(key))))
 
   /** `big` minus every row whose `bigKey` equals some `blockKey` —
-    * exact `left_anti` semantics, bloom-routed (see object doc). */
+    * exact `left_anti` semantics, bloom-routed (see object doc).
+    *
+    * PRECONDITION: `big` must be deterministic — the two branches
+    * re-evaluate it independently (like any double-referenced
+    * DataFrame), so a nondeterministic side (`sample`, `rand()`, a
+    * source mutating between jobs) can land a row in both branches or
+    * neither. Checkpoint such inputs first; [[bloomSemiJoin]] is
+    * single-scan and immune. */
   def bloomAntiJoin(
       big: DataFrame, bigKey: Column,
       block: DataFrame, blockKey: Column,
-      expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+      expectedItems: Long = AutoSize, fpp: Double = 0.03): DataFrame = {
     val bytes = buildFilter(block, blockKey, expectedItems, fpp)
     val maybe = maybeContains(bytes, bigKey)
     // no false negatives: !maybe rows are provably not in the blocklist
     val pass = big.filter(!maybe)
+    // no distinct() on the block side: anti joins are insensitive to
+    // build-side multiplicity, so deduping would only add an exchange
+    // (pre-distinct a duplicate-HEAVY list yourself if build size bites)
     val confirmed = big.filter(maybe)
-      .join(block.select(blockKey.as("__bloom_key")).distinct(),
+      .join(block.select(blockKey.as("__bloom_key")),
         bigKey === col("__bloom_key"), "left_anti")
     pass.unionByName(confirmed)
   }
@@ -103,10 +122,10 @@ object BloomJoin {
   def bloomSemiJoin(
       big: DataFrame, bigKey: Column,
       allow: DataFrame, allowKey: Column,
-      expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+      expectedItems: Long = AutoSize, fpp: Double = 0.03): DataFrame = {
     val bytes = buildFilter(allow, allowKey, expectedItems, fpp)
     big.filter(maybeContains(bytes, bigKey))
-      .join(allow.select(allowKey.as("__bloom_key")).distinct(),
+      .join(allow.select(allowKey.as("__bloom_key")),
         bigKey === col("__bloom_key"), "left_semi")
   }
 }

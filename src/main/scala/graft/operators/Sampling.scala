@@ -112,6 +112,8 @@ object Sampling {
       salt: String = "v1"): DataFrame = {
     require((defaultPermille +: weightsPermille.values.toSeq).forall(_ >= 0),
       "epoch weights must be >= 0")
+    require(!df.columns.contains("epoch") && !df.columns.contains("__reps"),
+      "epochUpsample adds an `epoch` column; the input already has epoch/__reps")
     val w = weightsPermille.foldLeft(lit(defaultPermille): Column) {
       case (acc, (g, p)) => when(group === g, lit(p)).otherwise(acc)
     }

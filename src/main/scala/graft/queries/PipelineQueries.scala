@@ -417,7 +417,8 @@ object PipelineQueries {
       val block = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
       graft.operators.BloomJoin.bloomAntiJoin(
         li, col("l_orderkey"), block, col("o_orderkey"),
-        expectedItems = 10000L, fpp = 0.01)
+        fpp = 0.01) // AutoSize: the blocklist is ~⅓ of orders at ANY sf —
+                    // a hard-coded estimate would saturate at bench scale
     }),
 
     // target-corpus affinity (CCNet/GPT-3-style quality proxy): permille

@@ -139,8 +139,11 @@ class ContaminationSpec extends SparkSpec {
       train, col("vec_id"), col("embedding"), minScoreQ = 500000L)
     assert(out.as[(Long, Long, Long)].collect().toSet ==
       Set((1L, 10L, 1000000L), (1L, 11L, 600000L)))
-    // the sweep is map-side: broadcast + filter, no exchange anywhere
+    // the sweep is map-side: the ONLY exchange is the bench broadcast
+    // (shuffle exchanges print as bare "Exchange" in Spark 4 plans —
+    // masking BroadcastExchange first keeps this check falsifiable)
     val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("ShuffleExchange"), s"semantic sweep must not shuffle:\n$plan")
+    assert(!plan.replace("BroadcastExchange", "BX").contains("Exchange"),
+      s"semantic sweep must not shuffle:\n$plan")
   }
 }
