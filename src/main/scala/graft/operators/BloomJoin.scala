@@ -90,6 +90,28 @@ object BloomJoin {
   private def maybeContains(bytes: Array[Byte], key: Column): Column =
     Bridge.column(BloomContains(bytes, Bridge.expression(xxhash64(key))))
 
+  /** Persist a built sketch for reuse across runs — the daily-pipeline
+    * shape: build the takedown/allowlist filter ONCE when the list
+    * changes, then every ingest run loads the bytes instead of re-scanning
+    * the list (same rationale as the incremental-dedup signature index).
+    * One-row parquet via the engine's own IO — works on any Hadoop-visible
+    * path, no driver-local filesystem assumptions. */
+  def saveFilter(spark: org.apache.spark.sql.SparkSession, bytes: Array[Byte], path: String): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(bytes)).toDF("filter_bytes").write.mode("overwrite").parquet(path)
+  }
+
+  def loadFilter(spark: org.apache.spark.sql.SparkSession, path: String): Array[Byte] =
+    spark.read.parquet(path).select(col("filter_bytes")).head().getAs[Array[Byte]](0)
+
+  /** The map-side gate alone, from pre-built sketch bytes: keep rows the
+    * sketch may contain (`keep = true`) or provably lacks. A pure
+    * deterministic Column — composes into `readStream` unchanged (the
+    * streaming ingest gate; pair with a stream-static confirm join for
+    * exactness, or accept the fpp as an over-keep). */
+  def bloomGate(bytes: Array[Byte], key: Column): Column =
+    maybeContains(bytes, key)
+
   /** `big` minus every row whose `bigKey` equals some `blockKey` —
     * exact `left_anti` semantics, bloom-routed (see object doc).
     *

@@ -54,4 +54,32 @@ class StreamingCurationSpec extends SparkSpec {
       assert(streamed.forall(r => r._7 == "train" || r._7 == "val"))
     } finally q.stop()
   }
+
+  test("streaming bloom allowlist gate + stream-static confirm ≡ batch bloomSemiJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.BloomJoin
+    val allow = Seq(2L, 4L, 6L, 8L).toDF("k")
+    // the persisted-sketch path: build once, round-trip through parquet,
+    // gate the stream with the loaded bytes
+    val dir = java.nio.file.Files.createTempDirectory("bloomgate").toString
+    BloomJoin.saveFilter(spark,
+      BloomJoin.buildFilter(allow, col("k"), BloomJoin.AutoSize, 0.01), s"$dir/bf")
+    val bytes = BloomJoin.loadFilter(spark, s"$dir/bf")
+    val docs = (1L to 20L).map(i => (i, s"doc $i"))
+    val input = MemoryStream[(Long, String)]
+    val gated = input.toDF().toDF("doc_id", "text")
+      .filter(BloomJoin.bloomGate(bytes, col("doc_id")))
+      .join(allow.select(col("k")), col("doc_id") === col("k"), "left_semi")
+    val q = gated.writeStream.format("memory").queryName("bloom_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bloom_out").as[(Long, String)].collect().toSet
+      val batch = BloomJoin.bloomSemiJoin(docs.toDF("doc_id", "text"), col("doc_id"),
+        allow, col("k")).as[(Long, String)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == Set(2L, 4L, 6L, 8L))
+    } finally q.stop()
+  }
 }
