@@ -32,6 +32,31 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0)))
 
+  /** Markup strip — the content-extraction pass of a web-corpus pipeline:
+    * drop `<script>`/`<style>` elements WITH their payload (code is not
+    * prose), drop every remaining tag, unescape the five core entities +
+    * `&nbsp;`, collapse whitespace. Pure codegen `regexp_replace`/
+    * `replace` chain, map-side, fused into the scan.
+    *
+    * Patterns live in the Java-regex ∩ RE2 intersection so the oracle
+    * replays them: no backreferences (script and style are two separate
+    * non-greedy `(?s)` replaces, accepting mismatched-pair inputs as two
+    * independent spans), ASCII classes only. `&amp;` unescapes LAST so
+    * double-escaped text (`&amp;lt;`) yields the literal `&lt;`, not `<` —
+    * the HTML-correct order. This is the regex tier: a structural parser
+    * (jsoup-class) is the fidelity upgrade, but the regex tier is what
+    * C4-style pipelines actually ran at corpus scale. */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noStyle, "</?[A-Za-z!][^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&" // &amp; LAST
+    ).foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Count of tokens present in `stopwords` (multiset semantics: repeated
     * stopwords count repeatedly — that is the language-ID signal). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column = {

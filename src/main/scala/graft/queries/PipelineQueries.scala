@@ -377,6 +377,24 @@ object PipelineQueries {
         groupCols = Seq("lang"), valueCol = "n_chars", tieCol = "doc_id",
         cutsPermille = Seq(333, 667))),
 
+    // markup strip (content extraction): salt a third of the docs with a
+    // wrapping div + script payload, a third with entities; the stripper
+    // must drop code, keep prose, and unescape in HTML order — map-side
+    // regexp chain fused into the scan
+    "q66_strip_markup" -> ((s, d) => {
+      val marked = Tables.documents(s, d).withColumn("mtext",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("<div class=x>"), col("text"),
+            lit("</div><script type=js>var a=1;</script>")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("<p>"), col("text"), lit(" &amp;amp; more&nbsp;text</p>")))
+        .otherwise(col("text")))
+      marked.select(col("doc_id"),
+        TextAnalysis.stripMarkup(col("mtext")).as("clean"),
+        length(col("mtext")).cast("long").as("n_raw"),
+        length(TextAnalysis.stripMarkup(col("mtext"))).cast("long").as("n_clean"))
+    }),
+
     // semantic contamination: embedding-space leakage the n-gram check
     // can't see — bench (vec_id < 64) broadcasts whole, the corpus
     // streams map-side through the exact quantized dot; zero shuffles
@@ -781,6 +799,27 @@ object PipelineQueries {
         |    CASE WHEN d.n_chars > q.t1 THEN 1 ELSE 0 END +
         |    CASE WHEN d.n_chars > q.t2 THEN 1 ELSE 0 END END AS BIGINT) AS bucket
         |FROM documents d JOIN q ON d.lang IS NOT DISTINCT FROM q.lang""".stripMargin
+
+    // q66: the same RE2∩Java patterns, 'g' flag explicit (DuckDB replaces
+    // first match only by default; Spark replaces all)
+    m += "q66_strip_markup" ->
+      s"""WITH mk AS (SELECT doc_id, CASE
+         |    WHEN doc_id % 3 = 0 THEN '<div class=x>' || text || '</div><script type=js>var a=1;</script>'
+         |    WHEN doc_id % 3 = 1 THEN '<p>' || text || ' &amp;amp; more&nbsp;text</p>'
+         |    ELSE text END AS mtext FROM documents),
+         |st AS (SELECT doc_id, mtext,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(mtext, '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
+         |          '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
+         |        '</?[A-Za-z!][^>]*>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |      '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS clean FROM mk)
+         |SELECT doc_id, clean, CAST(length(mtext) AS BIGINT) AS n_raw,
+         |  CAST(length(clean) AS BIGINT) AS n_clean FROM st""".stripMargin
 
     // q65: the same quantized-dot replay as q26, thresholded cross-corpus
     // (QuantCols duplicated from q26's `quant`, which is declared later)

@@ -283,4 +283,19 @@ class TextAnalysisSpec extends SparkSpec {
     }._1
     assert(got == expected)
   }
+
+  test("stripMarkup: scripts die with payload, tags die alone, entities unescape in order") {
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.stripMarkup(col("t"))).as[String].head()
+    assert(strip("<p>hello <b>world</b></p>") == "hello world")
+    assert(strip("a<script>var x = '<evil>';</script>b") == "a b")
+    assert(strip("a<style type=css>\np { color: red }\n</style>b") == "a b") // (?s): newlines inside
+    assert(strip("x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; y") == "x <tag> \"q\" 's' & y")
+    assert(strip("&amp;lt; stays literal") == "&lt; stays literal") // &amp; LAST
+    assert(strip("one&nbsp;&nbsp;two   three") == "one two three")  // collapse
+    assert(strip("<SCRIPT>u</SCRIPT>x") == "x") // (?i): HTML tag names are case-insensitive
+    assert(strip("no markup at all") == "no markup at all")
+    // unterminated script: nothing to close, the tag strip still fires
+    assert(strip("a<script>dangling") == "a dangling")
+  }
 }
