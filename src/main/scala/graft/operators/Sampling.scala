@@ -91,6 +91,35 @@ object Sampling {
       .withColumn("kept", col("cum_weight") <= budget)
   }
 
+  /** Exactly-k-per-group deterministic sample — "pick 100 eval docs per
+    * language", reproducibly: rows rank within their group by the salted
+    * engine-neutral hash of their key (ties impossible below: the unique
+    * key breaks them), and the k smallest win. Unlike a rate-based
+    * Bernoulli the count is EXACT per group (a group smaller than k keeps
+    * everything); unlike `orderBy.limit` it is per-group and unbiased by
+    * any data column. One window shuffle on the group key; the hash order
+    * is a pure function of (salt, key), so runs, engines and
+    * partitionings agree row-for-row. `salt` redraws.
+    * → input columns + sample_rank (1-based). */
+  def hashSampleK(
+      df: DataFrame, group: Column, key: Column, k: Int,
+      salt: String = "v1"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = Dedup.rollingHash(
+      concat(lit(salt), lit(":"), coalesce(key.cast("string"), lit(""))))
+    // The raw polynomial hash preserves magnitude order for short keys
+    // (no mod wrap below ~1e9), so ranking by it would just pick the
+    // shortest ids and a salt change would barely reshuffle. One
+    // multiply-and-wrap mixes it: h < P and the Knuth constant keep the
+    // product < 2^62 (exact in i64 and in DuckDB HUGEINT alike), and the
+    // thousands of mod wraps decorrelate rank from key shape and amplify
+    // the salt.
+    val mixed = pmod(h * lit(2654435761L), lit(graft.functions.RollingHash.Mod))
+    val w = Window.partitionBy(group).orderBy(mixed.asc, key.asc_nulls_first)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Data-recipe up-sampling: materialize each group's rows
     * `weightsPermille(group)/1000` times in expectation — the "2.3 epochs
     * of Wikipedia, 0.8 of CommonCrawl" mixing step that turns a recipe

@@ -377,6 +377,14 @@ object PipelineQueries {
         groupCols = Seq("lang"), valueCol = "n_chars", tieCol = "doc_id",
         cutsPermille = Seq(333, 667))),
 
+    // exactly-k-per-group deterministic sample: 10 eval docs per language
+    // by salted hash rank — exact count (not a rate), engine-replayable,
+    // one window shuffle on the group key
+    "q67_sample_k" -> ((s, d) =>
+      Sampling.hashSampleK(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), k = 10)),
+
     // markup strip (content extraction): salt a third of the docs with a
     // wrapping div + script payload, a third with entities; the stripper
     // must drop code, keep prose, and unescape in HTML order — map-side
@@ -799,6 +807,15 @@ object PipelineQueries {
         |    CASE WHEN d.n_chars > q.t1 THEN 1 ELSE 0 END +
         |    CASE WHEN d.n_chars > q.t2 THEN 1 ELSE 0 END END AS BIGINT) AS bucket
         |FROM documents d JOIN q ON d.lang IS NOT DISTINCT FROM q.lang""".stripMargin
+
+    // q67: hash collisions tie-break on the unique key in BOTH orders;
+    // the multiply-and-wrap mix replays exactly in HUGEINT
+    m += "q67_sample_k" ->
+      s"""WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |  ORDER BY (${DuckSql.rollingHash("'v1:' || CAST(doc_id AS VARCHAR)")} * 2654435761) % ${DuckSql.P}, doc_id)
+         |  AS sample_rank FROM documents)
+         |SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+         |FROM r WHERE sample_rank <= 10""".stripMargin
 
     // q66: the same RE2∩Java patterns, 'g' flag explicit (DuckDB replaces
     // first match only by default; Spark replaces all)

@@ -126,6 +126,23 @@ class SamplingSpec extends SparkSpec {
     assert(epochs.values.forall(_ == Seq(0L, 1L, 2L)))
   }
 
+  test("hashSampleK: exact count per group, small groups keep all, salt redraws") {
+    val df = (1L to 500L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "lang")
+      .union(Seq((9999L, "tiny")).toDF("doc_id", "lang"))
+    val out = Sampling.hashSampleK(df, col("lang"), col("doc_id"), k = 7)
+      .as[(Long, String, Long)].collect()
+    val counts = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts == Map("g0" -> 7, "g1" -> 7, "g2" -> 7, "tiny" -> 1))
+    assert(out.filter(_._2 == "g0").map(_._3).sorted.toSeq == (1L to 7L))
+    // deterministic under repartition; a different salt picks a different set
+    val again = Sampling.hashSampleK(df.repartition(11), col("lang"), col("doc_id"), k = 7)
+      .as[(Long, String, Long)].collect()
+    assert(out.toSet == again.toSet)
+    val redrawn = Sampling.hashSampleK(df, col("lang"), col("doc_id"), k = 7, salt = "v2")
+      .as[(Long, String, Long)].collect()
+    assert(redrawn.map(_._1).toSet != out.map(_._1).toSet)
+  }
+
   test("epochUpsample: deterministic across repartitioning and runs") {
     val df = (1L to 300L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
     def run(d: org.apache.spark.sql.DataFrame) =
