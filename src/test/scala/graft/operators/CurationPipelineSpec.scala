@@ -18,9 +18,17 @@ import graft.SparkSpec
 class CurationPipelineSpec extends SparkSpec {
   import spark.implicits._
 
-  test("pii scrub → gate → dedup → rewrite → decontam → mix → budget → packing → split holds its invariants") {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val total = docs.count()
+  test("markup strip → pii scrub → gate → dedup → rewrite → decontam → mix → budget → packing → split holds its invariants") {
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val total = raw.count()
+
+    // -1. markup strip (the web-ingest front door): the fixture carries
+    // no markup, so stripping must reduce to pure whitespace
+    // normalization — pinned below
+    val docs = raw.withColumn("text", TextAnalysis.stripMarkup($"text"))
+    assert(docs.join(raw.select($"doc_id", $"text".as("orig")), "doc_id")
+      .filter($"text" =!= trim(regexp_replace($"orig", "\\s+", " "))).count() == 0,
+      "markup-free fixture -> whitespace normalization only")
 
     // 0. PII redaction + language tag (map-side projection, NO join/
     // shuffle; corpus carries no PII, so redaction must be the identity —
