@@ -105,6 +105,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => LshBucket(args.head,
         foldableInt(args(1), "lsh_bucket planes"), foldableInt(args(2), "lsh_bucket table"))
     }
+    // not a custom Expression: the builder expands to the same composed
+    // builtin tree the Column API produces, so SQL and Column users get
+    // byte-identical semantics from one definition
+    register(ext, "strip_markup",
+      "strip_markup(str) - drop script/style elements with payload, strip tags, unescape core entities, collapse whitespace", 1) {
+      args => graft.operators.TextAnalysis.stripMarkupExpr(args.head)
+    }
   }
 
   private def foldableInt(e: Expression, what: String): Int = {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
@@ -46,15 +47,29 @@ object TextAnalysis {
     * the HTML-correct order. This is the regex tier: a structural parser
     * (jsoup-class) is the fidelity upgrade, but the regex tier is what
     * C4-style pipelines actually ran at corpus scale. */
-  def stripMarkup(text: Column): Column = {
-    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script\\s*>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style\\s*>", " ")
-    val noTags = regexp_replace(noStyle, "</?[A-Za-z!][^>]*>", " ")
+  def stripMarkup(text: Column): Column =
+    Bridge.column(stripMarkupExpr(Bridge.expression(text)))
+
+  /** The same chain over raw Catalyst nodes — the ONE definition both the
+    * Column API and the SQL registration (`strip_markup` in
+    * [[graft.GraftExtensions]]) expand to, so the two surfaces cannot
+    * drift. (A composed Column cannot be returned from a SQL
+    * FunctionBuilder: it round-trips as an unresolvable
+    * `ColumnNodeExpression`.) */
+  def stripMarkupExpr(text: catalyst.expressions.Expression): catalyst.expressions.Expression = {
+    import catalyst.expressions.{Literal, RegExpReplace, StringReplace, StringTrim}
+    def rr(e: catalyst.expressions.Expression, p: String): catalyst.expressions.Expression =
+      RegExpReplace(e, Literal(p), Literal(" "))
+    val noScript = rr(text, "(?is)<script[^>]*>.*?</script\\s*>")
+    val noStyle = rr(noScript, "(?is)<style[^>]*>.*?</style\\s*>")
+    val noTags = rr(noStyle, "</?[A-Za-z!][^>]*>")
     val unescaped = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
       "&nbsp;" -> " ", "&amp;" -> "&" // &amp; LAST
-    ).foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
-    trim(regexp_replace(unescaped, "\\s+", " "))
+    ).foldLeft(noTags) { case (e, (from, to)) =>
+      StringReplace(e, Literal(from), Literal(to))
+    }
+    StringTrim(RegExpReplace(unescaped, Literal("\\s+"), Literal(" ")))
   }
 
   /** Count of tokens present in `stopwords` (multiset semantics: repeated

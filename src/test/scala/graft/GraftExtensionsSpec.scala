@@ -91,4 +91,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception](spark.sql("SELECT rolling_hash('a', 'b')").head())
     assert(e.getMessage.contains("expects 1 argument"))
   }
+
+  test("strip_markup from SQL ≡ the Column API composition") {
+    val row = spark.sql(
+      "SELECT strip_markup('<p>a <b>b</b></p><script>x</script> &amp; c') AS s").head()
+    assert(row.getString(0) == "a b & c")
+  }
 }
