@@ -99,12 +99,17 @@ object Sampling {
     * everything); unlike `orderBy.limit` it is per-group and unbiased by
     * any data column. One window shuffle on the group key; the hash order
     * is a pure function of (salt, key), so runs, engines and
-    * partitionings agree row-for-row. `salt` redraws.
+    * partitionings agree row-for-row — PROVIDED `key` is unique and
+    * non-null per row (the same precondition as [[stratifiedHashSample]]):
+    * duplicate or null keys tie on the whole sort, and a tie that
+    * straddles the k cut resolves by physical scan order. `salt` redraws.
     * → input columns + sample_rank (1-based). */
   def hashSampleK(
       df: DataFrame, group: Column, key: Column, k: Int,
       salt: String = "v1"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("sample_rank"),
+      "hashSampleK adds a `sample_rank` column; the input already has one")
     val h = Dedup.rollingHash(
       concat(lit(salt), lit(":"), coalesce(key.cast("string"), lit(""))))
     // The raw polynomial hash preserves magnitude order for short keys

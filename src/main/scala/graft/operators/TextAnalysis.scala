@@ -60,8 +60,18 @@ object TextAnalysis {
     import catalyst.expressions.{Literal, RegExpReplace, StringReplace, StringTrim}
     def rr(e: catalyst.expressions.Expression, p: String): catalyst.expressions.Expression =
       RegExpReplace(e, Literal(p), Literal(" "))
-    val noScript = rr(text, "(?is)<script[^>]*>.*?</script\\s*>")
-    val noStyle = rr(noScript, "(?is)<style[^>]*>.*?</style\\s*>")
+    // `(>|[ws/][^>]*>)` bounds the tag NAME: after `script` only
+    // whitespace, `/` or `>` continue the SAME element, so
+    // `<script-template>` is a different tag that dies alone via the
+    // generic strip instead of swallowing prose up to some later real
+    // `</script>`. `\s` is NOT in the Java∩RE2 intersection (Java
+    // includes \x0B, RE2 does not) — every whitespace class is explicit,
+    // built from the raw char set (never nest a [..] inside another:
+    // Java unions nested classes, RE2 reads `[` as a literal).
+    val wsChars = " \\t\\n\\x0B\\f\\r"
+    val ws = s"[$wsChars]"
+    val noScript = rr(text, s"(?is)<script(>|[$wsChars/][^>]*>).*?</script$ws*>")
+    val noStyle = rr(noScript, s"(?is)<style(>|[$wsChars/][^>]*>).*?</style$ws*>")
     val noTags = rr(noStyle, "</?[A-Za-z!][^>]*>")
     val unescaped = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
@@ -69,7 +79,7 @@ object TextAnalysis {
     ).foldLeft(noTags) { case (e, (from, to)) =>
       StringReplace(e, Literal(from), Literal(to))
     }
-    StringTrim(RegExpReplace(unescaped, Literal("\\s+"), Literal(" ")))
+    StringTrim(RegExpReplace(unescaped, Literal(s"$ws+"), Literal(" ")))
   }
 
   /** Count of tokens present in `stopwords` (multiset semantics: repeated

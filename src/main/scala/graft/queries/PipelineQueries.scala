@@ -829,12 +829,12 @@ object PipelineQueries {
          |    replace(replace(replace(replace(replace(replace(
          |      regexp_replace(
          |        regexp_replace(
-         |          regexp_replace(mtext, '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
-         |          '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
+         |          regexp_replace(mtext, '(?is)<script(>|[ \\t\\n\\x0B\\f\\r/][^>]*>).*?</script[ \\t\\n\\x0B\\f\\r]*>', ' ', 'g'),
+         |          '(?is)<style(>|[ \\t\\n\\x0B\\f\\r/][^>]*>).*?</style[ \\t\\n\\x0B\\f\\r]*>', ' ', 'g'),
          |        '</?[A-Za-z!][^>]*>', ' ', 'g'),
          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
          |      '&nbsp;', ' '), '&amp;', '&'),
-         |    '\\s+', ' ', 'g')) AS clean FROM mk)
+         |    '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS clean FROM mk)
          |SELECT doc_id, clean, CAST(length(mtext) AS BIGINT) AS n_raw,
          |  CAST(length(clean) AS BIGINT) AS n_clean FROM st""".stripMargin
 

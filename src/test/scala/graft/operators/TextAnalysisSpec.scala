@@ -297,5 +297,9 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strip("no markup at all") == "no markup at all")
     // unterminated script: nothing to close, the tag strip still fires
     assert(strip("a<script>dangling") == "a dangling")
+    // a custom element whose name merely STARTS with 'script' is a
+    // different tag: it dies alone, its prose survives
+    assert(strip("a<script-template>keep me</script-template> b <script>var x;</script>c")
+      == "a keep me b c")
   }
 }
