@@ -108,7 +108,16 @@ object BloomJoin {
     * sketch may contain (`keep = true`) or provably lacks. A pure
     * deterministic Column — composes into `readStream` unchanged (the
     * streaming ingest gate; pair with a stream-static confirm join for
-    * exactness, or accept the fpp as an over-keep). */
+    * exactness, or accept the fpp as an over-keep).
+    *
+    * The fpp's error DIRECTION depends on how the gate is wired.
+    * `filter(bloomGate(...))` (allowlist / semi shape) over-KEEPS ~fpp of
+    * non-members — recoverable by a later confirm join. But
+    * `filter(!bloomGate(...))` (blocklist / anti shape) over-DROPS ~fpp of
+    * INNOCENT rows — silent data loss no downstream step can recover.
+    * Without the confirm join, only the keep direction is safe; for a
+    * blocklist use [[bloomAntiJoin]], whose confirm join restores exact
+    * anti semantics. */
   def bloomGate(bytes: Array[Byte], key: Column): Column =
     maybeContains(bytes, key)
 

@@ -70,9 +70,20 @@ object TextAnalysis {
     // Java unions nested classes, RE2 reads `[` as a literal).
     val wsChars = " \\t\\n\\x0B\\f\\r"
     val ws = s"[$wsChars]"
-    val noScript = rr(text, s"(?is)<script(>|[$wsChars/][^>]*>).*?</script$ws*>")
-    val noStyle = rr(noScript, s"(?is)<style(>|[$wsChars/][^>]*>).*?</style$ws*>")
-    val noTags = rr(noStyle, "</?[A-Za-z!][^>]*>")
+    // The same name boundary on BOTH tags of the pair: `</script x>` is a
+    // parse error to an HTML tokenizer but still CLOSES the element, so a
+    // closer-with-attributes must end the payload kill — otherwise the
+    // script body leaks into the prose.
+    val tagEnd = s"(>|[$wsChars/][^>]*>)"
+    val noScript = rr(text, s"(?is)<script$tagEnd.*?</script$tagEnd")
+    val noStyle = rr(noScript, s"(?is)<style$tagEnd.*?</style$tagEnd")
+    // Comments die as a PAIR (non-greedy to the real `-->`) BEFORE the
+    // generic strip: `<!-- if x > 0 -->` would otherwise be cut at the
+    // first `>`, leaving `0 -->` residue in the prose.
+    val noComments = rr(noStyle, "(?s)<!--.*?-->")
+    // `?` in the lead class: `<?xml ...?>` / `<?php ...?>` processing
+    // instructions are markup, not prose.
+    val noTags = rr(noComments, "</?[A-Za-z!?][^>]*>")
     val unescaped = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
       "&nbsp;" -> " ", "&amp;" -> "&" // &amp; LAST

@@ -397,10 +397,13 @@ object PipelineQueries {
         .when(pmod(col("doc_id"), lit(3)) === 1,
           concat(lit("<p>"), col("text"), lit(" &amp;amp; more&nbsp;text</p>")))
         .otherwise(col("text")))
+      // `clean` projected FIRST, n_clean derived from the projected column
+      // — the 10-step regexp chain is the query's dominant per-row cost
+      // and must run once per row, not once per referencing expression
       marked.select(col("doc_id"),
         TextAnalysis.stripMarkup(col("mtext")).as("clean"),
-        length(col("mtext")).cast("long").as("n_raw"),
-        length(TextAnalysis.stripMarkup(col("mtext"))).cast("long").as("n_clean"))
+        length(col("mtext")).cast("long").as("n_raw"))
+        .withColumn("n_clean", length(col("clean")).cast("long"))
     }),
 
     // semantic contamination: embedding-space leakage the n-gram check
@@ -829,9 +832,11 @@ object PipelineQueries {
          |    replace(replace(replace(replace(replace(replace(
          |      regexp_replace(
          |        regexp_replace(
-         |          regexp_replace(mtext, '(?is)<script(>|[ \\t\\n\\x0B\\f\\r/][^>]*>).*?</script[ \\t\\n\\x0B\\f\\r]*>', ' ', 'g'),
-         |          '(?is)<style(>|[ \\t\\n\\x0B\\f\\r/][^>]*>).*?</style[ \\t\\n\\x0B\\f\\r]*>', ' ', 'g'),
-         |        '</?[A-Za-z!][^>]*>', ' ', 'g'),
+         |          regexp_replace(
+         |            regexp_replace(mtext, '(?is)<script(>|[ \\t\\n\\x0B\\f\\r/][^>]*>).*?</script(>|[ \\t\\n\\x0B\\f\\r/][^>]*>)', ' ', 'g'),
+         |            '(?is)<style(>|[ \\t\\n\\x0B\\f\\r/][^>]*>).*?</style(>|[ \\t\\n\\x0B\\f\\r/][^>]*>)', ' ', 'g'),
+         |          '(?s)<!--.*?-->', ' ', 'g'),
+         |        '</?[A-Za-z!?][^>]*>', ' ', 'g'),
          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
          |      '&nbsp;', ' '), '&amp;', '&'),
          |    '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS clean FROM mk)

@@ -301,5 +301,12 @@ class TextAnalysisSpec extends SparkSpec {
     // different tag: it dies alone, its prose survives
     assert(strip("a<script-template>keep me</script-template> b <script>var x;</script>c")
       == "a keep me b c")
+    // a closer with attributes is a parse error that still CLOSES the
+    // element — the payload must die at it, not leak as prose
+    assert(strip("a<script>var x=1;</script x>b") == "a b")
+    // comments die as a pair even when the body contains '>'
+    assert(strip("<!-- if x > 0 -->text") == "text")
+    // processing instructions (XHTML prolog, php) are markup
+    assert(strip("<?xml version=\"1.0\" encoding=\"UTF-8\"?><p>hi</p>") == "hi")
   }
 }
