@@ -104,25 +104,61 @@ object Sampling {
     * duplicate or null keys tie on the whole sort, and a tie that
     * straddles the k cut resolves by physical scan order. `salt` redraws.
     * → input columns + sample_rank (1-based). */
+  /** THE salted order hash: the raw polynomial hash preserves magnitude
+    * order for short keys (no mod wrap below ~1e9), so ordering by it
+    * would just sort by id length and a salt change would barely
+    * reshuffle. One multiply-and-wrap mixes it: h < P and the Knuth
+    * constant keep the product < 2^62 (exact in i64 and in DuckDB HUGEINT
+    * alike), and the thousands of mod wraps decorrelate rank from key
+    * shape and amplify the salt. [[hashSampleK]], [[shuffleShards]] and
+    * their DuckDB oracles all replay this one definition. */
+  private[operators] def mixedHash(key: Column, salt: String): Column = {
+    val h = Dedup.rollingHash(
+      concat(lit(salt), lit(":"), coalesce(key.cast("string"), lit(""))))
+    pmod(h * lit(2654435761L), lit(graft.functions.RollingHash.Mod))
+  }
+
   def hashSampleK(
       df: DataFrame, group: Column, key: Column, k: Int,
       salt: String = "v1"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(!df.columns.contains("sample_rank"),
       "hashSampleK adds a `sample_rank` column; the input already has one")
-    val h = Dedup.rollingHash(
-      concat(lit(salt), lit(":"), coalesce(key.cast("string"), lit(""))))
-    // The raw polynomial hash preserves magnitude order for short keys
-    // (no mod wrap below ~1e9), so ranking by it would just pick the
-    // shortest ids and a salt change would barely reshuffle. One
-    // multiply-and-wrap mixes it: h < P and the Knuth constant keep the
-    // product < 2^62 (exact in i64 and in DuckDB HUGEINT alike), and the
-    // thousands of mod wraps decorrelate rank from key shape and amplify
-    // the salt.
-    val mixed = pmod(h * lit(2654435761L), lit(graft.functions.RollingHash.Mod))
+    val mixed = mixedHash(key, salt)
     val w = Window.partitionBy(group).orderBy(mixed.asc, key.asc_nulls_first)
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
+  }
+
+  /** The LAST step before training: a reproducible global shuffle of the
+    * curated corpus into `numShards` shards. Every row gets a shard and a
+    * 1-based position inside it; reading the shards in (shard,
+    * pos_in_shard) order replays one fixed pseudo-random permutation of
+    * the corpus — the training-order shuffle, as a pure function of
+    * (salt, key), so a re-run, another engine, or a different input
+    * partitioning materializes byte-identical shards. `salt` redraws the
+    * permutation (the "shuffle seed" between epochs — cheaper than
+    * re-materializing: epoch k reads with salt k).
+    *
+    * Shard membership is the mixed hash mod `numShards`: sizes are
+    * binomial around corpus/numShards (tightly concentrated — no
+    * planning-time sampling like `repartitionByRange`, whose boundaries
+    * depend on the run). One hash shuffle on the shard id + one external
+    * sort per shard; size `numShards` ≥ the cluster's write parallelism
+    * at 100 TB (1k-16k shards) so each shard sorts in one task's spill
+    * budget. Same unique-non-null-key precondition as [[hashSampleK]]:
+    * duplicate keys tie on the whole order and resolve by scan order.
+    * → input columns + shard + pos_in_shard. */
+  def shuffleShards(
+      df: DataFrame, key: Column, numShards: Int,
+      salt: String = "v1"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos_in_shard"),
+      "shuffleShards adds shard/pos_in_shard columns; the input already has one")
+    val mixed = mixedHash(key, salt)
+    val withShard = df.withColumn("shard", pmod(mixed, lit(numShards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(mixed.asc, key.asc_nulls_first)
+    withShard.withColumn("pos_in_shard", row_number().over(w).cast("long"))
   }
 
   /** Data-recipe up-sampling: materialize each group's rows

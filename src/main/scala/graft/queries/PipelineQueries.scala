@@ -385,6 +385,14 @@ object PipelineQueries {
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         col("lang"), col("doc_id"), k = 10)),
 
+    // training-order shuffle: the corpus into 8 reproducible shards, a
+    // position inside each — reading shards in (shard, pos) order IS the
+    // epoch's permutation; one hash shuffle + per-shard sort
+    "q68_shuffle_shards" -> ((s, d) =>
+      Sampling.shuffleShards(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        col("doc_id"), numShards = 8)),
+
     // markup strip (content extraction): salt a third of the docs with a
     // wrapping div + script payload, a third with entities; the stripper
     // must drop code, keep prose, and unescape in HTML order — map-side
@@ -819,6 +827,16 @@ object PipelineQueries {
          |  AS sample_rank FROM documents)
          |SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
          |FROM r WHERE sample_rank <= 10""".stripMargin
+
+    // q68: the same mixed hash; shard = hash mod 8, position = rank of
+    // the hash inside the shard (hash >= 0, so % ≡ pmod)
+    m += "q68_shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |  (${DuckSql.rollingHash("'v1:' || CAST(doc_id AS VARCHAR)")} * 2654435761) % ${DuckSql.P} AS m
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(m % 8 AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY m % 8 ORDER BY m, doc_id) AS BIGINT) AS pos_in_shard
+         |FROM h""".stripMargin
 
     // q66: the same RE2∩Java patterns, 'g' flag explicit (DuckDB replaces
     // first match only by default; Spark replaces all)

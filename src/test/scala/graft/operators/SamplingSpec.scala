@@ -151,4 +151,29 @@ class SamplingSpec extends SparkSpec {
         .as[(Long, String, Long)].collect().toSet
     assert(run(df) == run(df.repartition(13)))
   }
+
+  test("shuffleShards: a permutation into dense balanced shards, repartition-stable") {
+    val df = (1L to 1000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val out = Sampling.shuffleShards(df, col("doc_id"), numShards = 8)
+      .as[(Long, String, Long, Long)].collect()
+    // every input row exactly once, (shard, pos) unique — it IS a permutation
+    assert(out.length == 1000 && out.map(_._1).toSet.size == 1000)
+    assert(out.map(o => (o._3, o._4)).toSet.size == 1000)
+    // positions are dense 1..|shard| inside every shard
+    val byShard = out.groupBy(_._3).view.mapValues(_.map(_._4).sorted.toSeq).toMap
+    assert(byShard.keySet == (0L until 8L).toSet)
+    byShard.values.foreach(ps => assert(ps == (1L to ps.length)))
+    // binomial balance: every shard within ±40% of corpus/numShards
+    byShard.values.foreach(ps => assert(ps.length > 75 && ps.length < 175))
+    // the shuffle actually shuffles: shard order is not id order
+    val shard0 = out.filter(_._3 == 0L).sortBy(_._4).map(_._1).toSeq
+    assert(shard0 != shard0.sorted)
+    // deterministic under repartition; another salt is another permutation
+    val again = Sampling.shuffleShards(df.repartition(13), col("doc_id"), 8)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.toSet == again.toSet)
+    val redrawn = Sampling.shuffleShards(df, col("doc_id"), 8, salt = "epoch2")
+      .as[(Long, String, Long, Long)].collect()
+    assert(redrawn.map(o => (o._1, o._3, o._4)).toSet != out.map(o => (o._1, o._3, o._4)).toSet)
+  }
 }
