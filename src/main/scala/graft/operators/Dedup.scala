@@ -49,6 +49,29 @@ object Dedup {
     df.groupBy(md5(text).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("canonical_id"))
 
+  /** Corpus snapshot diff — the audit step after a pipeline change or a
+    * source refresh: every doc id in either snapshot with its status
+    * (`added` / `removed` / `changed` / `unchanged`) by content hash.
+    * "Did the new crawl/scrubber change what I think it changed?" is one
+    * groupBy over the output.
+    *
+    * Hashing happens map-side BEFORE the join, so the full-outer
+    * sort-merge shuffles (id, 32-char hash) rows, never the document
+    * payloads — at 100 TB the exchange mass is id-table-sized. Ids must
+    * be unique non-null per snapshot (it is a keyed diff, not a multiset
+    * diff).
+    * → (doc_id, status, old_hash, new_hash). */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, id: Column, text: Column): DataFrame = {
+    val o = oldDf.select(id.as("doc_id"), md5(text).as("old_hash"))
+    val n = newDf.select(id.as("doc_id"), md5(text).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
+
   /** Distinct word n-gram shingles of `text` — `array_distinct` over the
     * single shared gram builder ([[TextAnalysis.ngramsMultiset]]), so the
     * windowing/empty-guard logic lives in exactly one place. */

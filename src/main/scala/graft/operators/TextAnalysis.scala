@@ -286,6 +286,43 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("gram").asc)
       .limit(k)
 
+  /** Per-group keyword profile — "what characterizes this source/domain":
+    * the top-k tokens per group by df-normalized term frequency
+    * `weight = ⌊tf_group · 10⁶ / df_corpus⌋` (exact integers — every
+    * engine replays bit-for-bit; exact while tf < 9.2·10¹²). A token
+    * concentrated in one group scores ~10⁶ per repeat-per-doc; a token
+    * spread across the corpus is damped by its document frequency.
+    * Tokens in more than `maxTokenDf` documents are excluded entirely
+    * (the absolute stopword cap, same contract as [[Dedup.tfCosinePairs]]
+    * — the cap is PART of the metric).
+    *
+    * Shapes: one explode feeds BOTH aggregates (tf on (group, token), df
+    * on token via a distinct); after aggregation everything is
+    * vocab-sized, never corpus-sized — the join and the per-group top-k
+    * window run over #distinct-tokens rows. Ties break on the token
+    * string (binary UTF-8 order, identical in Spark and DuckDB).
+    * → (grp, tok, tf, df_docs, weight, rank), rank 1..k per group. */
+  def groupKeywords(
+      df: org.apache.spark.sql.DataFrame, group: Column, id: Column, text: Column,
+      k: Int, maxTokenDf: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(group.as("grp"), id.as("doc"), explode(tokens(text)).as("tok"))
+    val tf = toks.groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfs = toks.select(col("doc"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") <= maxTokenDf)
+    val weight = Bridge.column(catalyst.expressions.IntegralDivide(
+      Bridge.expression(col("tf") * lit(1000000L)),
+      Bridge.expression(col("df_docs"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("weight").desc, col("tok").asc)
+    tf.join(dfs, "tok")
+      .withColumn("weight", weight)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("tok"), col("tf"), col("df_docs"), col("weight"), col("rank"))
+  }
+
   /** Fixed-size token chunking with overlap — the segmentation pass an
     * embedding/RAG pipeline runs before encoding: chunk `k` covers tokens
     * `[k·step, k·step + chunkTokens)` with `step = chunkTokens −

@@ -393,6 +393,30 @@ object PipelineQueries {
         Tables.documents(s, d).select(col("doc_id"), col("source")),
         col("doc_id"), numShards = 8)),
 
+    // corpus snapshot diff: two synthetic snapshots derived from the same
+    // table (doc_id%7 drop-out vs doc_id%3 drop-out with %5 docs edited)
+    // so all four statuses appear; hashes computed map-side, the
+    // full-outer join shuffles ids+hashes only
+    "q69_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Dedup.corpusDiff(oldSnap, newSnap, col("doc_id"), col("text"))
+    }),
+
+    // per-language keyword profile: top-5 tokens per group by
+    // exact-integer df-normalized term frequency; the synthetic corpus's
+    // vocabulary is 31 near-uniform-df tokens, so the stopword cap stays
+    // open here (its excluding behavior is spec-pinned) and the ranking
+    // exercises the tf side; everything after the explode is vocab-sized
+    "q70_group_keywords" -> ((s, d) =>
+      TextAnalysis.groupKeywords(
+        Tables.documents(s, d), col("lang"), col("doc_id"), col("text"),
+        k = 5)),
+
     // markup strip (content extraction): salt a third of the docs with a
     // wrapping div + script payload, a third with entities; the stripper
     // must drop code, keep prose, and unescape in HTML order — map-side
@@ -837,6 +861,31 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(m % 8 AS BIGINT) AS shard,
          |  CAST(row_number() OVER (PARTITION BY m % 8 ORDER BY m, doc_id) AS BIGINT) AS pos_in_shard
          |FROM h""".stripMargin
+
+    // q69: md5 of the UTF-8 bytes is engine-neutral hex; FULL OUTER +
+    // COALESCE mirrors Spark's USING-column join
+    m += "q69_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS new_hash
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash = new_hash THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
+
+    // q70: COUNT stays BIGINT (only SUM goes HUGEINT); // ≡ Spark's
+    // IntegralDivide for non-negative operands; ties break on the token
+    // string (binary UTF-8 collation in both engines)
+    m += "q70_group_keywords" ->
+      s"""WITH t AS (SELECT lang AS grp, doc_id AS doc, unnest(${DuckSql.tokens("text")}) AS tok FROM documents),
+         |tf AS (SELECT grp, tok, COUNT(*) AS tf FROM t GROUP BY grp, tok),
+         |dfs AS (SELECT tok, COUNT(*) AS df_docs FROM (SELECT DISTINCT doc, tok FROM t) GROUP BY tok),
+         |j AS (SELECT grp, tok, tf, df_docs, CAST(tf * 1000000 // df_docs AS BIGINT) AS weight
+         |  FROM tf JOIN dfs USING (tok)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY weight DESC, tok ASC) AS "rank" FROM j)
+         |SELECT grp, tok, tf, df_docs, weight, CAST("rank" AS BIGINT) AS "rank"
+         |FROM r WHERE "rank" <= 5""".stripMargin
 
     // q66: the same RE2∩Java patterns, 'g' flag explicit (DuckDB replaces
     // first match only by default; Spark replaces all)

@@ -404,4 +404,21 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, 10L, true), (12L, 10L, 10L, false),
       (20L, 20L, 20L, true)))
   }
+
+  test("corpusDiff: keyed status by content hash, hashes null exactly off-side") {
+    val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newDf = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(oldDf, newDf, col("doc_id"), col("text"))
+      .as[(Long, String, String, String)].collect()
+    assert(got.map(r => r._1 -> r._4).toMap ==
+      Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    // old_hash present iff the doc was in the old snapshot, same for new
+    got.foreach { case (id, oh, nh, _) =>
+      assert((oh == null) == (id == 4L))
+      assert((nh == null) == (id == 1L))
+    }
+    // a changed doc carries BOTH hashes, and they differ
+    val ch = got.find(_._1 == 3L).get
+    assert(ch._2 != null && ch._3 != null && ch._2 != ch._3)
+  }
 }

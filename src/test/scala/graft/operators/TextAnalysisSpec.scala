@@ -309,4 +309,21 @@ class TextAnalysisSpec extends SparkSpec {
     // processing instructions (XHTML prolog, php) are markup
     assert(strip("<?xml version=\"1.0\" encoding=\"UTF-8\"?><p>hi</p>") == "hi")
   }
+
+  test("groupKeywords: df-normalized top-k per group, df cap excludes stopwords") {
+    val docs = Seq(
+      (1L, "A", "alpha common"), (2L, "A", "alpha alpha common"),
+      (3L, "B", "beta common"), (4L, "B", "beta zeta common"))
+      .toDF("doc_id", "grp", "text")
+    val got = TextAnalysis.groupKeywords(docs, col("grp"), col("doc_id"), col("text"),
+      k = 2, maxTokenDf = 3L)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    // 'common' (df=4) is capped out of the metric entirely;
+    // alpha: tf_A=3, df=2 → 1500000; beta: tf_B=2, df=2 → 1000000;
+    // zeta: tf_B=1, df=1 → 1000000 — tie with beta breaks on token asc
+    assert(got == Set(
+      ("A", "alpha", 3L, 2L, 1500000L, 1L),
+      ("B", "beta", 2L, 2L, 1000000L, 1L),
+      ("B", "zeta", 1L, 1L, 1000000L, 2L)))
+  }
 }
