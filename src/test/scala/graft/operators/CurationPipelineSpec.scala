@@ -120,5 +120,18 @@ class CurationPipelineSpec extends SparkSpec {
     assert(split.count() == nBudget)
     val again = Sampling.hashSplit(packed, $"doc_id", Seq("train" -> 950, "val" -> 50))
     assert(split.select("doc_id", "split").except(again.select("doc_id", "split")).count() == 0)
+
+    // 9. training-order shuffle: the train split lands in reproducible
+    // shards; every doc exactly one (shard, pos) slot, positions dense
+    // per shard — reading shards in order IS the epoch's permutation
+    val train = split.filter($"split" === "train")
+    val sharded = Sampling.shuffleShards(train, $"doc_id", numShards = 4)
+    assert(sharded.count() == train.count())
+    val slots = sharded.select($"shard", $"pos_in_shard")
+      .as[(Long, Long)].collect()
+    assert(slots.toSet.size == slots.length, "slots are unique")
+    slots.groupBy(_._1).values.foreach { ps =>
+      assert(ps.map(_._2).sorted.toSeq == (1L to ps.length), "dense positions")
+    }
   }
 }
