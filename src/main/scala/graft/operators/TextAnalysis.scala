@@ -296,27 +296,39 @@ object TextAnalysis {
     * (the absolute stopword cap, same contract as [[Dedup.tfCosinePairs]]
     * — the cap is PART of the metric).
     *
-    * Shapes: one explode feeds BOTH aggregates (tf on (group, token), df
-    * on token via a distinct); after aggregation everything is
-    * vocab-sized, never corpus-sized — the join and the per-group top-k
-    * window run over #distinct-tokens rows. Ties break on the token
-    * string (binary UTF-8 order, identical in Spark and DuckDB).
+    * Shape: one LINEAR chain — the corpus is scanned and exploded
+    * exactly once (structurally: there is no second branch to
+    * re-execute, unlike a tf-branch ⋈ df-branch formulation, whose
+    * per-branch column pruning defeats exchange reuse). Per-doc counts
+    * on (grp, doc, tok) are the one corpus-sized pass; (grp, tok)
+    * aggregates are vocab×groups-sized; the document frequency falls out
+    * WITHOUT re-touching the corpus because ids are unique (the stated
+    * precondition) — each (doc, tok) lives under exactly one group, so
+    * df(tok) = Σ over groups of that group's doc count, one window over
+    * the tiny aggregate. Ties break on the token string (binary UTF-8
+    * order, identical in Spark and DuckDB).
     * → (grp, tok, tf, df_docs, weight, rank), rank 1..k per group. */
   def groupKeywords(
       df: org.apache.spark.sql.DataFrame, group: Column, id: Column, text: Column,
       k: Int, maxTokenDf: Long = 1000000L): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = df.select(group.as("grp"), id.as("doc"), explode(tokens(text)).as("tok"))
-    val tf = toks.groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfs = toks.select(col("doc"), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df_docs"))
+    // per-doc term counts: the ONE corpus-sized pass; docs are unique per
+    // id, so grp is functionally dependent on doc and riding it in the
+    // grouping key adds no rows
+    val perDoc = df.select(group.as("grp"), id.as("doc"), explode(tokens(text)).as("tok"))
+      .groupBy(col("grp"), col("doc"), col("tok")).agg(count(lit(1)).as("doc_tf"))
+    val byGrp = perDoc.groupBy(col("grp"), col("tok"))
+      .agg(sum(col("doc_tf")).cast("long").as("tf"), count(lit(1)).as("grp_docs"))
+    val withDf = byGrp.withColumn("df_docs",
+      sum(col("grp_docs")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tok"))).cast("long"))
       .filter(col("df_docs") <= maxTokenDf)
     val weight = Bridge.column(catalyst.expressions.IntegralDivide(
       Bridge.expression(col("tf") * lit(1000000L)),
       Bridge.expression(col("df_docs"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("weight").desc, col("tok").asc)
-    tf.join(dfs, "tok")
+    withDf
       .withColumn("weight", weight)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -326,4 +326,16 @@ class TextAnalysisSpec extends SparkSpec {
       ("B", "beta", 2L, 2L, 1000000L, 1L),
       ("B", "zeta", 1L, 1L, 1000000L, 2L)))
   }
+
+  test("groupKeywords scans and explodes the corpus exactly once (linear plan)") {
+    val docs = (1L to 200L).map(i => (i, s"g${i % 3}", s"tok${i % 7} tok${i % 5} x"))
+      .toDF("doc_id", "grp", "text")
+    val q = TextAnalysis.groupKeywords(docs, col("grp"), col("doc_id"), col("text"), k = 3)
+    q.collect() // AQE finalizes the plan on execution
+    val plan = q.queryExecution.executedPlan.toString
+    val explodes = "Generate explode".r.findAllIn(
+      plan.split("== Initial Plan ==").head).length
+    assert(explodes == 1,
+      s"the corpus must explode once, found $explodes:\n$plan")
+  }
 }
