@@ -60,11 +60,13 @@ object Contamination {
     val b = postings(bench, benchId, normalize(benchText), n, "bench_id", "bench_size")
     val t = postings(train, trainId, normalize(trainText), n, "train_id", "__tsz").drop("__tsz")
     // hot-shingle cap: TRAIN-side document frequency (each shingle appears
-    // once per doc — shingleHashes is distinct within a doc)
-    val keep = t.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleFreq)
-      .select(col("h"))
-    val tPruned = t.join(keep, "h")
+    // once per doc — shingleHashes is distinct within a doc), counted as a
+    // WINDOW over the h-partitioning the join needs anyway — an aggregate
+    // branch would re-scan and re-shingle the whole train corpus (same
+    // one-pass rationale as Dedup.jaccardPairs)
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val tPruned = t.withColumn("__df", count(lit(1)).over(wh))
+      .filter(col("__df") <= maxShingleFreq).drop("__df")
     // bench is the small side at scale: build it, stream the train postings
     b.hint("shuffle_hash")
       .join(tPruned.withColumnRenamed("h", "h2"), col("h") === col("h2"))
@@ -103,11 +105,22 @@ object Contamination {
       .select(trainId.as("train_id"),
         posexplode(TextAnalysis.ngramHashesMultiset(normalize(trainText), n)))
       .select(col("train_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
-    val keep = t.groupBy(col("h"))
-      .agg(count_distinct(col("train_id")).as("df"))
-      .filter(col("df") <= maxShingleFreq)
-      .select(col("h"))
-    val tPruned = t.join(keep, "h")
+    // DISTINCT-doc df per shingle as stacked windows over ONE
+    // h-partitioning (an aggregate branch would re-scan + re-shingle the
+    // corpus): ordered by (train_id, pos) inside each h, a row opens a new
+    // doc run iff its train_id differs from its predecessor's; the sum of
+    // run-openers over the whole h partition IS the distinct doc count.
+    // (count_distinct is not a window function; partitioning the
+    // first-row-per-doc trick by (h, train_id) would force a second
+    // exchange — lag keeps both windows on hashpartitioning(h).)
+    val whOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("train_id"), col("pos"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val opensRun = when(
+      lag(col("train_id"), 1).over(whOrd).isNull ||
+        lag(col("train_id"), 1).over(whOrd) =!= col("train_id"), 1L).otherwise(0L)
+    val tPruned = t.withColumn("__df", sum(opensRun).over(wh))
+      .filter(col("__df") <= maxShingleFreq).drop("__df")
     b.hint("shuffle_hash")
       .join(tPruned.withColumnRenamed("h", "h2"), col("h") === col("h2"))
       .groupBy(col("bench_id"), col("train_id"))
