@@ -166,24 +166,33 @@ object Dedup {
     * arithmetic (squares avoid sqrt; every engine replays bit-for-bit —
     * exact while ‖·‖² < ~3·10⁶, far above any real document).
     *
-    * Shape: inverted index on the token hash. Per-doc norms ride along
-    * the postings (no join-back of the pair table); df=1 postings are
-    * pruned before the self-join (output-invariant: a single-doc token
-    * contributes to norms but can never contribute to a pair's dot).
-    * One tf aggregate, one df aggregate, the h-keyed shuffle_hash
-    * self-join (AQE reuses the identical exchange), one pair aggregate.
-    * Cost is posting-list overlap mass bounded by the df cap — never
-    * corpus².
+    * Shape: inverted index on the token hash, built in ONE corpus pass —
+    * the df cap and the per-doc norms are WINDOWS over the (doc, h)
+    * aggregate (count over h-partitioning, then Σtf² over
+    * doc-partitioning), not separate aggregate branches: a
+    * branch-and-join-back formulation re-executes the corpus-sized
+    * scan+explode subtree once per branch, because per-branch column
+    * pruning rewrites each copy differently and defeats AQE's exchange
+    * reuse (same one-pass rationale as [[jaccardPairs]], measured there).
+    * Window order is part of the semantics: the cap filter runs BEFORE
+    * the norm window (capped tokens are outside the metric, norms
+    * included), the df≥2 prune after (output-invariant: a single-doc
+    * token contributes to its norm but never to a pair's dot). Then the
+    * h-keyed shuffle_hash self-join (one exchange, read twice) and one
+    * pair aggregate. Cost is posting-list overlap mass bounded by the df
+    * cap — never corpus².
     * → (a_id, b_id, dot, a_norm2, b_norm2, cos2_permille). */
   def tfCosinePairs(
       df: DataFrame, id: Column, text: Column,
       minCos2Permille: Int, maxTokenDf: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tf = df.select(id.as("doc"), explode(tokenHashes(text)).as("h"))
       .groupBy(col("doc"), col("h")).agg(count(lit(1)).as("tf"))
-    val dfs = tf.groupBy(col("h")).agg(count(lit(1)).as("df_count"))
-    val sem = tf.join(dfs.filter(col("df_count") <= maxTokenDf), "h")
-    val norms = sem.groupBy(col("doc")).agg(sum(col("tf") * col("tf")).as("n2"))
-    val postings = sem.filter(col("df_count") >= 2).join(norms, "doc")
+    val postings = tf
+      .withColumn("df_count", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df_count") <= maxTokenDf)
+      .withColumn("n2", sum(col("tf") * col("tf")).over(Window.partitionBy(col("doc"))))
+      .filter(col("df_count") >= 2)
     val cos2 = Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       Bridge.expression(lit(1000L) * col("dot") * col("dot")),
       Bridge.expression(col("a_norm2") * col("b_norm2"))))
