@@ -79,20 +79,31 @@ object Contamination {
 
   /** Span-level contamination: WHERE the leakage sits in each train doc.
     * For every (bench, train) pair sharing at least `minShared` DISTINCT
-    * n-gram shingles, returns the sorted 0-based token positions in the
-    * train doc at which a leaked shingle starts — the mask a surgical
-    * decontamination pass applies (drop or rewrite those spans, each
-    * covering tokens [pos, pos+n)) instead of discarding the whole
-    * document, which at 100 TB wastes real data on mostly-clean docs.
+    * n-gram shingles, returns the maximal contiguous train-doc token spans
+    * covered by leaked shingles — the mask a surgical decontamination pass
+    * applies (cut those spans, e.g. via [[Dedup.removeSpans]], whose
+    * half-open token indexing this output matches) instead of discarding
+    * the whole document, which at 100 TB wastes real data on mostly-clean
+    * docs.
     *
     * Same inverted-index shape as [[ngramOverlapPairs]] — bench side is
     * the distinct-shingle build side, train side the position-carrying
     * posting list ([[TextAnalysis.ngramHashesMultiset]] is ordered, so
     * `posexplode` IS the position index); never bench × corpus. The
     * hot-shingle cap counts DISTINCT train docs per shingle, matching the
-    * pairs operator's semantics on its deduplicated postings.
+    * pairs operator's semantics on its deduplicated postings. After the
+    * join, the per-pair distinct-shingle count and the island merge are
+    * windows sharing ONE (bench_id, train_id) exchange (two sort orders,
+    * zero extra shuffles; the final group-by reuses the partitioning).
+    * Islands merge on COVERAGE, gap ≤ n — same rationale as
+    * [[Dedup.duplicateSpans]], whose span semantics this mirrors.
     *
-    * → (bench_id, train_id, n_shared, train_spans: array<bigint>).
+    * → (bench_id, train_id, n_shared, span_start, span_end, n_grams):
+    * disjoint, non-touching maximal half-open token spans
+    * [span_start, span_end) per pair; `n_grams` = leaked shingle
+    * occurrences merged into the span (repeat occurrences of a leaked
+    * shingle are masked too); `n_shared` = the pair's distinct leaked
+    * shingle count, constant across the pair's rows.
     */
   def ngramOverlapSpans(
       bench: DataFrame, benchId: Column, benchText: Column,
@@ -121,12 +132,32 @@ object Contamination {
         lag(col("train_id"), 1).over(whOrd) =!= col("train_id"), 1L).otherwise(0L)
     val tPruned = t.withColumn("__df", sum(opensRun).over(wh))
       .filter(col("__df") <= maxShingleFreq).drop("__df")
-    b.hint("shuffle_hash")
+    val joined = b.hint("shuffle_hash")
       .join(tPruned.withColumnRenamed("h", "h2"), col("h") === col("h2"))
-      .groupBy(col("bench_id"), col("train_id"))
-      .agg(count_distinct(col("h")).as("n_shared"),
-        sort_array(collect_list(col("pos"))).as("train_spans"))
+    // per-pair distinct-shingle count as the same run-opener trick (h is
+    // unique per (bench_id, train posting), so positions are unique within
+    // a pair and the merge windows below see no duplicates)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bench_id"), col("train_id"))
+    val wpByH = wp.orderBy(col("h"), col("pos"))
+    val opensShingle = when(
+      lag(col("h"), 1).over(wpByH).isNull ||
+        lag(col("h"), 1).over(wpByH) =!= col("h"), 1L).otherwise(0L)
+    val wpByPos = wp.orderBy(col("pos"))
+    joined
+      .withColumn("n_shared", sum(opensShingle).over(wp))
       .filter(col("n_shared") >= minShared)
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(wpByPos) <= n, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__grp", sum(col("__new")).over(wpByPos))
+      .groupBy(col("bench_id"), col("train_id"), col("__grp"))
+      .agg(max(col("n_shared")).as("n_shared"),
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n.toLong)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("bench_id"), col("train_id"), col("n_shared"),
+        col("span_start"), col("span_end"), col("n_grams"))
   }
 
   /** Semantic (embedding-space) contamination — the meaning-level sibling

@@ -343,8 +343,9 @@ object PipelineQueries {
         chunkTokens = 32, overlapTokens = 8)),
 
     // span-level contamination: not just WHICH train docs leak the
-    // benchmark, but WHERE — the 0-based token positions of every leaked
-    // shingle, the mask for surgical span removal instead of doc drops
+    // benchmark, but WHERE — merged half-open token spans of leaked
+    // shingle coverage, the mask for surgical span removal (removeSpans'
+    // input shape) instead of doc drops; all-scalar output for the gate
     "q50_contamination_spans" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Contamination.ngramOverlapSpans(
@@ -1052,6 +1053,10 @@ object PipelineQueries {
          |  array_to_string(w[k * 24 + 1 : k * 24 + 32], ' ') AS chunk_text
          |FROM c""".stripMargin
 
+    // q50: same rolling-hash gram space as q38/q54; span semantics mirror
+    // q54's island merge (gap <= n on coverage, lag-flag running sum per
+    // (bench, train) pair; the HUGEINT SUM is only a grouping key). Output
+    // is all-scalar — the driver compare can only hash scalar columns.
     m += "q50_contamination_spans" ->
       s"""WITH t AS (SELECT doc_id, source, $toks AS w FROM documents),
          |bench AS (SELECT doc_id AS bench_id, unnest(list_distinct(
@@ -1061,13 +1066,23 @@ object PipelineQueries {
          |tr AS (SELECT train_id, CAST(i - 1 AS BIGINT) AS pos,
          |    ${DuckSql.rollingHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS g
          |  FROM (SELECT doc_id AS train_id, w, unnest(range(1, len(w) - 1)) AS i
-         |        FROM t WHERE source <> 'src0' AND len(w) >= 3))
-         |SELECT b.bench_id, tr.train_id,
-         |  CAST(COUNT(DISTINCT tr.g) AS BIGINT) AS n_shared,
-         |  list_sort(list(tr.pos)) AS train_spans
-         |FROM bench b JOIN tr ON b.g = tr.g
-         |GROUP BY b.bench_id, tr.train_id
-         |HAVING COUNT(DISTINCT tr.g) >= 2""".stripMargin
+         |        FROM t WHERE source <> 'src0' AND len(w) >= 3)),
+         |j AS (SELECT b.bench_id, tr.train_id, tr.pos, tr.g
+         |      FROM bench b JOIN tr ON b.g = tr.g),
+         |ns AS (SELECT bench_id, train_id,
+         |    CAST(COUNT(DISTINCT g) AS BIGINT) AS n_shared
+         |  FROM j GROUP BY bench_id, train_id),
+         |p AS (SELECT j.bench_id, j.train_id, ns.n_shared, j.pos,
+         |    CASE WHEN j.pos - lag(j.pos) OVER (
+         |        PARTITION BY j.bench_id, j.train_id ORDER BY j.pos) <= 3
+         |      THEN 0 ELSE 1 END AS newg
+         |  FROM j JOIN ns USING (bench_id, train_id) WHERE ns.n_shared >= 2),
+         |s AS (SELECT bench_id, train_id, n_shared, pos, SUM(newg) OVER (
+         |    PARTITION BY bench_id, train_id ORDER BY pos) AS grp FROM p)
+         |SELECT bench_id, train_id, n_shared,
+         |  MIN(pos) AS span_start, MAX(pos) + 3 AS span_end,
+         |  CAST(COUNT(*) AS BIGINT) AS n_grams
+         |FROM s GROUP BY bench_id, train_id, n_shared, grp""".stripMargin
 
     m += "q49_quality_gate" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w, ${DuckSql.tokens("lower(text)")} AS lw FROM documents),

@@ -90,7 +90,7 @@ class ContaminationSpec extends SparkSpec {
     assert(folded == Set((1L, 10L, 3L, 1000L)))
   }
 
-  test("overlap spans: every leaked shingle's train position, repeats included") {
+  test("overlap spans: merged leaked runs in the train doc, repeats included") {
     val bench = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     // train grams (pos): "z a b"0 "a b c"1 "b c d"2 "c d e"3 "d e z"4
     //                    "e z a"5 "z a b"6 "a b c"7
@@ -98,11 +98,12 @@ class ContaminationSpec extends SparkSpec {
     val got = Contamination.ngramOverlapSpans(
       bench, col("doc_id"), col("text"), train, col("doc_id"), col("text"),
       n = 3, minShared = 2)
-      .select("bench_id", "train_id", "n_shared", "train_spans")
-      .as[(Long, Long, Long, Seq[Long])].collect().toSet
-    // shared distinct: "a b c","b c d","c d e"; the second "a b c" at pos 7
-    // is a repeat occurrence of a leaked shingle -> masked too
-    assert(got == Set((1L, 10L, 3L, Seq(1L, 2L, 3L, 7L))))
+      .select("bench_id", "train_id", "n_shared", "span_start", "span_end", "n_grams")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // shared distinct: "a b c","b c d","c d e"; leaked positions 1,2,3 merge
+    // (gap <= 3) into [1,6); the second "a b c" at pos 7 is a repeat
+    // occurrence of a leaked shingle -> masked too, its own island [7,10)
+    assert(got == Set((1L, 10L, 3L, 1L, 6L, 3L), (1L, 10L, 3L, 7L, 10L, 1L)))
   }
 
   test("overlap spans: pairs below minShared emit nothing") {
