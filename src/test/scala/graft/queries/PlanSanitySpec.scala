@@ -37,6 +37,29 @@ class PlanSanitySpec extends SparkSpec {
     assert(offenders.isEmpty, s"scale-hostile join plans:\n${offenders.mkString("\n")}")
   }
 
+  test("every oracled query has a scalar-only output schema") {
+    // The driver's compare stack sorts/factorizes pandas columns and dies
+    // on array/struct/map cells ("unhashable type: numpy.ndarray") BEFORE
+    // recording any result — an array-typed output column in an oracled
+    // query is invisible locally and red at the gate (round-6 q50).
+    // Rows-only queries are exempt: the driver only counts their rows.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val oracled = graft.SparkEntry.oracleSql.keySet
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if oracled(name) =>
+        val complex = fn(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.simpleString}"
+        }
+        if (complex.nonEmpty) Some(s"$name -> ${complex.mkString(", ")}") else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"oracled queries must emit only scalar columns (the driver compare " +
+        s"cannot hash arrays/structs/maps):\n${offenders.mkString("\n")}")
+  }
+
   test("the quadratic-by-design whitelist still exists and still plans that way") {
     // if one of these stops planning a nested loop (e.g. q37 moves to a
     // bucketed assignment), celebrate — and shrink the whitelist

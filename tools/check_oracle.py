@@ -37,6 +37,19 @@ def main(out_dir, sf_dir):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); fail += 1; continue
+        # Scalar-output lint: the driver compare sorts/factorizes pandas
+        # columns and crashes on array/struct/map cells ("unhashable type:
+        # numpy.ndarray") before recording anything — reject nested output
+        # types here so the failure is visible pre-flight (round-6 q50).
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        schema = pq.read_schema(files[0])
+        nested = [f.name for f in schema
+                  if pa.types.is_nested(f.type)]
+        if nested:
+            print(f"FAIL {name}: non-scalar output columns {nested} "
+                  f"(driver compare cannot hash arrays/structs/maps)")
+            fail += 1; continue
         got = canon(pd.concat([pd.read_parquet(f) for f in files]))
         try:
             exp = canon(con.execute(sql).df())
