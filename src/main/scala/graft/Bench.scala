@@ -50,7 +50,14 @@ object Bench {
     // "runs": each per-query number is the MIN over this many timed
     // executions (after one warmup) — the round-over-round comparison
     // contract, so a reader knows jitter is already floored out.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    //
+    // Two lines, per-query map FIRST and a short summary LAST: the
+    // harvesting side captures a bounded output tail, and with 70 queries
+    // a single line no longer fits — a truncated line loses the headline
+    // total (round-6 bench artifact was machine-unreadable). The final
+    // line is small and constant-size, so any bounded tail parses it.
+    println(s"""{"metric":"queries","runs":$timedRuns,"sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"nQueries":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
