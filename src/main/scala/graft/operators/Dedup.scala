@@ -39,9 +39,15 @@ object Dedup {
   private[operators] def bandKey(values: Seq[Column]): Column =
     concat_ws("_", values: _*)
 
-  /** THE Jaccard per-mille formula: ⌊common·1000 / (|a|+|b|−common)⌋. */
+  /** THE Jaccard per-mille formula: ⌊common·1000 / (|a|+|b|−common)⌋.
+    * Long integer division (no double round-trip): exact past 2^53, same
+    * [[org.apache.spark.sql.catalyst.expressions.IntegralDivide]] ↔
+    * DuckDB `//` pairing as the TF-cosine operator; the denominator is
+    * ≥ max(|a|,|b|) ≥ 1 for any pair the join can emit. */
   private[operators] def jaccardPermille(common: Column, aSize: Column, bSize: Column): Column =
-    floor(common * lit(1000L) / (aSize + bSize - common)).cast("long")
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      Bridge.expression(common.cast("long") * lit(1000L)),
+      Bridge.expression((aSize + bSize - common).cast("long")))).cast("long")
 
   /** Exact-duplicate groups by content hash (md5 — engine-independent).
     * → (content_hash, n_copies, canonical_id = min id). */

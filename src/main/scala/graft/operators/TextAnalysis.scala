@@ -100,10 +100,16 @@ object TextAnalysis {
     size(filter(tokens(text), t => array_contains(sw, t)))
   }
 
-  /** Per-mille ratios as exact integers: floor(1000 * num / den), 0 when
-    * the denominator is 0. */
+  /** Per-mille ratios as exact integers: ⌊1000·num / den⌋, 0 when the
+    * denominator is 0. Integer division on longs end-to-end
+    * ([[catalyst.expressions.IntegralDivide]] ↔ DuckDB `//`) — a double
+    * round-trip would lose exactness once 1000·num exceeds 2^53, which
+    * per-doc Σdf sums reach at corpus scale. Truncation ≡ floor for the
+    * non-negative counts this contract serves. */
   def perMille(num: Column, den: Column): Column =
-    when(den === 0, 0L).otherwise(floor(num * lit(1000L) / den)).cast("long")
+    when(den === 0, 0L).otherwise(Bridge.column(catalyst.expressions.IntegralDivide(
+      Bridge.expression(num.cast("long") * lit(1000L)),
+      Bridge.expression(den.cast("long"))))).cast("long")
 
   /** Aggregate token length (for mean-word-length quality signals). */
   def tokenCharCount(text: Column): Column =

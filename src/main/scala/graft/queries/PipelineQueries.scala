@@ -621,10 +621,10 @@ object PipelineQueries {
          | CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpeish,
          | CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
          | CAST(CASE WHEN len($toks) = 0 THEN 0 ELSE
-         |   floor(list_sum(list_transform($toks, t -> length(t))) * 1000 / len($toks))
+         |   (list_sum(list_transform($toks, t -> length(t))) * 1000 // len($toks))
          | END AS BIGINT) AS mean_tok_len_permille,
          | CAST(CASE WHEN len($toks) = 0 THEN 0 ELSE
-         |   floor(len(list_filter(${DuckSql.tokens("lower(text)")}, t -> list_contains($enList, t))) * 1000 / len($toks))
+         |   (len(list_filter(${DuckSql.tokens("lower(text)")}, t -> list_contains($enList, t))) * 1000 // len($toks))
          | END AS BIGINT) AS en_stopword_permille
          |FROM documents""".stripMargin
 
@@ -655,9 +655,9 @@ object PipelineQueries {
          |          GROUP BY a.doc_id, b.doc_id),
          |sizes AS (SELECT doc_id, len(hs) AS sz FROM hashed)
          |SELECT a_id, b_id, common,
-         |  CAST(floor(common * 1000 / (sa.sz + sb.sz - common)) AS BIGINT) AS jaccard_permille
+         |  CAST(common * 1000 // (sa.sz + sb.sz - common) AS BIGINT) AS jaccard_permille
          |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
-         |WHERE floor(common * 1000 / (sa.sz + sb.sz - common)) >= 200""".stripMargin
+         |WHERE common * 1000 // (sa.sz + sb.sz - common) >= 200""".stripMargin
 
     // LSH bands: 4 bands × 2 rows over mh_0..mh_7, then exact-jaccard verify
     val bandSelects = (0 until 4).map { b =>
@@ -670,10 +670,10 @@ object PipelineQueries {
          |cand AS (SELECT DISTINCT a.doc AS a_id, b.doc AS b_id
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc)
          |SELECT a_id, b_id,
-         |  CAST(floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
+         |  CAST((len(list_intersect(ha.hs, hb.hs)) * 1000 //
          |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) AS BIGINT) AS jaccard_permille
          |FROM cand JOIN hashed ha ON ha.doc_id = a_id JOIN hashed hb ON hb.doc_id = b_id
-         |WHERE floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
+         |WHERE (len(list_intersect(ha.hs, hb.hs)) * 1000 //
          |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) >= 200""".stripMargin
 
     // incremental ≡ batch restricted to pairs touching the increment,
@@ -686,10 +686,10 @@ object PipelineQueries {
          |cand AS (SELECT DISTINCT a.doc AS a_id, b.doc AS b_id
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc),
          |verified AS (SELECT a_id, b_id,
-         |  CAST(floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
+         |  CAST((len(list_intersect(ha.hs, hb.hs)) * 1000 //
          |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) AS BIGINT) AS jp
          |  FROM cand JOIN hashed ha ON ha.doc_id = a_id JOIN hashed hb ON hb.doc_id = b_id
-         |  WHERE floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
+         |  WHERE (len(list_intersect(ha.hs, hb.hs)) * 1000 //
          |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) >= 200)
          |SELECT CASE WHEN a_id % 7 = 0 AND b_id % 7 <> 0 THEN a_id ELSE b_id END AS new_id,
          |  CASE WHEN a_id % 7 = 0 AND b_id % 7 <> 0 THEN b_id ELSE a_id END AS dup_of_id,
@@ -712,7 +712,7 @@ object PipelineQueries {
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc),
          |verified AS (SELECT a_id, b_id
          |  FROM cand JOIN hashed ha ON ha.doc_id = a_id JOIN hashed hb ON hb.doc_id = b_id
-         |  WHERE floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
+         |  WHERE (len(list_intersect(ha.hs, hb.hs)) * 1000 //
          |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) >= 200),
          |edges AS (SELECT a_id AS src, b_id AS dst FROM verified
          |          UNION ALL SELECT b_id, a_id FROM verified),
@@ -727,7 +727,7 @@ object PipelineQueries {
          |  t -> ${DuckSql.rollingHash("t")})) AS h FROM documents)
          |SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT h) AS n_terms,
          |  CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE
-         |    floor(COUNT(DISTINCT h) * 1000 / COUNT(*)) END AS BIGINT) AS type_token_permille
+         |    COUNT(DISTINCT h) * 1000 // COUNT(*) END AS BIGINT) AS type_token_permille
          |FROM h GROUP BY source""".stripMargin
 
     m += "q42_seq_packing" ->
@@ -751,8 +751,8 @@ object PipelineQueries {
          |  FROM toks WHERE len(w) >= 2),
          |counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
          |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct_grams,
-         |  CAST(floor(MAX(c) * 1000 / SUM(c)) AS BIGINT) AS top_gram_permille,
-         |  CAST(floor((SUM(c) - COUNT(*)) * 1000 / SUM(c)) AS BIGINT) AS dup_gram_permille
+         |  CAST(MAX(c) * 1000 // SUM(c) AS BIGINT) AS top_gram_permille,
+         |  CAST((SUM(c) - COUNT(*)) * 1000 // SUM(c) AS BIGINT) AS dup_gram_permille
          |FROM counts GROUP BY doc_id""".stripMargin
 
     m += "q40_group_quantiles" ->
@@ -976,11 +976,11 @@ object PipelineQueries {
          |    CAST(COUNT(tgt.h) AS BIGINT) AS n_in_target
          |  FROM g LEFT JOIN tgt ON g.h = tgt.h GROUP BY g.doc_id)
          |SELECT doc_id, n_grams, n_in_target,
-         |  CAST(floor(n_in_target * 1000 / n_grams) AS BIGINT) AS target_affinity_permille
+         |  CAST(n_in_target * 1000 // n_grams AS BIGINT) AS target_affinity_permille
          |FROM a""".stripMargin
 
-    // q60: SUM lives inside floor(...) then CAST — exact in double up to
-    // ~2^52 of token-df mass; same floor-division as the Spark perMille
+    // q60: HUGEINT `//` then CAST — integer-exact at any token-df mass,
+    // mirroring the Spark perMille's IntegralDivide (no double anywhere)
     m += "q60_token_rarity" ->
       s"""WITH tk AS (SELECT doc_id,
          |  unnest(list_transform($toks, t -> ${DuckSql.rollingHash("t")})) AS h
@@ -988,7 +988,7 @@ object PipelineQueries {
          |dfreq AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
          |          FROM tk GROUP BY h)
          |SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |  CAST(floor(SUM(df) * 1000 / COUNT(*)) AS BIGINT) AS mean_token_df_x1000
+         |  CAST(SUM(df) * 1000 // COUNT(*) AS BIGINT) AS mean_token_df_x1000
          |FROM tk JOIN dfreq USING (h)
          |GROUP BY tk.doc_id""".stripMargin
 
@@ -1025,7 +1025,7 @@ object PipelineQueries {
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc),
          |verified AS (SELECT a_id, b_id
          |  FROM cand JOIN hashed ha ON ha.doc_id = a_id JOIN hashed hb ON hb.doc_id = b_id
-         |  WHERE floor(len(list_intersect(ha.hs, hb.hs)) * 1000 /
+         |  WHERE (len(list_intersect(ha.hs, hb.hs)) * 1000 //
          |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) >= 200),
          |edges AS (SELECT a_id AS src, b_id AS dst FROM verified
          |          UNION ALL SELECT b_id, a_id FROM verified),
@@ -1089,17 +1089,17 @@ object PipelineQueries {
          |base AS (SELECT doc_id,
          |  CAST(len(w) AS BIGINT) AS n_tokens,
          |  CAST(CASE WHEN len(w) = 0 THEN 0 ELSE
-         |    floor(list_sum(list_transform(w, x -> length(x))) * 1000 / len(w)) END AS BIGINT)
+         |    list_sum(list_transform(w, x -> length(x))) * 1000 // len(w) END AS BIGINT)
          |    AS mean_tok_len_permille,
          |  CAST(CASE WHEN len(w) = 0 THEN 0 ELSE
-         |    floor(len(list_filter(lw, x -> list_contains($enList, x))) * 1000 / len(w)) END AS BIGINT)
+         |    len(list_filter(lw, x -> list_contains($enList, x))) * 1000 // len(w) END AS BIGINT)
          |    AS stopword_permille
          |  FROM t),
          |grams AS (SELECT doc_id, unnest(
          |  list_transform(range(1, len(w)), i -> ${DuckSql.rollingHash("w[i] || ' ' || w[i+1]")})) AS g
          |  FROM t WHERE len(w) >= 2),
          |counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
-         |rep AS (SELECT doc_id, CAST(floor(MAX(c) * 1000 / SUM(c)) AS BIGINT) AS tg
+         |rep AS (SELECT doc_id, CAST(MAX(c) * 1000 // SUM(c) AS BIGINT) AS tg
          |        FROM counts GROUP BY doc_id)
          |SELECT b.doc_id, n_tokens, mean_tok_len_permille, stopword_permille,
          |  COALESCE(tg, 0) AS top_gram_permille,
@@ -1156,7 +1156,7 @@ object PipelineQueries {
          |keep AS (SELECT h FROM train_i GROUP BY h HAVING COUNT(*) <= 100),
          |tp AS (SELECT train_id, h FROM train_i JOIN keep USING (h))
          |SELECT bench_id, train_id, COUNT(*) AS n_shared, MAX(bench_size) AS bench_size,
-         |  CAST(floor(COUNT(*) * 1000 / MAX(bench_size)) AS BIGINT) AS contaminated_permille
+         |  CAST(COUNT(*) * 1000 // MAX(bench_size) AS BIGINT) AS contaminated_permille
          |FROM bench JOIN tp USING (h)
          |GROUP BY bench_id, train_id
          |HAVING COUNT(*) >= 2""".stripMargin
