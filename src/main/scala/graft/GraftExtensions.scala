@@ -112,6 +112,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "strip_markup(str) - drop script/style elements with payload, strip tags, unescape core entities, collapse whitespace", 1) {
       args => graft.operators.TextAnalysis.stripMarkupExpr(args.head)
     }
+    register(ext, "html_text",
+      "html_text(str) - structural (tokenizer) markup strip: quote-aware attrs, pre fidelity, numeric entities, alt/title text", 1) {
+      args => graft.functions.HtmlText(args.head, attrText = true)
+    }
   }
 
   private def foldableInt(e: Expression, what: String): Int = {

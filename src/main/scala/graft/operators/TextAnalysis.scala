@@ -44,11 +44,24 @@ object TextAnalysis {
     * non-greedy `(?s)` replaces, accepting mismatched-pair inputs as two
     * independent spans), ASCII classes only. `&amp;` unescapes LAST so
     * double-escaped text (`&amp;lt;`) yields the literal `&lt;`, not `<` —
-    * the HTML-correct order. This is the regex tier: a structural parser
-    * (jsoup-class) is the fidelity upgrade, but the regex tier is what
-    * C4-style pipelines actually ran at corpus scale. */
+    * the HTML-correct order. This is the regex tier — what C4-style
+    * pipelines actually ran at corpus scale, and the oracle-replayable q66
+    * path; [[htmlText]] is the structural fidelity tier above it. */
   def stripMarkup(text: Column): Column =
     Bridge.column(stripMarkupExpr(Bridge.expression(text)))
+
+  /** Structural-tier markup strip: the hand-rolled zero-dep HTML tokenizer
+    * ([[graft.functions.HtmlTextKernel]]) behind the same contract as
+    * [[stripMarkup]], adding what a regex cannot express — quote-aware
+    * attributes (`<div title="a>b">` does not truncate), `<pre>`
+    * whitespace fidelity, numeric character references, EOF-in-tag
+    * cleanup, and optional `alt`/`title` attribute text
+    * (`attrText = true`). Not SQL-oracle-replayable, so q66 keeps the
+    * regex tier; the two tiers are pinned against each other (agreement on
+    * well-formed prose, documented divergence goldens) in `HtmlTextSpec`.
+    * Single codegen'd kernel call, map-side, fuses into the scan. */
+  def htmlText(text: Column, attrText: Boolean = true): Column =
+    Bridge.column(graft.functions.HtmlText(Bridge.expression(text), attrText))
 
   /** The same chain over raw Catalyst nodes — the ONE definition both the
     * Column API and the SQL registration (`strip_markup` in

@@ -97,4 +97,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT strip_markup('<p>a <b>b</b></p><script>x</script> &amp; c') AS s").head()
     assert(row.getString(0) == "a b & c")
   }
+
+  test("html_text from SQL: structural tier with attribute text") {
+    val row = spark.sql(
+      """SELECT html_text('<div title="a>b">x</div>') AS s""").head()
+    assert(row.getString(0) == "a>b x")
+  }
 }
