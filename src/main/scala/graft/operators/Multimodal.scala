@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * per partition, streamed row iterator, no per-row setup cost).
   *
   * The IMAGE codec is REAL: [[ImageIoDecoder]] / [[ImageIoResizer]] ride
-  * the JDK's own `javax.imageio` (PNG/JPEG/GIF/BMP), zero added
-  * dependencies. The AUDIO header codec is REAL too ([[WavDecoder]] rides
-  * `javax.sound.sampled` — WAV/AIFF/AU), and so is the VIDEO header
-  * ([[Mp4Decoder]] walks the ISO-BMFF box structure by hand — MP4/MOV
-  * track dimensions without any codec library). Compressed SAMPLE decode
+  * the JDK's own `javax.imageio` (PNG/JPEG/GIF/BMP), plus a hand-walked
+  * EXIF orientation ([[JpegExif]] → [[extractImageMetaEx]]'s display
+  * dimensions), zero added dependencies. The AUDIO header codec is REAL
+  * too ([[WavDecoder]] rides `javax.sound.sampled` — WAV/AIFF/AU — and
+  * [[OggVorbisDecoder]] hand-walks Ogg pages the JDK cannot read), and so
+  * is the VIDEO header ([[Mp4Decoder]] walks the ISO-BMFF box structure by
+  * hand — MP4/MOV track dimensions without any codec library). Compressed
+  * SAMPLE decode
   * (MP3/FLAC/H.264 pixels) remains stubbed ([[StubDecoder]] derives
   * deterministic fake dimensions from payload bytes — those codecs don't
   * ship with the JDK); the stub also stays the oracle-replayable path
@@ -176,6 +179,55 @@ object Multimodal {
     }
   }
 
+  /** REAL Ogg/Vorbis header decoder — an Ogg page is a plain byte
+    * structure ("OggS" capture, LE fields, lacing table) and the Vorbis
+    * identification header is the first packet of the first (BOS) page, so
+    * sample rate and channel count parse with no codec library (the JDK's
+    * `AudioSystem` cannot read Ogg). The PCM frame count is the granule
+    * position of the LAST page — found by scanning backward for the final
+    * "OggS" capture — because Vorbis granules ARE cumulative PCM sample
+    * counts. Header + trailing-page bytes only; no sample decode.
+    * Corrupt/non-Ogg/non-Vorbis payloads yield (0, 0, 0), same
+    * filterable-zero contract as [[WavDecoder]]. */
+  object OggVorbisDecoder extends AudioDecoder {
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def le64(b: Array[Byte], o: Int): Long =
+      le32(b, o) | (le32(b, o + 4) << 32)
+    private def isCapture(b: Array[Byte], o: Int): Boolean =
+      b(o) == 'O' && b(o + 1) == 'g' && b(o + 2) == 'g' && b(o + 3) == 'S'
+
+    def audioMeta(content: Array[Byte]): (Int, Int, Long) = {
+      val b = content
+      if (b == null || b.length < 58 || !isCapture(b, 0) || b(4) != 0)
+        return (0, 0, 0L)
+      try {
+        val nSegs = b(26) & 0xff
+        val packetStart = 27 + nSegs
+        // Vorbis identification header: 0x01 "vorbis", version 0, then
+        // channels (u8) and sample rate (LE u32)
+        if (packetStart + 30 > b.length || b(packetStart) != 0x01 ||
+          new String(b, packetStart + 1, 6, "ISO-8859-1") != "vorbis" ||
+          le32(b, packetStart + 7) != 0L)
+          return (0, 0, 0L)
+        val channels = b(packetStart + 11) & 0xff
+        val rate = le32(b, packetStart + 12).toInt
+        // last page's granule position = total PCM frames
+        var i = b.length - 27
+        var granule = 0L
+        var found = false
+        while (!found && i >= 0) {
+          if (isCapture(b, i) && b(i + 4) == 0) {
+            granule = le64(b, i + 6); found = true
+          } else i -= 1
+        }
+        // granule -1 (no packet finishes on the page) clamps to 0
+        (rate, channels, math.max(0L, granule))
+      } catch { case scala.util.control.NonFatal(_) => (0, 0, 0L) }
+    }
+  }
+
   /** [[extractMeta]]'s audio twin: partition-batched header decode. */
   def extractAudioMeta(rows: Dataset[MediaRow], decoder: AudioDecoder): Dataset[AudioMeta] = {
     import rows.sparkSession.implicits._
@@ -185,6 +237,95 @@ object Multimodal {
         val len = if (r.content == null) 0L else r.content.length.toLong
         val (sr, ch, nf) = d.audioMeta(r.content)
         AudioMeta(r.id, len, sr, ch, nf)
+      }
+    }
+  }
+
+  /** REAL JPEG EXIF orientation walk — JPEG markers and the EXIF TIFF IFD
+    * are plain byte structures, so the orientation tag (0x0112) parses
+    * with no metadata library: walk FF-marker segments to APP1
+    * ("Exif\0\0"), read the TIFF header (II/MM endianness, magic 42),
+    * scan IFD0's 12-byte entries for tag 0x0112 type SHORT. Stops at SOS
+    * (entropy-coded data follows — EXIF can't appear after it). Returns
+    * 1-8, or 0 when absent/undecodable — 0 is "treat as upright", the
+    * filterable-not-fatal contract. Orientations 5-8 mean the raster is
+    * rotated ±90°: DISPLAY dimensions are the decoded ones swapped. */
+  object JpegExif {
+    def orientation(b: Array[Byte]): Int = {
+      if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return 0
+      try {
+        var off = 2
+        while (off + 4 <= b.length) {
+          if ((b(off) & 0xff) != 0xFF) return 0
+          val marker = b(off + 1) & 0xff
+          if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) off += 2
+          else {
+            val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+            if (len < 2 || off + 2 + len > b.length) return 0
+            if (marker == 0xE1 && len >= 10 &&
+              b(off + 4) == 'E' && b(off + 5) == 'x' && b(off + 6) == 'i' &&
+              b(off + 7) == 'f' && b(off + 8) == 0 && b(off + 9) == 0)
+              return tiffOrientation(b, off + 10, off + 2 + len)
+            if (marker == 0xDA) return 0
+            off += 2 + len
+          }
+        }
+        0
+      } catch { case scala.util.control.NonFatal(_) => 0 }
+    }
+
+    private def tiffOrientation(b: Array[Byte], tiff: Int, end: Int): Int = {
+      if (tiff + 8 > end) return 0
+      val little =
+        if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+        else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+        else return 0
+      def u16(o: Int): Int =
+        if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      def u32(o: Int): Long =
+        if (little) (u16(o) & 0xffffL) | ((u16(o + 2) & 0xffffL) << 16)
+        else ((u16(o) & 0xffffL) << 16) | (u16(o + 2) & 0xffffL)
+      if (u16(tiff + 2) != 42) return 0
+      val ifd = tiff + u32(tiff + 4).toInt
+      if (ifd + 2 > end) return 0
+      val n = u16(ifd)
+      var i = 0
+      while (i < n) {
+        val e = ifd + 2 + i * 12
+        if (e + 12 > end) return 0
+        if (u16(e) == 0x0112 && u16(e + 2) == 3 && u32(e + 4) >= 1) {
+          val v = u16(e + 8) // SHORT value packed at the offset field's start
+          return if (v >= 1 && v <= 8) v else 0
+        }
+        i += 1
+      }
+      0
+    }
+  }
+
+  /** Image metadata with EXIF display semantics. */
+  final case class ImageMetaEx(
+      id: Long, byte_len: Long, width: Int, height: Int, orientation: Int,
+      display_width: Int, display_height: Int)
+
+  /** [[extractMeta]] plus the EXIF orientation walk: raster dimensions
+    * from the header-only [[ImageIoDecoder]], orientation from
+    * [[JpegExif]], display dimensions swapped for the four transposed
+    * orientations (5-8) — what a training pipeline must use for
+    * aspect-ratio filters, or portrait phone photos all count as
+    * landscape. Partition-batched like every codec pass here. */
+  def extractImageMetaEx(rows: Dataset[MediaRow]): Dataset[ImageMetaEx] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val len = if (r.content == null) 0L else r.content.length.toLong
+        val (w, h) = ImageIoDecoder.dimensions(r.content)
+        val o = JpegExif.orientation(r.content)
+        val swap = o >= 5 && o <= 8
+        ImageMetaEx(r.id, len, w, h, o,
+          if (swap) h else w, if (swap) w else h)
       }
     }
   }

@@ -157,6 +157,122 @@ class MultimodalSpec extends SparkSpec {
     assert(dims == Set((1L, 4, 3), (2L, 0, 0)))
   }
 
+  /** Ogg CRC-32 (poly 0x04C11DB7, init 0, unreflected, no final xor) — the
+    * pages below carry REAL checksums, making the payload fully
+    * spec-conformant, not just shaped like Ogg. */
+  private def oggCrc(b: Array[Byte]): Int = {
+    var crc = 0
+    b.foreach { byte =>
+      crc ^= (byte & 0xff) << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04C11DB7 else crc << 1
+        k += 1
+      }
+    }
+    crc
+  }
+
+  private def oggPage(
+      headerType: Int, granule: Long, seq: Int, packets: Array[Byte]*): Array[Byte] = {
+    val lacing = packets.flatMap { p =>
+      Array.fill(p.length / 255)(255.toByte) :+ (p.length % 255).toByte
+    }.toArray
+    val body = packets.toArray.flatten
+    val bb = java.nio.ByteBuffer.allocate(27 + lacing.length + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("OggS".getBytes("ISO-8859-1")).put(0.toByte).put(headerType.toByte)
+      .putLong(granule).putInt(0xf00d).putInt(seq).putInt(0) // CRC below
+      .put(lacing.length.toByte).put(lacing).put(body)
+    val arr = bb.array()
+    val crc = oggCrc(arr)
+    arr(22) = (crc & 0xff).toByte
+    arr(23) = ((crc >>> 8) & 0xff).toByte
+    arr(24) = ((crc >>> 16) & 0xff).toByte
+    arr(25) = ((crc >>> 24) & 0xff).toByte
+    arr
+  }
+
+  private def vorbisIdPacket(channels: Int, rate: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).put("vorbis".getBytes("ISO-8859-1"))
+      .putInt(0) // stream structure version
+      .put(channels.toByte).putInt(rate)
+      .putInt(0).putInt(0).putInt(0) // max/nominal/min bitrate: unset
+      .put(0xB8.toByte) // blocksizes 2^8 / 2^11
+      .put(1.toByte) // framing flag
+    bb.array()
+  }
+
+  test("OggVorbisDecoder: rate/channels from the id header, frames from the last granule") {
+    val ogg = oggPage(0x02, 0L, 0, vorbisIdPacket(2, 44100)) ++
+      oggPage(0x04, 44100L, 1, Array[Byte](0x05, 0x06, 0x07))
+    val media = Seq(
+      Multimodal.MediaRow(1L, ogg, "ogg"),
+      Multimodal.MediaRow(2L, oggPage(0x02, 0L, 0, vorbisIdPacket(1, 8000)), "ogg"),
+      Multimodal.MediaRow(3L, "OggS but not really ....................................".getBytes, "ogg"),
+      Multimodal.MediaRow(4L, wavBytes(8000, 1, 10), "wav"), // wrong container
+      Multimodal.MediaRow(5L, null, "ogg")).toDS()
+    val got = Multimodal.extractAudioMeta(media, Multimodal.OggVorbisDecoder)
+      .collect().map(m => (m.id, m.sample_rate, m.channels, m.n_frames)).toSet
+    // row 2: single BOS page IS the last page, granule 0 -> zero frames
+    assert(got == Set(
+      (1L, 44100, 2, 44100L), (2L, 8000, 1, 0L),
+      (3L, 0, 0, 0L), (4L, 0, 0, 0L), (5L, 0, 0, 0L)))
+    // the JDK's own AudioSystem cannot read Ogg — the hand walk is the
+    // only zero-dep path (if this ever starts passing, drop the walker)
+    assert(Multimodal.WavDecoder.audioMeta(ogg) == ((0, 0, 0L)))
+  }
+
+  /** A REAL JPEG (ImageIO-encoded) with an EXIF APP1 segment spliced in
+    * right after SOI — decoders skip unknown APP segments, so the payload
+    * stays a valid image AND carries a genuine TIFF IFD. */
+  private def exifApp1(orientation: Int, little: Boolean): Array[Byte] = {
+    val order = if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+    val tiff = java.nio.ByteBuffer.allocate(26).order(order)
+    if (little) tiff.put('I'.toByte).put('I'.toByte)
+    else tiff.put('M'.toByte).put('M'.toByte)
+    tiff.putShort(42).putInt(8)
+    tiff.putShort(1) // one IFD0 entry
+    tiff.putShort(0x0112).putShort(3).putInt(1) // orientation, SHORT, count 1
+    tiff.putShort(orientation.toShort).putShort(0) // left-justified value field
+    tiff.putInt(0) // no next IFD
+    val payload = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ tiff.array()
+    val len = payload.length + 2
+    Array(0xFF.toByte, 0xE1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+  }
+
+  private def jpegWithExif(w: Int, h: Int, orientation: Int, little: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val j = bos.toByteArray
+    j.take(2) ++ exifApp1(orientation, little) ++ j.drop(2)
+  }
+
+  test("JpegExif + extractImageMetaEx: orientation from a real IFD, display dims swap") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, jpegWithExif(10, 6, orientation = 6, little = true), "jpg"),
+      Multimodal.MediaRow(2L, jpegWithExif(10, 6, orientation = 1, little = false), "jpg"),
+      Multimodal.MediaRow(3L, pngBytes(7, 5), "png"), // no EXIF: upright
+      Multimodal.MediaRow(4L, "not an image".getBytes, "jpg")).toDS()
+    val got = Multimodal.extractImageMetaEx(media)
+      .collect()
+      .map(m => (m.id, m.width, m.height, m.orientation, m.display_width, m.display_height))
+      .toSet
+    assert(got == Set(
+      (1L, 10, 6, 6, 6, 10), // transposed orientation: display swaps
+      (2L, 10, 6, 1, 10, 6),
+      (3L, 7, 5, 0, 7, 5),
+      (4L, 0, 0, 0, 0, 0)))
+    // both endiannesses decode; out-of-range orientation values clamp to 0
+    assert(Multimodal.JpegExif.orientation(jpegWithExif(4, 4, 8, little = false)) == 8)
+    assert(Multimodal.JpegExif.orientation(jpegWithExif(4, 4, 9, little = true)) == 0)
+  }
+
   test("resize: strided subsample hits the exact target size, pluggable") {
     val media = Multimodal.fromText(spark,
       Seq((1L, "0123456789"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text", "utf8")
