@@ -94,16 +94,14 @@ object PipelineQueries {
     }),
 
     // sessionization over the events stream table: 30-min inactivity gap.
-    // ts is parquet TIMESTAMP(NANOS) read as BIGINT ns; the oracle's parquet
-    // reader truncates ns → µs TIMESTAMP, so both sides work in exact µs
-    // longs (`div`, not `/`: double division corrupts 1.7e18-scale values)
+    // Both sides work in exact µs longs (`Tables.eventsTsUs` ↔ DuckDB
+    // `epoch_us`): integer µs, never doubles — double division corrupts
+    // 1.7e18-scale values
     "q28_sessionize" -> ((s, d) => {
-      val tsUs = expr("ts div 1000")
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       val gapUs = col("ts_us") - lag(col("ts_us"), 1).over(byUser)
       val isNew = when(gapUs.isNull || gapUs > lit(1800L * 1000000L), 1L).otherwise(0L)
-      Tables.events(s, d)
-        .withColumn("ts_us", tsUs)
+      Tables.eventsTsUs(s, d)
         .withColumn("session_id",
           sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("session_id"))
@@ -119,7 +117,7 @@ object PipelineQueries {
     // before it (ties at equal µs: highest event_id). One shuffle on
     // user_id via the union+window sweep — never a per-key range blowup.
     "q33_asof_join" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val ev = Tables.eventsTsUs(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
       val clicks = ev.filter(col("event_type") === "click")
@@ -136,7 +134,7 @@ object PipelineQueries {
     // in the preceding hour (the as-of join q33 keeps only the latest) —
     // bucketed-interval equi-join, never a per-key nested loop
     "q41_range_join" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val ev = Tables.eventsTsUs(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts_us").as("purchase_ts_us"))
@@ -158,8 +156,7 @@ object PipelineQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("event_id"))
         .rowsBetween(-3, Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("ts_us", expr("ts div 1000"))
+      Tables.eventsTsUs(s, d)
         .select(
           col("event_id"), col("user_id"), col("ts_us"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))

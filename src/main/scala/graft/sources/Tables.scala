@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table access for the driver testdata layout (`TESTDATA.md`):
   * one parquet file per table under `\$dir/<name>.parquet`.
@@ -23,6 +25,23 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+
+  /** `events` plus an exact epoch-µs `ts_us` long. The driver's generator
+    * has shipped `ts` as both parquet TIMESTAMP(NANOS) — which Spark only
+    * reads as BIGINT nanoseconds under the legacy `nanosAsLong` flag — and
+    * plain µs timestamps (read as TIMESTAMP_NTZ), so the conversion
+    * dispatches on the type actually read. All graft sessions pin the UTC
+    * session timezone, making the NTZ wall-clock µs identical to the
+    * DuckDB oracle's `epoch_us(ts)` on every variant. */
+  def eventsTsUs(s: SparkSession, d: String): DataFrame = {
+    val raw = events(s, d)
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType        => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _               => unix_micros(col("ts"))
+    }
+    raw.withColumn("ts_us", tsUs)
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,255 @@
+package graft.tools
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Contamination, Dedup, Packing, Pii, Sampling, TextAnalysis}
+
+/** Curation-DAG throughput harness: synthesizes an N-document corpus
+  * (default 10M docs, ~100 tokens each, ≈6.5 GB of text) entirely with
+  * `spark.range` expressions — no driver loops, no UDFs — then runs the
+  * README's curation DAG (markup strip → PII scrub + lang-id → quality
+  * gate → exact dedup → LSH near-dup dedup → duplicate-span rewrite →
+  * contamination gate → temperature mix → token budget → packing →
+  * split + training-order shards) with EVERY stage materialized to
+  * parquet, so each stage's wall time is the true cost of that stage on
+  * data at rest — the shape a real multi-stage pipeline has, where each
+  * gate is a checkpoint you can audit and resume from.
+  *
+  * The synthetic corpus plants real work for every stage:
+  *   - ~9% of docs wrapped in HTML (strip does real parsing),
+  *   - ~6% carry an email+phone suffix (scrub redacts),
+  *   - ~3% are 5-token junk (gate drops via too_short),
+  *   - ~3% of docs use a French stopword prefix (lang mix for the
+  *     temperature stage; the rest are English-profiled),
+  *   - ~4% are EXACT copies of their predecessor (exact dedup),
+  *   - ~10% are NEAR copies — same 110-token body, different 6-token
+  *     tail (LSH dedup at jaccard ≥ 0.8),
+  *   - ~7.5% share a planted 20-token run with ~#docs/13k other docs
+  *     (duplicate-span rewrite finds and cuts exactly these),
+  *   - a 10k-doc eval set built from train-doc bodies (contamination
+  *     gate flags the sources).
+  *
+  * Per-stage rows in/out are printed as one JSON line per stage, runs
+  * are repeated (min-of-2 by default) and a constant-size summary line
+  * prints LAST (tail-truncation-proof, same contract as graft.Bench).
+  *
+  * Usage: runMain graft.tools.CurationBench [nDocs] [runs]
+  */
+object CurationBench {
+
+  private val V = 512
+
+  /** Deterministic pseudo-word vocabulary: 512 words, 4–8 chars, built
+    * from syllables so mean token length sits inside the gate's
+    * [3.0, 10.0] band. */
+  private val Vocab: IndexedSeq[String] = {
+    val syl = Vector(
+      "ba", "re", "mi", "to", "sa", "lu", "ne", "ko", "da", "vi", "po", "che",
+      "lan", "dor", "fen", "gal", "hur", "jin", "kel", "mor", "nav", "pel",
+      "quin", "ros", "tam", "ul", "ver", "wex", "yor", "zan", "bri", "cul")
+    for (i <- 0 until V) yield {
+      val a = syl(i % 32); val b = syl((i / 32) % 32); val c = syl((i * 7 + 3) % 32)
+      if (i % 3 == 0) a + b else a + b + c
+    }
+  }
+
+  /** Constant-folded array literal of the vocabulary. */
+  private def vocabArr: Column = array(Vocab.map(lit): _*)
+
+  /** `len` pseudo-words drawn by hashing (seed, position, salt) into the
+    * vocabulary — same seed+salt ⇒ same words, which is how duplicate
+    * structure is planted without materializing anything twice. */
+  private def wordsOf(seed: Column, len: Int, salt: Int): Column =
+    array_join(
+      transform(sequence(lit(0), lit(len - 1)),
+        k => element_at(vocabArr, pmod(hash(seed, k, lit(salt)), lit(V)) + 1)),
+      " ")
+
+  private val EnPrefix = "the a and of to in is you that it tale begins"
+  // fr stopwords + "a" twice: langId scores fr=10 > en=2, while the
+  // en-profiled quality gate still sees ≥ 10‰ stopword density
+  private val FrPrefix = "le la de et un que pour dans ce pas a a"
+
+  /** The synthetic corpus: (doc_id, source, lang-mixed text, n_chars).
+    * Duplicate structure keys off derived bases so copies agree on every
+    * planted feature: `eb` = exact-copy base (id%25==3 copies id-1),
+    * `nb` = near-copy base (eb%10==1 copies eb-1; body words hash off
+    * nb, tail words off eb). */
+  def synth(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    val eb = when(pmod(id, lit(25)) === 3, id - 1).otherwise(id)
+    val nb = when(pmod(eb, lit(10)) === 1, eb - 1).otherwise(eb)
+
+    val prefix = when(pmod(nb, lit(33)) === 0, lit(FrPrefix)).otherwise(lit(EnPrefix))
+    val body1 = wordsOf(nb, 30, salt = 1)
+    val mid = when(pmod(nb, lit(13)) === 5, wordsOf(pmod(nb, lit(13000)), 20, salt = 99))
+      .otherwise(wordsOf(nb, 20, salt = 2))
+    val body2 = wordsOf(nb, 30, salt = 3)
+    val tail = wordsOf(eb, 6, salt = 4)
+    val full = concat_ws(" ", prefix, body1, mid, body2, tail)
+
+    val withJunk = when(pmod(id, lit(37)) === 7, wordsOf(id, 5, salt = 5)).otherwise(full)
+    val withPii = when(pmod(id, lit(17)) === 4,
+      concat(withJunk, lit(" contact me at bob@example.com or 555-123-4567 now")))
+      .otherwise(withJunk)
+    val nChars = length(withPii)
+    val withMarkup = when(pmod(id, lit(11)) === 6,
+      concat(lit("<html><head><title>page</title></head><body><p>"), withPii,
+        lit("</p><script>var x = 1;</script></body></html>")))
+      .otherwise(withPii)
+
+    spark.range(0, n).select(
+      id.as("doc_id"),
+      concat(lit("src"), pmod(id, lit(10))).as("source"),
+      withMarkup.as("text"),
+      nChars.as("n_chars"))
+  }
+
+  /** The eval suite: `k` docs whose text is exactly the 30-token body1 of
+    * every (n/k)-th train doc — the contamination gate must flag those
+    * sources (13-grams, ≥5 shared). */
+  def synthBench(spark: SparkSession, n: Long, k: Long): DataFrame = {
+    val step = math.max(1L, n / k)
+    val tid = col("id") * step
+    val eb = when(pmod(tid, lit(25)) === 3, tid - 1).otherwise(tid)
+    val nb = when(pmod(eb, lit(10)) === 1, eb - 1).otherwise(eb)
+    spark.range(0, k).select(
+      col("id").as("bench_id"),
+      wordsOf(nb, 30, salt = 1).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val runs = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val root = "/tmp/graft_curation_bench"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "96g"))
+      .config("spark.local.dir", s"$root/scratch")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+    // stage name -> (run -> sec); insertion-ordered for the report
+    val stages = scala.collection.mutable.LinkedHashMap.empty[String, Array[Double]]
+    val rowsOut = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
+    for (run <- 0 until runs) {
+      fs.delete(new Path(root), true)
+      var prev: Option[String] = None // rolling window: keep current + previous stage dirs only
+
+      /** Write `df` to parquet as stage `name`, time the write, return the
+        * materialized frame. Per-stage cost is measured on data at rest:
+        * each stage reads its predecessor's parquet. */
+      def stage(name: String)(df: => DataFrame): DataFrame = {
+        val out = s"$root/$name"
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").parquet(out)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val back = spark.read.parquet(out)
+        val cnt = back.count()
+        stages.getOrElseUpdate(name, Array.fill(runs)(0.0))(run) = sec
+        rowsOut(name) = cnt
+        println(f"""{"stage":"$name","run":$run,"sec":$sec%.2f,"rows_out":$cnt}""")
+        prev.filterNot(_ == "00_synth").foreach(p => fs.delete(new Path(s"$root/$p"), true))
+        prev = Some(name)
+        back
+      }
+
+      val raw = stage("00_synth") { synth(spark, n) }
+      val benchDocs = synthBench(spark, n, 10000L).persist()
+      benchDocs.count()
+
+      // -1. markup strip: the web-ingest front door
+      val docs = stage("01_strip") {
+        raw.withColumn("text", TextAnalysis.stripMarkup($"text"))
+      }
+      // 0. PII redaction + language tag (map-side, fuses into the scan)
+      val redacted = stage("02_pii_lang") {
+        docs.withColumn("text", Pii.scrub($"text"))
+          .withColumn("lang", TextAnalysis.langId($"text"))
+      }
+      // 1. composite quality gate
+      val kept = stage("03_gate") {
+        redacted.join(
+          TextAnalysis.qualityGate(redacted, $"doc_id", $"text",
+            minTokens = 20L, minStopwordPermille = 10L, maxTopGramPermille = 300L)
+            .filter($"keep").select("doc_id"), "doc_id")
+      }
+      // 2a. exact dedup: content-hash groups, keep each group's canonical
+      val exact = stage("04_exact_dedup") {
+        kept.join(
+          Dedup.exactGroups(kept, $"text", $"doc_id")
+            .select($"canonical_id".as("doc_id")),
+          Seq("doc_id"), "left_semi")
+      }
+      // 2b. near-dup dedup: LSH pairs -> components -> keep the BEST doc
+      val uniq = stage("05_lsh_dedup") {
+        val pairs = Dedup.minhashNearDupPairs(exact, $"doc_id", $"text", 3, 8, 4, 800)
+        val comp = Components.connectedComponents(
+          exact.select($"doc_id".as("id")),
+          pairs.select($"a_id".as("src"), $"b_id".as("dst")),
+          checkpointDir = Some(s"$root/ckpt"))
+          .select($"id".as("doc_id"), $"component_id")
+        exact.join(Dedup.keepBest(
+          comp.join(exact.select($"doc_id", $"n_chars"), "doc_id"),
+          $"doc_id", $"component_id", Seq($"n_chars".desc, $"doc_id".asc))
+          .filter($"is_kept").select("doc_id"), "doc_id")
+      }
+      // 3. exact-substring rewrite: cut duplicated >= 13-token runs
+      val rewritten = stage("06_span_rewrite") {
+        val spans = Dedup.duplicateSpans(uniq, $"doc_id", $"text", n = 13)
+        uniq.drop("text")
+          .join(Dedup.removeSpans(uniq, $"doc_id", $"text", spans)
+            .withColumnRenamed("clean_text", "text"), "doc_id")
+          .filter(TextAnalysis.tokenCount($"text") > 0)
+      }
+      // 4. contamination gate against the eval suite
+      val clean = stage("07_decontam") {
+        rewritten.join(
+          Contamination.ngramOverlapPairs(benchDocs, $"bench_id", $"text",
+            rewritten, $"doc_id", $"text", 13, 5)
+            .select($"train_id".as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      }
+      // 5. temperature mix (α=0.5): damp the dominant language
+      val mixed = stage("08_temperature_mix") {
+        Sampling.temperatureResample(clean, $"lang", $"doc_id", alpha = 0.5)
+          .filter($"kept").drop("keep_permille", "kept")
+      }
+      // 6. per-language token budget: best docs first until the budget fills
+      val budgeted = stage("09_token_budget") {
+        Sampling.budgetSelect(mixed, $"lang",
+          Seq($"n_chars".desc, $"doc_id".asc),
+          TextAnalysis.tokenCount($"text").cast("long"),
+          budget = n * 60L).filter($"kept").drop("cum_weight", "kept")
+      }
+      // 7. pack into context windows per language shard
+      val packed = stage("10_packing") {
+        Packing.sequencePacking(budgeted, "lang", "doc_id",
+          TextAnalysis.tokenCount($"text"), capacity = 4096)
+      }
+      // 8+9. deterministic split, then training-order shards
+      stage("11_split_shards") {
+        val split = Sampling.hashSplit(packed, $"doc_id", Seq("train" -> 950, "val" -> 50))
+        Sampling.shuffleShards(split.filter($"split" === "train"), $"doc_id", numShards = 64)
+      }
+      benchDocs.unpersist()
+    }
+
+    val best = stages.map { case (k, v) => k -> v.min }
+    val total = best.values.sum
+    val stagesJson = stages.map { case (k, v) =>
+      f""""$k":{"sec":${v.min}%.2f,"rows_out":${rowsOut(k)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"curation_stages","n_docs":$n,"runs":$runs,"stages":$stagesJson}""")
+    println(f"""{"metric":"curation_total","n_docs":$n,"sec":$total%.2f,"docs_per_sec":${n / total}%.0f,"final_rows":${rowsOut.last._2}}""")
+    fs.delete(new Path(root), true)
+    spark.stop()
+  }
+}
