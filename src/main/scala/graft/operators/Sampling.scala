@@ -78,17 +78,52 @@ object Sampling {
     * The running total is monotone, so once a row crosses the line every
     * later row is out too: the kept set is exactly a prefix.
     *
-    * One shuffle on the group key + a per-group sort (the window —
-    * spill-safe); no join back, no driver loop. The boundary row that
-    * would cross the budget is dropped (no partial documents).
+    * The naive shape — ONE window partitioned by `group` — is a scale
+    * trap: `group` is typically a language, so a 100 TB corpus would
+    * funnel its dominant language through a single task's sort. This is
+    * instead a two-pass distributed prefix sum:
+    *
+    *   1. range-partition the corpus on (group, order…): each task holds
+    *      a contiguous slice of some group's global order;
+    *   2. a window over (partition-id, group) — its hash exchange
+    *      spreads every group across all slices — computes the
+    *      WITHIN-SLICE running total in parallel;
+    *   3. a (partition-id, group) aggregate of slice totals (a few
+    *      thousand rows) gets a running offset per group over the TINY
+    *      table, and broadcasts back: global cum = local cum + offset.
+    *
+    * Partition boundaries don't affect the result — any order-consistent
+    * slicing yields the same global prefix sums (ties cannot straddle a
+    * boundary ambiguously because the order is total) — but both
+    * branches must read the SAME range exchange: the slice-totals branch
+    * reuses the window's exchange (ReuseExchange, pinned by
+    * `SamplingScaleSpec`), so the corpus range-shuffles exactly once.
+    * The boundary row that would cross the budget is dropped (no partial
+    * documents).
     *
     * → input columns + (cum_weight, kept). */
   def budgetSelect(
       df: DataFrame, group: Column, order: Seq[Column], weight: Column,
       budget: Long): DataFrame = {
-    val w = Window.partitionBy(group).orderBy(order: _*)
-    df.withColumn("cum_weight", sum(weight).over(w))
+    val helpers = Seq("__pid", "__cw", "__tpid", "__tg", "__off")
+    require(!df.columns.exists(helpers.contains),
+      s"budgetSelect uses ${helpers.mkString("/")} helper columns; the input already has one")
+    val part = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(part, (group +: order): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLoc = Window.partitionBy(col("__pid"), group).orderBy(order: _*)
+    val local = ranged.withColumn("__cw", sum(weight).over(wLoc))
+    val totals = ranged.groupBy(col("__pid").as("__tpid"), group.as("__tg"))
+      .agg(sum(weight).as("__tw"))
+    val wOff = Window.partitionBy(col("__tg")).orderBy(col("__tpid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("__tpid"), col("__tg"),
+      sum(col("__tw")).over(wOff).as("__off"))
+    local.join(broadcast(offsets),
+        col("__pid") === col("__tpid") && (group <=> col("__tg")))
+      .withColumn("cum_weight", col("__cw") + coalesce(col("__off"), lit(0)))
       .withColumn("kept", col("cum_weight") <= budget)
+      .drop("__pid", "__cw", "__tpid", "__tg", "__off")
   }
 
   /** Exactly-k-per-group deterministic sample — "pick 100 eval docs per

@@ -497,7 +497,9 @@ object PipelineQueries {
 
     // token-budget curation: per source shard, keep the best docs (by
     // n_chars, ties on doc_id) until an 800-token budget fills — the
-    // kept set is exactly a quality-ranked prefix; one window shuffle
+    // kept set is exactly a quality-ranked prefix; two-pass distributed
+    // prefix sum (range slices + broadcast offsets), never one task per
+    // group — see Sampling.budgetSelect
     "q59_token_budget" -> ((s, d) =>
       Sampling.budgetSelect(
         Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"),

@@ -21,12 +21,12 @@ import graft.operators.{Components, Contamination, Dedup, Packing, Pii, Sampling
   *   - ~9% of docs wrapped in HTML (strip does real parsing),
   *   - ~6% carry an email+phone suffix (scrub redacts),
   *   - ~3% are 5-token junk (gate drops via too_short),
-  *   - ~3% of docs use a French stopword prefix (lang mix for the
+  *   - ~20% of docs use a French stopword prefix (lang mix for the
   *     temperature stage; the rest are English-profiled),
   *   - ~4% are EXACT copies of their predecessor (exact dedup),
   *   - ~10% are NEAR copies — same 110-token body, different 6-token
   *     tail (LSH dedup at jaccard ≥ 0.8),
-  *   - ~7.5% share a planted 20-token run with ~#docs/13k other docs
+  *   - ~7.5% share a planted 20-token run with ~150 other docs
   *     (duplicate-span rewrite finds and cuts exactly these),
   *   - a 10k-doc eval set built from train-doc bodies (contamination
   *     gate flags the sources).
@@ -79,12 +79,15 @@ object CurationBench {
     * nb, tail words off eb). */
   def synth(spark: SparkSession, n: Long): DataFrame = {
     val id = col("id")
+    // ~150 docs per planted span group at every scale, so the span stage
+    // has the same relative work at 100k and 50M docs
+    val spanGroups = math.max(1L, n / 150L)
     val eb = when(pmod(id, lit(25)) === 3, id - 1).otherwise(id)
     val nb = when(pmod(eb, lit(10)) === 1, eb - 1).otherwise(eb)
 
-    val prefix = when(pmod(nb, lit(33)) === 0, lit(FrPrefix)).otherwise(lit(EnPrefix))
+    val prefix = when(pmod(nb, lit(5)) === 0, lit(FrPrefix)).otherwise(lit(EnPrefix))
     val body1 = wordsOf(nb, 30, salt = 1)
-    val mid = when(pmod(nb, lit(13)) === 5, wordsOf(pmod(nb, lit(13000)), 20, salt = 99))
+    val mid = when(pmod(nb, lit(13)) === 5, wordsOf(pmod(nb, lit(spanGroups)), 20, salt = 99))
       .otherwise(wordsOf(nb, 20, salt = 2))
     val body2 = wordsOf(nb, 30, salt = 3)
     val tail = wordsOf(eb, 6, salt = 4)
@@ -127,8 +130,8 @@ object CurationBench {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "96g"))
-      .config("spark.local.dir", s"$root/scratch")
+      // heap comes from the forked JVM: run with SPARK_DRIVER_MEM=96g
+      .config("spark.local.dir", "/tmp/graft_curation_scratch") // NOT under root: runs wipe root
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -227,7 +230,7 @@ object CurationBench {
         Sampling.budgetSelect(mixed, $"lang",
           Seq($"n_chars".desc, $"doc_id".asc),
           TextAnalysis.tokenCount($"text").cast("long"),
-          budget = n * 60L).filter($"kept").drop("cum_weight", "kept")
+          budget = n * 8L).filter($"kept").drop("cum_weight", "kept")
       }
       // 7. pack into context windows per language shard
       val packed = stage("10_packing") {
