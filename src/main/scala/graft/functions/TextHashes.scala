@@ -2,11 +2,13 @@ package graft.functions
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused tokenize → n-gram → [[RollingHash]] kernels. Semantically equal to
@@ -147,6 +149,34 @@ object TextHashes {
     UTF8String.fromString(sb.toString)
   }
 
+  /** One-pass per-document repetition summary over the n-gram occurrence
+    * multiset: (n_grams, n_distinct_grams, max_gram_count), or null when
+    * the doc has fewer than `n` tokens (the aggregate form's "absent"
+    * rows). Same hash space as [[shingleHashesAll]], so it is value-
+    * identical to exploding that multiset and counting — but it runs
+    * map-side in the scan: the whole repetition signal of a 100 TB gate
+    * pass costs ZERO shuffle, vs. the corpus-gram-mass (doc, hash)
+    * exchange of the aggregate form. Sort-and-scan over the ~tokens-sized
+    * local array, no per-row hash map. */
+  def gramRepetition(u: UTF8String, n: Int): InternalRow = {
+    val buf = new mutable.ArrayBuilder.ofLong()
+    eachShingleHash(u, n)(buf += _)
+    val arr = buf.result()
+    if (arr.isEmpty) return null
+    java.util.Arrays.sort(arr)
+    var distinct = 0L
+    var maxC = 0L
+    var i = 0
+    while (i < arr.length) {
+      var j = i
+      while (j < arr.length && arr(j) == arr(i)) j += 1
+      distinct += 1
+      if (j - i > maxC) maxC = j - i
+      i = j
+    }
+    new GenericInternalRow(Array[Any](arr.length.toLong, distinct, maxC))
+  }
+
   @inline private def eachShingleHash(u: UTF8String, n: Int)(emit: Long => Unit): Unit = {
     val s = u.toString
     val bounds = tokenBounds(s)
@@ -170,6 +200,35 @@ object TextHashes {
       g += 1
     }
   }
+}
+
+/** Struct-typed per-row twin of the explode + (doc, gram) count + doc
+  * re-aggregate pipeline behind repetition stats — see
+  * [[TextHashes.gramRepetition]] for the scale rationale. */
+case class GramRepetition(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = GramRepetition.Schema
+  override def nullable: Boolean = true // < n tokens → null, even for non-null text
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType] && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_repetition requires a string argument and n >= 1")
+  override def prettyName: String = "gram_repetition"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.gramRepetition(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = graft.functions.TextHashes.gramRepetition($c, $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): GramRepetition =
+    copy(child = newChild)
+}
+
+object GramRepetition {
+  val Schema: StructType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct_grams", LongType, nullable = false),
+    StructField("max_gram_count", LongType, nullable = false)))
 }
 
 case class TokenHashes(child: Expression) extends UnaryExpression {

@@ -256,16 +256,41 @@ object TextAnalysis {
     * both in exact per-mille. High values flag boilerplate/spam documents
     * that length and stopword ratios miss.
     *
-    * Grams are counted by their engine-neutral rolling hash (same key
-    * space as the dedup tier — the DuckDB oracle replays it): one explode
-    * + one (id, hash) aggregate + one id aggregate; at 100 TB the heavy
-    * key is (id, hash) — doc-scoped, so perfectly distributed. Docs with
-    * fewer than `n` tokens produce no grams and are ABSENT.
+    * The signal is PER-DOCUMENT, so no cross-row information is needed:
+    * one [[graft.functions.GramRepetition]] kernel call per row computes
+    * (n_grams, n_distinct, max_count) map-side in the scan — zero
+    * shuffle at any scale, where the former explode + (id, hash)
+    * aggregate shuffled the corpus's whole gram mass. Grams are counted
+    * by the same engine-neutral rolling hash (the DuckDB oracle replays
+    * it); [[repetitionStatsAggregated]] keeps the explode+aggregate form
+    * the kernel is spec-pinned against. Docs with fewer than `n` tokens
+    * produce no grams and are ABSENT.
     *
     * → (id as `doc_id`, n_grams, n_distinct_grams, top_gram_permille,
     *    dup_gram_permille).
     */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, id: Column, text: Column, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val rep = Bridge.column(graft.functions.GramRepetition(Bridge.expression(text), n))
+    df.select(id.as("doc_id"), rep.as("__rep"))
+      .filter(col("__rep").isNotNull)
+      .select(
+        col("doc_id"),
+        col("__rep.n_grams").as("n_grams"),
+        col("__rep.n_distinct_grams").as("n_distinct_grams"),
+        col("__rep.max_gram_count").as("max_gram_count"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        perMille(col("max_gram_count"), col("n_grams")).as("top_gram_permille"),
+        perMille(col("n_grams") - col("n_distinct_grams"), col("n_grams"))
+          .as("dup_gram_permille"))
+  }
+
+  /** The explode + (id, hash) aggregate reference form of
+    * [[repetitionStats]] (kept for the spec equivalence pin, same role
+    * as [[langIdComposed]]). */
+  def repetitionStatsAggregated(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column, n: Int)
       : org.apache.spark.sql.DataFrame =
     df.select(id.as("doc_id"), explode(ngramHashesMultiset(text, n)).as("g"))
       .groupBy(col("doc_id"), col("g"))
@@ -403,12 +428,13 @@ object TextAnalysis {
     * so the run is auditable per filter (what did `low_stopword` alone
     * remove?) instead of a black-box drop; `keep` is their conjunction.
     *
-    * The cheap signals (token count, mean token length, stopword density)
-    * are map-side expressions that compute in the scan pass; the
-    * repetition signal rides the one doc-scoped (id, gram-hash) aggregate
-    * of [[repetitionStats]] and joins back on doc_id. Documents with
-    * fewer than `n` tokens have no grams: their repetition signal is 0 —
-    * they are gated by `too_short`, not by a missing-join artifact.
+    * EVERY signal — token count, mean token length, stopword density,
+    * AND the repetition signal (the per-row
+    * [[graft.functions.GramRepetition]] kernel) — is a map-side
+    * expression that computes in the scan pass: the gate never shuffles,
+    * at any corpus size. Documents with fewer than `n` tokens have no
+    * grams: their repetition signal is 0 — they are gated by
+    * `too_short`, not by a missing-signal artifact.
     *
     * → (doc_id, n_tokens, mean_tok_len_permille, stopword_permille,
     *    top_gram_permille, too_short, too_long, bad_token_shape,
@@ -422,17 +448,16 @@ object TextAnalysis {
       minStopwordPermille: Long = 20L,
       maxTopGramPermille: Long = 300L,
       n: Int = 2): org.apache.spark.sql.DataFrame = {
-    val base = df.select(
+    val rep = Bridge.column(graft.functions.GramRepetition(Bridge.expression(text), n))
+    df.select(
       id.as("doc_id"),
       tokenCount(text).cast("long").as("n_tokens"),
       perMille(tokenCharCount(text), tokenCount(text)).as("mean_tok_len_permille"),
       perMille(stopwordCount(lower(text), stopwords), tokenCount(text))
-        .as("stopword_permille"))
-    val rep = repetitionStats(df, id, text, n)
-      .select(col("doc_id").as("__rid"), col("top_gram_permille"))
-    base.join(rep, col("doc_id") === col("__rid"), "left")
-      .drop("__rid")
-      .withColumn("top_gram_permille", coalesce(col("top_gram_permille"), lit(0L)))
+        .as("stopword_permille"),
+      coalesce(
+        perMille(rep.getField("max_gram_count"), rep.getField("n_grams")), lit(0L))
+        .as("top_gram_permille"))
       .withColumn("too_short", col("n_tokens") < minTokens)
       .withColumn("too_long", col("n_tokens") > maxTokens)
       .withColumn("bad_token_shape",

@@ -102,6 +102,18 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 5L, 2L, 600L, 600L)))
   }
 
+  test("repetitionStats kernel ≡ explode+aggregate reference on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cols = Seq("doc_id", "n_grams", "n_distinct_grams",
+      "top_gram_permille", "dup_gram_permille")
+    val kernel = TextAnalysis.repetitionStats(docs, col("doc_id"), col("text"), n = 2)
+      .select(cols.head, cols.tail: _*)
+    val ref = TextAnalysis.repetitionStatsAggregated(docs, col("doc_id"), col("text"), n = 2)
+      .select(cols.head, cols.tail: _*)
+    assert(kernel.count() == ref.count())
+    assert(kernel.except(ref).count() == 0 && ref.except(kernel).count() == 0)
+  }
+
   test("qualityGate: each rule flags its own failure mode, keep is the conjunction") {
     val docs = Seq(
       // 6 tokens incl. stopwords, mean len fine, no repeats -> keep
