@@ -14,13 +14,13 @@ import org.apache.spark.sql.functions._
   *   bin     = offset div capacity
   *   in-bin  = offset mod capacity
   *
-  * Packing is PER SHARD (a language, a source, a hash bucket): the running
-  * sum is a window partitioned by the shard key, so shards pack in
-  * parallel and adding shards scales out. A single global concatenation
-  * order would serialize the prefix sum through one partition — at 100 TB
-  * that is the difference between a window aggregate and a bottleneck.
-  * Deterministic by construction: same (shard, id, token count) rows →
-  * same bins, on any partitioning, any engine, any retry.
+  * Packing is PER SHARD (a language, a source, a hash bucket), and the
+  * running sum is [[Prefix.runningSum]]'s two-pass distributed prefix
+  * sum — so even a corpus packed into a handful of shards never
+  * serializes a shard's order through one task: parallelism comes from
+  * range slices, shard count only shapes the output. Deterministic by
+  * construction: same (shard, id, token count) rows → same bins, on any
+  * partitioning, any engine, any retry.
   */
 object Packing {
 
@@ -32,10 +32,11 @@ object Packing {
       df: DataFrame, shardCol: String, idCol: String, tokenCount: Column,
       capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__tok", tokenCount.cast("long"))
-      .withColumn("pack_offset", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .transform(Prefix.runningSum(_, col(shardCol), Seq(col(idCol)), col("__tok"), "__cuminc"))
+      // EXCLUSIVE prefix: tokens strictly before this doc in its shard
+      .withColumn("pack_offset", col("__cuminc") - col("__tok"))
+      .drop("__cuminc")
       .withColumn("bin_id", expr(s"pack_offset div $capacity"))
       .withColumn("offset_in_bin", pmod(col("pack_offset"), lit(capacity)))
       // an empty doc (0 tokens) occupies no span — it never straddles

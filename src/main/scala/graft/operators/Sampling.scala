@@ -78,53 +78,18 @@ object Sampling {
     * The running total is monotone, so once a row crosses the line every
     * later row is out too: the kept set is exactly a prefix.
     *
-    * The naive shape — ONE window partitioned by `group` — is a scale
-    * trap: `group` is typically a language, so a 100 TB corpus would
-    * funnel its dominant language through a single task's sort. This is
-    * instead a two-pass distributed prefix sum:
-    *
-    *   1. range-partition the corpus on (group, order…): each task holds
-    *      a contiguous slice of some group's global order;
-    *   2. a window over (partition-id, group) — its hash exchange
-    *      spreads every group across all slices — computes the
-    *      WITHIN-SLICE running total in parallel;
-    *   3. a (partition-id, group) aggregate of slice totals (a few
-    *      thousand rows) gets a running offset per group over the TINY
-    *      table, and broadcasts back: global cum = local cum + offset.
-    *
-    * Partition boundaries don't affect the result — any order-consistent
-    * slicing yields the same global prefix sums (ties cannot straddle a
-    * boundary ambiguously because the order is total) — but both
-    * branches must read the SAME range exchange: the slice-totals branch
-    * reuses the window's exchange (ReuseExchange, pinned by
-    * `SamplingScaleSpec`), so the corpus range-shuffles exactly once.
-    * The boundary row that would cross the budget is dropped (no partial
-    * documents).
+    * The running total is the two-pass distributed prefix sum of
+    * [[Prefix.runningSum]] — never one task per group (the naive
+    * group-partitioned window would funnel a 100 TB corpus's dominant
+    * language through a single sort). The boundary row that would cross
+    * the budget is dropped (no partial documents).
     *
     * → input columns + (cum_weight, kept). */
   def budgetSelect(
       df: DataFrame, group: Column, order: Seq[Column], weight: Column,
-      budget: Long): DataFrame = {
-    val helpers = Seq("__pid", "__cw", "__tpid", "__tg", "__off")
-    require(!df.columns.exists(helpers.contains),
-      s"budgetSelect uses ${helpers.mkString("/")} helper columns; the input already has one")
-    val part = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(part, (group +: order): _*)
-      .withColumn("__pid", spark_partition_id())
-    val wLoc = Window.partitionBy(col("__pid"), group).orderBy(order: _*)
-    val local = ranged.withColumn("__cw", sum(weight).over(wLoc))
-    val totals = ranged.groupBy(col("__pid").as("__tpid"), group.as("__tg"))
-      .agg(sum(weight).as("__tw"))
-    val wOff = Window.partitionBy(col("__tg")).orderBy(col("__tpid").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals.select(col("__tpid"), col("__tg"),
-      sum(col("__tw")).over(wOff).as("__off"))
-    local.join(broadcast(offsets),
-        col("__pid") === col("__tpid") && (group <=> col("__tg")))
-      .withColumn("cum_weight", col("__cw") + coalesce(col("__off"), lit(0)))
+      budget: Long): DataFrame =
+    Prefix.runningSum(df, group, order, weight, "cum_weight")
       .withColumn("kept", col("cum_weight") <= budget)
-      .drop("__pid", "__cw", "__tpid", "__tg", "__off")
-  }
 
   /** Exactly-k-per-group deterministic sample — "pick 100 eval docs per
     * language", reproducibly: rows rank within their group by the salted
@@ -176,13 +141,14 @@ object Sampling {
     * re-materializing: epoch k reads with salt k).
     *
     * Shard membership is the mixed hash mod `numShards`: sizes are
-    * binomial around corpus/numShards (tightly concentrated — no
-    * planning-time sampling like `repartitionByRange`, whose boundaries
-    * depend on the run). One hash shuffle on the shard id + one external
-    * sort per shard; size `numShards` ≥ the cluster's write parallelism
-    * at 100 TB (1k-16k shards) so each shard sorts in one task's spill
-    * budget. Same unique-non-null-key precondition as [[hashSampleK]]:
-    * duplicate keys tie on the whole order and resolve by scan order.
+    * binomial around corpus/numShards (tightly concentrated — shard
+    * ASSIGNMENT never depends on planning-time sampling). Positions come
+    * from [[Prefix.runningRank]]'s two-pass prefix count, so even a
+    * SMALL `numShards` (one file per language, say) never funnels a
+    * shard's order through one task — `numShards` sizes the OUTPUT
+    * files, not the sort parallelism. Same unique-non-null-key
+    * precondition as [[hashSampleK]]: duplicate keys tie on the whole
+    * order and resolve by scan order.
     * → input columns + shard + pos_in_shard. */
   def shuffleShards(
       df: DataFrame, key: Column, numShards: Int,
@@ -192,8 +158,8 @@ object Sampling {
       "shuffleShards adds shard/pos_in_shard columns; the input already has one")
     val mixed = mixedHash(key, salt)
     val withShard = df.withColumn("shard", pmod(mixed, lit(numShards.toLong)))
-    val w = Window.partitionBy(col("shard")).orderBy(mixed.asc, key.asc_nulls_first)
-    withShard.withColumn("pos_in_shard", row_number().over(w).cast("long"))
+    Prefix.runningRank(withShard, col("shard"),
+      Seq(mixed.asc, key.asc_nulls_first), "pos_in_shard")
   }
 
   /** Data-recipe up-sampling: materialize each group's rows

