@@ -125,8 +125,9 @@ object Sampling {
     require(!df.columns.contains("sample_rank"),
       "hashSampleK adds a `sample_rank` column; the input already has one")
     val mixed = mixedHash(key, salt)
-    val w = Window.partitionBy(group).orderBy(mixed.asc, key.asc_nulls_first)
-    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+    // ranks via the two-pass prefix count: a corpus-scale input with a
+    // handful of groups never funnels a group through one task
+    Prefix.runningRank(df, group, Seq(mixed.asc, key.asc_nulls_first), "sample_rank")
       .filter(col("sample_rank") <= k)
   }
 
