@@ -253,24 +253,49 @@ object Dedup {
     * sharing several bands is emitted exactly once — on its FIRST shared
     * band, a filter over the carried signature arrays, NOT a distinct()
     * shuffle. → (a_id, b_id), a < b. */
-  def lshCandidates(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+  def lshCandidates(sig: DataFrame, k: Int, bands: Int,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
     val bandSig = (b: Int) =>
       bandKey((0 until r).map(i => col(s"mh_${b * r + i}")))
     val withB = sig.select(col("doc"), array((0 until bands).map(bandSig): _*).as("bs"))
-    bucketedPairs(withB, bands, Nil)
+    bucketedPairs(withB, bands, Nil, maxBucketSize)
       .select(col("a_id"), col("b_id"))
   }
 
   /** Band-bucket self-join core: explode band signatures (carrying `extra`
     * payload columns), equi-join on (band, sig) with a < b, keep each pair
     * on its first shared band only. Payload columns surface as a_<name> /
-    * b_<name>. */
-  private def bucketedPairs(withB: DataFrame, bands: Int, extra: Seq[String]): DataFrame = {
+    * b_<name>.
+    *
+    * `maxBucketSize` is the REQUIRED hot-bucket dial at corpus scale:
+    * boilerplate (shared page chrome, license headers, shared prefixes)
+    * makes many documents draw their minhash minima from the SAME shared
+    * shingles, so one (band, sig) bucket collects a whole boilerplate
+    * cluster — B docs ⇒ B² candidate pairs, all materialized in the ONE
+    * shuffle task that owns the bucket (measured: a 12-token prefix
+    * shared by 8M of 10M synthetic docs put ~10⁵ docs in single buckets
+    * ⇒ ~10¹⁰ pairs through one task — the job crawls on one core for
+    * hours). Buckets above the cap are dropped BEFORE the join, via a
+    * count window over the same (band, sig) exchange the join needs
+    * anyway (the jaccardPairs df-prune pattern — no extra corpus pass).
+    * Contract under capping: a pair surfaces iff its FIRST shared band's
+    * bucket is uncapped — a boilerplate cluster is pruned as a whole,
+    * not resurrected pair-by-pair through later bands; the near-dup
+    * tiers' Jaccard verify would reject its low-similarity mass anyway.
+    * The default (10000) is far above any bucket the oracle fixtures
+    * produce and still bounds the per-bucket pair mass at 10⁸. */
+  private def bucketedPairs(
+      withB: DataFrame, bands: Int, extra: Seq[String],
+      maxBucketSize: Int = 10000): DataFrame = {
     val payload = Seq("doc", "bs") ++ extra
+    val wBucket = Window.partitionBy(col("band"), col("sig"))
     val buckets = withB.select(
       payload.map(col) :+ posexplode(col("bs")).as(Seq("band", "sig")): _*)
+      .withColumn("__bsz", count(lit(1)).over(wBucket))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
     def side(p: String) = buckets.select(
       (Seq(col("band").as(s"${p}band"), col("sig").as(s"${p}sig")) ++
         payload.map(c => col(c).as(s"${p}_$c"))): _*)
@@ -302,7 +327,8 @@ object Dedup {
     */
   def minhashNearDupPairs(
       df: DataFrame, id: Column, text: Column,
-      n: Int, k: Int, bands: Int, minJaccardPermille: Int): DataFrame = {
+      n: Int, k: Int, bands: Int, minJaccardPermille: Int,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
     val base = df.select(id.as("doc"), shingleHashes(text, n).as("hs"))
@@ -312,7 +338,7 @@ object Dedup {
       bandKey((0 until r).map(i => col("__sig")(b * r + i)))
     val withB = base.select(col("doc"), col("hs"),
       array((0 until bands).map(bandSig): _*).as("bs"))
-    bucketedPairs(withB, bands, Seq("hs"))
+    bucketedPairs(withB, bands, Seq("hs"), maxBucketSize)
       .withColumn("common", size(array_intersect(col("a_hs"), col("b_hs"))))
       .withColumn("jaccard_permille",
         jaccardPermille(col("common"), size(col("a_hs")), size(col("b_hs"))))

@@ -21,12 +21,12 @@ import graft.operators.{Components, Contamination, Dedup, Packing, Pii, Sampling
   *   - ~9% of docs wrapped in HTML (strip does real parsing),
   *   - ~6% carry an email+phone suffix (scrub redacts),
   *   - ~3% are 5-token junk (gate drops via too_short),
-  *   - ~20% of docs use a French stopword prefix (lang mix for the
-  *     temperature stage; the rest are English-profiled),
+  *   - ~20% of docs interleave French stopwords, the rest English
+  *     (lang mix for the temperature stage),
   *   - ~4% are EXACT copies of their predecessor (exact dedup),
-  *   - ~10% are NEAR copies — same 110-token body, different 6-token
+  *   - ~10% are NEAR copies — same 112-token body, different 6-token
   *     tail (LSH dedup at jaccard ≥ 0.8),
-  *   - ~7.5% share a planted 20-token run with ~150 other docs
+  *   - ~7.5% share a planted 20-token run with ~11 other docs
   *     (duplicate-span rewrite finds and cuts exactly these),
   *   - a 10k-doc eval set built from train-doc bodies (contamination
   *     gate flags the sources).
@@ -67,10 +67,30 @@ object CurationBench {
         k => element_at(vocabArr, pmod(hash(seed, k, lit(salt)), lit(V)) + 1)),
       " ")
 
-  private val EnPrefix = "the a and of to in is you that it tale begins"
-  // fr stopwords + "a" twice: langId scores fr=10 > en=2, while the
-  // en-profiled quality gate still sees ≥ 10‰ stopword density
-  private val FrPrefix = "le la de et un que pour dans ce pas a a"
+  private val EnStops = TextAnalysis.StopwordProfiles.toMap.apply("en")
+  private val FrStops = TextAnalysis.StopwordProfiles.toMap.apply("fr")
+
+  /** Prose-shaped words: every 7th position is a stopword drawn (varied,
+    * by position hash) from the doc's language profile, the rest vocab
+    * words. Stopwords are INTERLEAVED and position-varied on purpose: a
+    * fixed shared prefix block gave 80% of the corpus 13 identical
+    * shingles, every minhash row then had a ~12% chance of drawing its
+    * minimum from them, and single LSH buckets collected ~10⁵ docs —
+    * the boilerplate hot-bucket blowup `Dedup`'s `maxBucketSize` now
+    * caps, but a curation-throughput corpus should look like prose, not
+    * like one degenerate cluster. */
+  private def proseOf(seed: Column, len: Int, salt: Int, isFr: Column): Column = {
+    val enArr = array(EnStops.map(lit): _*)
+    val frArr = array(FrStops.map(lit): _*)
+    array_join(
+      transform(sequence(lit(0), lit(len - 1)), k =>
+        when(pmod(k, lit(7)) === 3,
+          element_at(when(isFr, frArr).otherwise(enArr),
+            pmod(hash(seed, k, lit(salt + 7000)), lit(10)) + 1))
+          .otherwise(
+            element_at(vocabArr, pmod(hash(seed, k, lit(salt)), lit(V)) + 1))),
+      " ")
+  }
 
   /** The synthetic corpus: (doc_id, source, lang-mixed text, n_chars).
     * Duplicate structure keys off derived bases so copies agree on every
@@ -79,23 +99,29 @@ object CurationBench {
     * nb, tail words off eb). */
   def synth(spark: SparkSession, n: Long): DataFrame = {
     val id = col("id")
-    // ~150 docs per planted span group at every scale, so the span stage
-    // has the same relative work at 100k and 50M docs
+    // span-group count scales with n (≈11 span-eligible docs per group at
+    // every scale), so the span stage has the same relative work at 100k
+    // and 50M docs
     val spanGroups = math.max(1L, n / 150L)
     val eb = when(pmod(id, lit(25)) === 3, id - 1).otherwise(id)
     val nb = when(pmod(eb, lit(10)) === 1, eb - 1).otherwise(eb)
 
-    val prefix = when(pmod(nb, lit(5)) === 0, lit(FrPrefix)).otherwise(lit(EnPrefix))
-    val body1 = wordsOf(nb, 30, salt = 1)
-    val mid = when(pmod(nb, lit(13)) === 5, wordsOf(pmod(nb, lit(spanGroups)), 20, salt = 99))
-      .otherwise(wordsOf(nb, 20, salt = 2))
-    val body2 = wordsOf(nb, 30, salt = 3)
+    val isFr = pmod(nb, lit(5)) === 0
+    val body1 = proseOf(nb, 36, salt = 1, isFr)
+    val mid = when(pmod(nb, lit(13)) === 5,
+      proseOf(pmod(nb, lit(spanGroups)), 20, salt = 99, isFr))
+      .otherwise(proseOf(nb, 20, salt = 2, isFr))
+    val body2 = proseOf(nb, 36, salt = 3, isFr)
     val tail = wordsOf(eb, 6, salt = 4)
-    val full = concat_ws(" ", prefix, body1, mid, body2, tail)
+    val full = concat_ws(" ", body1, mid, body2, tail)
 
     val withJunk = when(pmod(id, lit(37)) === 7, wordsOf(id, 5, salt = 5)).otherwise(full)
+    // the e-mail local part varies per doc: a fixed PII sentence would be
+    // another shared-shingle cluster across 6% of the corpus
     val withPii = when(pmod(id, lit(17)) === 4,
-      concat(withJunk, lit(" contact me at bob@example.com or 555-123-4567 now")))
+      concat(withJunk, lit(" contact me at bob"), pmod(id, lit(997)),
+        lit("@example.com or 555-123-4567 "),
+        element_at(vocabArr, pmod(hash(id, lit(1234)), lit(V)) + 1)))
       .otherwise(withJunk)
     val nChars = length(withPii)
     val withMarkup = when(pmod(id, lit(11)) === 6,
@@ -110,7 +136,7 @@ object CurationBench {
       nChars.as("n_chars"))
   }
 
-  /** The eval suite: `k` docs whose text is exactly the 30-token body1 of
+  /** The eval suite: `k` docs whose text is exactly the 36-token body1 of
     * every (n/k)-th train doc — the contamination gate must flag those
     * sources (13-grams, ≥5 shared). */
   def synthBench(spark: SparkSession, n: Long, k: Long): DataFrame = {
@@ -120,7 +146,7 @@ object CurationBench {
     val nb = when(pmod(eb, lit(10)) === 1, eb - 1).otherwise(eb)
     spark.range(0, k).select(
       col("id").as("bench_id"),
-      wordsOf(nb, 30, salt = 1).as("text"))
+      proseOf(nb, 36, salt = 1, pmod(nb, lit(5)) === 0).as("text"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -184,6 +210,8 @@ object CurationBench {
       val kept = stage("03_gate") {
         redacted.join(
           TextAnalysis.qualityGate(redacted, $"doc_id", $"text",
+            stopwords = TextAnalysis.StopwordProfiles.toMap.apply("en") ++
+              TextAnalysis.StopwordProfiles.toMap.apply("fr"),
             minTokens = 20L, minStopwordPermille = 10L, maxTopGramPermille = 300L)
             .filter($"keep").select("doc_id"), "doc_id")
       }

@@ -104,12 +104,21 @@ class DedupPlanShapeSpec extends SparkSpec {
       s"the target set must be the broadcast side, never a corpus shuffle on h:\n$plan")
   }
 
-  test("budgetSelect is one window exchange, no join") {
+  test("budgetSelect: sliced windows over one shared range shuffle, broadcast offsets only") {
+    // the two-pass prefix sum (Prefix.runningSum): the only join allowed
+    // is the BROADCAST of the tiny slice-offsets table; the corpus-scale
+    // window must be sliced — partitioned by (slice, group), never by the
+    // group alone (the one-task-per-group trap); full shape + value
+    // equivalence is pinned in SamplingScaleSpec
     val budgeted = Sampling.budgetSelect(
       docs.withColumn("w", lit(3L)), col("doc_id") % 2, Seq(col("doc_id")), col("w"), 5L)
+    budgeted.collect()
     val plan = budgeted.queryExecution.executedPlan.toString
-    assert(nExchanges(budgeted) == 1,
-      s"budget selection must be exactly the one group-keyed window shuffle:\n$plan")
-    assert(!plan.contains("Join"), s"budget selection must not join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"slice offsets must broadcast, never shuffle the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no corpus-mass join in budget selection:\n$plan")
+    assert(plan.contains("windowspecdefinition(__pfx_pid"),
+      s"corpus window must be sliced by (pid, group):\n$plan")
   }
 }

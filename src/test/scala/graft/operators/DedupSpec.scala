@@ -77,6 +77,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1, 2)))
   }
 
+  test("LSH hot-bucket cap: a boilerplate cluster is pruned whole, others survive") {
+    // 6 identical docs = one 6-doc bucket in EVERY band (boilerplate
+    // cluster); docs 7/8 are a small near-dup pair in their own buckets
+    val df = ((1 to 6).map(i => (i, "same same same same same same text here")) ++ Seq(
+      (7, "the quick brown fox jumps over the lazy dog today"),
+      (8, "the quick brown fox jumps over the lazy dog tonight")))
+      .toDF("id", "text")
+    val capped = Dedup.minhashNearDupPairs(df, col("id"), col("text"),
+      n = 3, k = 8, bands = 4, minJaccardPermille = 500, maxBucketSize = 5)
+      .select("a_id", "b_id").as[(Int, Int)].collect().toSet
+    assert(capped == Set((7, 8)), "cluster capped away, small pair survives")
+    val uncapped = Dedup.minhashNearDupPairs(df, col("id"), col("text"),
+      n = 3, k = 8, bands = 4, minJaccardPermille = 500)
+      .select("a_id", "b_id").as[(Int, Int)].collect().toSet
+    assert(uncapped.size == 15 + 1, "default cap far above any fixture bucket")
+  }
+
   test("simhash: identical docs hamming 0; banded pairs = brute force at hamming<=2") {
     val docs = Seq(
       (1, "alpha beta gamma delta"),
