@@ -149,6 +149,47 @@ object TextHashes {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Base-37 twin of [[foldRange]] — the independent second hash. A
+    * SALTED base-31 hash is NOT independent: for equal-length strings
+    * H(salt+x) is an affine function of the base-31 polynomial of x, so
+    * every equal-length collision survives salting (caught by the
+    * collision spec). A different base is a genuinely different linear
+    * combination of the code points. */
+  @inline private def foldRange37(s: String, from: Int, until: Int, h0: Long, first0: Boolean): (Long, Boolean) = {
+    var h = h0
+    var first = first0
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      h = if (first) cp % RollingHash.Mod else (h * 37 + cp) % RollingHash.Mod
+      first = false
+      i += Character.charCount(cp)
+    }
+    (h, first)
+  }
+
+  /** [[shingleHashesAll]] in a ~60-bit key space: per gram,
+    * h1 · Mod + h2, with h1 the plain base-31 rolling hash and h2 its
+    * base-37 twin (both < Mod = 1e9+7, so the combination is exact in
+    * a signed 64-bit long AND in the oracle's BIGINT arithmetic).
+    *
+    * Why it exists: any GLOBAL distinctness test over gram hashes — the
+    * duplicate-span criterion "this gram occurs ≥ 2 times in the corpus"
+    * — saturates a ~2³⁰ key space by birthday collision long before
+    * 100 TB: at 10⁹ grams (a mere 10M docs) nearly EVERY hash value is
+    * hit twice, so almost every gram looks duplicated and span removal
+    * masks whole documents (measured: 2.2M of 8.4M docs emptied).
+    * Threshold-protected consumers (Jaccard/contamination pair counts)
+    * tolerate the narrow space; a ≥2-on-a-single-key criterion cannot.
+    * Collisions in the ~10¹⁸ combined space need both independent
+    * rolling hashes to collide: ~10¹² corpus grams yield ≈ a dozen
+    * expected false pairs — noise, not saturation. */
+  def shingleHashesWideAll(u: UTF8String, n: Int): ArrayData = {
+    val out = new mutable.ArrayBuffer[Any]()
+    eachShingleHashWide(u, n)((w: Long) => out += w)
+    new GenericArrayData(out.toArray)
+  }
+
   /** One-pass per-document repetition summary over the n-gram occurrence
     * multiset: (n_grams, n_distinct_grams, max_gram_count), or null when
     * the doc has fewer than `n` tokens (the aggregate form's "absent"
@@ -177,6 +218,36 @@ object TextHashes {
     new GenericInternalRow(Array[Any](arr.length.toLong, distinct, maxC))
   }
 
+  @inline private def eachShingleHashWide(u: UTF8String, n: Int)(emit: Long => Unit): Unit = {
+    val s = u.toString
+    val bounds = tokenBounds(s)
+    if (bounds.length < n) return
+    var g = 0
+    while (g <= bounds.length - n) {
+      var h1 = 0L
+      var first1 = true
+      var h2 = 0L
+      var first2 = true
+      var t = 0
+      while (t < n) {
+        if (t > 0) { // the joining space, cp 32
+          h1 = if (first1) 32L else (h1 * 31 + 32L) % RollingHash.Mod
+          first1 = false
+          h2 = if (first2) 32L else (h2 * 37 + 32L) % RollingHash.Mod
+          first2 = false
+        }
+        val (a, b) = bounds(g + t)
+        val r1 = foldRange(s, a, b, h1, first1)
+        h1 = r1._1; first1 = r1._2
+        val r2 = foldRange37(s, a, b, h2, first2)
+        h2 = r2._1; first2 = r2._2
+        t += 1
+      }
+      emit(h1 * RollingHash.Mod + h2)
+      g += 1
+    }
+  }
+
   @inline private def eachShingleHash(u: UTF8String, n: Int)(emit: Long => Unit): Unit = {
     val s = u.toString
     val bounds = tokenBounds(s)
@@ -200,6 +271,23 @@ object TextHashes {
       g += 1
     }
   }
+}
+
+/** Occurrence-multiset n-gram hashes in the ~60-bit combined key space —
+  * see [[TextHashes.shingleHashesWideAll]] for the saturation rationale. */
+case class ShingleHashesWideAll(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType] && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes_wide_all requires a string argument and n >= 1")
+  override def prettyName: String = "shingle_hashes_wide_all"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.shingleHashesWideAll(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.shingleHashesWideAll($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesWideAll =
+    copy(child = newChild)
 }
 
 /** Struct-typed per-row twin of the explode + (doc, gram) count + doc

@@ -474,6 +474,15 @@ object Dedup {
     * The corpus is shingled twice (count pass + mask pass) — at 100 TB two
     * cheap codegen'd scans beat materializing corpus-sized postings.
     *
+    * Grams are keyed in the WIDE ~60-bit hash space
+    * ([[TextAnalysis.ngramHashesWideMultiset]]): the "occurs ≥ 2" test
+    * has no threshold protection, and the narrow ~2³⁰ space saturates by
+    * birthday collision at ~10⁹ corpus grams — measured on a 10M-doc
+    * corpus: nearly every gram hash collided into "duplicated" and 2.2M
+    * documents were masked to empty. The oracle replays the wide key as
+    * `rollingHash(gram)·(10⁹+7) + rollingHash37(gram)` (base-37 twin —
+    * a salted base-31 hash would preserve equal-length collisions).
+    *
     * → (doc_id, span_start, span_end, n_dup_grams): DISJOINT,
     * non-touching maximal half-open token spans [span_start, span_end) —
     * each is one contiguous run of duplicated-gram coverage (grams with
@@ -483,7 +492,7 @@ object Dedup {
   def duplicateSpans(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val postings = df
       .select(id.as("doc_id"),
-        posexplode(TextAnalysis.ngramHashesMultiset(text, n)))
+        posexplode(TextAnalysis.ngramHashesWideMultiset(text, n)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
     val dupKeys = postings.groupBy(col("h"))
       .agg(count(lit(1)).as("c"))

@@ -186,6 +186,18 @@ object TextAnalysis {
   def ngramHashesMultiset(text: Column, n: Int): Column =
     Bridge.column(graft.functions.ShingleHashesAll(Bridge.expression(text), n))
 
+  /** [[ngramHashesMultiset]] in the ~60-bit combined key space (two
+    * independent rolling hashes, h1·Mod + h2) — REQUIRED wherever a
+    * single gram's global multiplicity is the decision
+    * ([[graft.operators.Dedup.duplicateSpans]]'s "occurs ≥ 2" test): the
+    * ~2³⁰ single-hash space saturates by birthday collision at ~10⁹
+    * corpus grams and every gram then looks duplicated. Threshold-
+    * protected counters (Jaccard common-counts, contamination
+    * `minShared`) stay on the narrow space — collisions move them by
+    * ±1 against a ≥5 threshold, not by orders of magnitude. */
+  def ngramHashesWideMultiset(text: Column, n: Int): Column =
+    Bridge.column(graft.functions.ShingleHashesWideAll(Bridge.expression(text), n))
+
   /** IDF-style lexical-commonness signal: the mean corpus document
     * frequency of a document's tokens (×1000, exact integer — higher =
     * more common vocabulary; very low flags codes/IDs/garbage, very high

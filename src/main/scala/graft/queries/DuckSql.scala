@@ -28,6 +28,14 @@ object DuckSql {
       s"list_reduce(list_transform(string_split_regex($expr, ''), x -> CAST(unicode(x) AS BIGINT)), " +
       s"(a, b) -> (a * 31 + b) % $P) END)" // BIGINT cast: lambda arithmetic would stay INT32 and overflow
 
+  /** Base-37 twin of [[rollingHash]] — the independent second hash of the
+    * wide ~60-bit gram key (a salted base-31 hash would preserve every
+    * equal-length collision; a different base does not). */
+  def rollingHash37(expr: String): String =
+    s"(CASE WHEN length($expr) = 0 THEN 0 ELSE " +
+      s"list_reduce(list_transform(string_split_regex($expr, ''), x -> CAST(unicode(x) AS BIGINT)), " +
+      s"(a, b) -> (a * 37 + b) % $P) END)"
+
   /** [[rollingHash]] with an explicit initial state `seed` (the stub
     * featurizer's per-component fold): the seed is prepended to the
     * code-point list so `list_reduce`'s first-element init replays

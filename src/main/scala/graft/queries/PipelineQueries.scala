@@ -776,7 +776,9 @@ object PipelineQueries {
          |SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
          |ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin
 
-    // q54: same rolling-hash gram space as q50; dup = total multiplicity
+    // q54: grams keyed in the WIDE ~60-bit space (h1*(1e9+7)+h2, h2 the
+    // base-37 twin hash) — the >=2-on-one-key test saturates the narrow
+    // space at ~1e9 corpus grams (see Dedup.duplicateSpans); dup = total multiplicity
     // >= 2 (cross-doc or within-doc); islands merge on COVERAGE (gap <=
     // n: overlap or touch), replayed with the same lag-flag running sum
     // (the HUGEINT sum is only a grouping key, never an output column).
@@ -784,7 +786,8 @@ object PipelineQueries {
     m += "q54_selfdup_spans" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
          |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         |    ${DuckSql.rollingHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+         |    (${DuckSql.rollingHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} * 1000000007
+         |     + ${DuckSql.rollingHash37("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}) AS h
          |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
          |        FROM t WHERE len(w) >= 3)),
          |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
@@ -804,7 +807,8 @@ object PipelineQueries {
     m += "q57_selfdup_rewrite" ->
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
          |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         |    ${DuckSql.rollingHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+         |    (${DuckSql.rollingHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} * 1000000007
+         |     + ${DuckSql.rollingHash37("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}) AS h
          |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
          |        FROM t WHERE len(w) >= 3)),
          |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),

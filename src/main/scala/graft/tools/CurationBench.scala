@@ -201,10 +201,16 @@ object CurationBench {
       val docs = stage("01_strip") {
         raw.withColumn("text", TextAnalysis.htmlText($"text"))
       }
-      // 0. PII redaction + language tag (map-side, fuses into the scan)
+      // 0. PII redaction + language tag + TARGET-LANGUAGE filter (all
+      // map-side, fuse into the scan). The filter is what a real pass
+      // does right after lang-id — and it is load-bearing for stage 8:
+      // temperatureResample keys its rates off the SMALLEST group, so a
+      // stray "und"/"de" tag on a dozen mangled docs would send every
+      // keep-rate toward sqrt(12/5M) and crush the corpus
       val redacted = stage("02_pii_lang") {
         docs.withColumn("text", Pii.scrub($"text"))
           .withColumn("lang", TextAnalysis.langId($"text"))
+          .filter($"lang".isin("en", "fr"))
       }
       // 1. composite quality gate
       val kept = stage("03_gate") {

@@ -77,6 +77,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1, 2)))
   }
 
+  test("duplicateSpans: a narrow-hash collision does not fabricate a span (wide key space)") {
+    // brute-force a birthday collision in the NARROW rolling-hash space:
+    // two distinct tokens with the same h1 — in the narrow space the grams
+    // "a a a" / "b b b" would then look like one duplicated gram (the
+    // saturation mode that emptied 2.2M of 8.4M docs at 10M-doc scale)
+    val mod = 1000000007L
+    def h1(t: String): Long = t.codePoints().toArray.foldLeft((0L, true)) {
+      case ((h, first), cp) => (if (first) cp % mod else (h * 31 + cp) % mod, false)
+    }._1
+    val seen = scala.collection.mutable.HashMap.empty[Long, String]
+    var collision: Option[(String, String)] = None
+    var i = 0
+    while (collision.isEmpty) {
+      val t = "t" + i
+      seen.put(h1(t), t).foreach(prev => if (prev != t) collision = Some((prev, t)))
+      i += 1
+    }
+    val (a, b) = collision.get
+    assert(h1(a) == h1(b) && a != b)
+    val df = Seq((1L, s"$a $a $a"), (2L, s"$b $b $b")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(df, col("doc_id"), col("text"), n = 3).count() == 0,
+      s"colliding tokens $a/$b must not fabricate a duplicated span")
+    // and a REAL cross-doc duplicate is still caught in the wide space
+    val real = Seq((1L, s"$a $a $a"), (2L, s"$a $a $a")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(real, col("doc_id"), col("text"), n = 3)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("LSH hot-bucket cap: a boilerplate cluster is pruned whole, others survive") {
     // 6 identical docs = one 6-doc bucket in EVERY band (boilerplate
     // cluster); docs 7/8 are a small near-dup pair in their own buckets
