@@ -250,9 +250,14 @@ object Dedup {
 
   /** LSH candidate pairs from banded minhash signatures: docs agreeing on
     * ALL rows of at least one band meet in an equi-join bucket. A pair
-    * sharing several bands is emitted exactly once — on its FIRST shared
-    * band, a filter over the carried signature arrays, NOT a distinct()
-    * shuffle. → (a_id, b_id), a < b. */
+    * sharing several bands is emitted exactly once: with capping disabled
+    * (`maxBucketSize = Int.MaxValue`) via the zero-extra-shuffle
+    * first-shared-band filter over the carried signature arrays; under the
+    * default hot-bucket cap via a slim (a, b)-keyed aggregate over the
+    * candidate pairs — the first-shared filter is UNSOUND under capping
+    * (a pair whose first shared band's bucket was capped never joins
+    * there, and the filter would then drop it at every surviving band;
+    * see [[bucketedPairs]]). → (a_id, b_id), a < b. */
   def lshCandidates(sig: DataFrame, k: Int, bands: Int,
       maxBucketSize: Int = 10000): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
@@ -260,14 +265,14 @@ object Dedup {
     val bandSig = (b: Int) =>
       bandKey((0 until r).map(i => col(s"mh_${b * r + i}")))
     val withB = sig.select(col("doc"), array((0 until bands).map(bandSig): _*).as("bs"))
-    bucketedPairs(withB, bands, Nil, maxBucketSize)
+    val raw = bucketedPairs(withB, bands, Nil, maxBucketSize)
       .select(col("a_id"), col("b_id"))
+    if (maxBucketSize == Int.MaxValue) raw else raw.distinct()
   }
 
   /** Band-bucket self-join core: explode band signatures (carrying `extra`
-    * payload columns), equi-join on (band, sig) with a < b, keep each pair
-    * on its first shared band only. Payload columns surface as a_<name> /
-    * b_<name>.
+    * payload columns), equi-join on (band, sig) with a < b. Payload
+    * columns surface as a_<name> / b_<name>.
     *
     * `maxBucketSize` is the REQUIRED hot-bucket dial at corpus scale:
     * boilerplate (shared page chrome, license headers, shared prefixes)
@@ -280,22 +285,50 @@ object Dedup {
     * hours). Buckets above the cap are dropped BEFORE the join, via a
     * count window over the same (band, sig) exchange the join needs
     * anyway (the jaccardPairs df-prune pattern — no extra corpus pass).
-    * Contract under capping: a pair surfaces iff its FIRST shared band's
-    * bucket is uncapped — a boilerplate cluster is pruned as a whole,
-    * not resurrected pair-by-pair through later bands; the near-dup
-    * tiers' Jaccard verify would reject its low-similarity mass anyway.
-    * The default (10000) is far above any bucket the oracle fixtures
-    * produce and still bounds the per-bucket pair mass at 10⁸. */
+    *
+    * Exactly-once + capping interact, so the DUPLICATE policy is split:
+    *
+    *  - `maxBucketSize = Int.MaxValue` (capping off): each pair is kept on
+    *    its FIRST shared band — a filter over the carried signature
+    *    arrays, zero extra shuffle. Exact, because every shared band's
+    *    bucket exists in the join.
+    *  - capped (the default): the first-shared filter is UNSOUND — a pair
+    *    whose first shared band's bucket was capped never joins there, and
+    *    the bs-array filter (which knows nothing about capping) would then
+    *    drop it at EVERY surviving band, silently losing recall on
+    *    multi-band pairs that graze one boilerplate bucket. So capped mode
+    *    emits each pair once per SURVIVING shared band (≤ `bands` copies)
+    *    and the CALLER deduplicates with a slim pair-keyed aggregate at
+    *    its cheapest point — after the Jaccard verify in
+    *    [[minhashNearDupPairs]] (exchange mass = true near-dups, ≈ output
+    *    size), a distinct over (a, b) in [[lshCandidates]]. Contract: a
+    *    pair surfaces iff AT LEAST ONE shared band's bucket is uncapped —
+    *    a boilerplate cluster is pruned as a whole, never resurrected
+    *    pair-by-pair, while pairs that merely touch a hot bucket keep
+    *    their other bands. With no capped buckets this is output-identical
+    *    to first-shared-band (the oracle fixtures' regime).
+    *
+    * The bs arrays ride the exchange only in uncapped mode (the filter
+    * needs them); capped mode ships (doc, extra) only. The default
+    * (10000) is far above any bucket the oracle fixtures produce and
+    * still bounds the per-bucket pair mass at 10⁸. Capped-away recall is
+    * observable via [[cappedLshBuckets]]. */
   private def bucketedPairs(
       withB: DataFrame, bands: Int, extra: Seq[String],
       maxBucketSize: Int = 10000): DataFrame = {
-    val payload = Seq("doc", "bs") ++ extra
-    val wBucket = Window.partitionBy(col("band"), col("sig"))
-    val buckets = withB.select(
+    val capped = maxBucketSize != Int.MaxValue
+    val payload = (if (capped) Seq("doc") else Seq("doc", "bs")) ++ extra
+    val exploded = withB.select(
       payload.map(col) :+ posexplode(col("bs")).as(Seq("band", "sig")): _*)
-      .withColumn("__bsz", count(lit(1)).over(wBucket))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
+    val buckets =
+      if (!capped) exploded
+      else {
+        val wBucket = Window.partitionBy(col("band"), col("sig"))
+        exploded
+          .withColumn("__bsz", count(lit(1)).over(wBucket))
+          .filter(col("__bsz") <= maxBucketSize)
+          .drop("__bsz")
+      }
     def side(p: String) = buckets.select(
       (Seq(col("band").as(s"${p}band"), col("sig").as(s"${p}sig")) ++
         payload.map(c => col(c).as(s"${p}_$c"))): _*)
@@ -307,24 +340,56 @@ object Dedup {
     val joined = side("a").hint("shuffle_hash").join(side("b"),
       col("aband") === col("bband") && col("asig") === col("bsig") &&
         col("a_doc") < col("b_doc"))
-    val firstShared = (0 until bands - 1).foldRight(lit(bands - 1): Column) { (i, rest) =>
-      when(col("a_bs")(i) === col("b_bs")(i), lit(i)).otherwise(rest)
-    }
-    joined.filter(col("aband") === firstShared)
+    val deduped =
+      if (capped) joined
+      else {
+        val firstShared = (0 until bands - 1).foldRight(lit(bands - 1): Column) { (i, rest) =>
+          when(col("a_bs")(i) === col("b_bs")(i), lit(i)).otherwise(rest)
+        }
+        joined.filter(col("aband") === firstShared)
+      }
+    deduped
       .withColumnRenamed("a_doc", "a_id")
       .withColumnRenamed("b_doc", "b_id")
+  }
+
+  /** Observability companion to the hot-bucket cap: the (band, band
+    * signature) buckets a capped LSH pass drops, with their sizes — the
+    * recall the cap gave up, as data instead of a silent default. Same
+    * shingle→minhash→band derivation as [[minhashNearDupPairs]]; one
+    * map-side-combined aggregate (the hot buckets are exactly the keys
+    * partial aggregation collapses best). A pair of truly-similar docs is
+    * lost to capping only when EVERY band they share appears here.
+    * → (band, sig, bucket_size), bucket_size > maxBucketSize. */
+  def cappedLshBuckets(
+      df: DataFrame, id: Column, text: Column,
+      n: Int, k: Int, bands: Int, maxBucketSize: Int = 10000): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    val base = df.select(id.as("doc"), minhashSigArray(text, n, k).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val bandSig = (b: Int) =>
+      bandKey((0 until r).map(i => col("__sig")(b * r + i)))
+    base.select(posexplode(array((0 until bands).map(bandSig): _*)).as(Seq("band", "sig")))
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
   }
 
   /** MinHash-LSH near-dup pairs: LSH candidates re-verified with exact
     * n-gram Jaccard (deterministic: a fixed-parameter LSH either surfaces
     * a pair or not; the verify step removes false positives).
     *
-    * Fully fused single-shuffle plan: signature + bands are per-row
-    * expressions, the shingle array rides along through the ONE exchange on
-    * (band, sig) (reused for both self-join sides), and the Jaccard verify
-    * is an inline array_intersect on the joined row. The aggregate/
-    * candidate-join formulation costs 5 more exchanges for the same result.
-    */
+    * Fused plan: signature + bands are per-row expressions, the shingle
+    * array rides along through the ONE exchange on (band, sig) (reused
+    * for both self-join sides), and the Jaccard verify is an inline
+    * array_intersect on the joined row. The aggregate/candidate-join
+    * formulation costs 5 more exchanges for the same result. Under the
+    * hot-bucket cap a pair reaches the verify once per surviving shared
+    * band (see [[bucketedPairs]]); the exactly-once aggregate sits ABOVE
+    * the verify threshold on 3-column rows, so its exchange mass is the
+    * true near-dup output, never the candidate mass and never the shingle
+    * arrays. */
   def minhashNearDupPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int, k: Int, bands: Int, minJaccardPermille: Int,
@@ -338,12 +403,17 @@ object Dedup {
       bandKey((0 until r).map(i => col("__sig")(b * r + i)))
     val withB = base.select(col("doc"), col("hs"),
       array((0 until bands).map(bandSig): _*).as("bs"))
-    bucketedPairs(withB, bands, Seq("hs"), maxBucketSize)
+    val verified = bucketedPairs(withB, bands, Seq("hs"), maxBucketSize)
       .withColumn("common", size(array_intersect(col("a_hs"), col("b_hs"))))
       .withColumn("jaccard_permille",
         jaccardPermille(col("common"), size(col("a_hs")), size(col("b_hs"))))
       .filter(col("jaccard_permille") >= minJaccardPermille)
       .select(col("a_id"), col("b_id"), col("jaccard_permille"))
+    if (maxBucketSize == Int.MaxValue) verified
+    else verified.groupBy(col("a_id"), col("b_id"))
+      // the verify recomputes the same exact Jaccard on every surviving
+      // copy of a pair — max() of identical values, kept for readability
+      .agg(max(col("jaccard_permille")).as("jaccard_permille"))
   }
 
   /** Incremental near-dup detection: a NEW batch of documents (today's

@@ -26,13 +26,22 @@ object Packing {
 
   /** → input columns + (pack_offset, bin_id, offset_in_bin,
     * spans_boundary). `tokenCount` must be a non-negative integer column
-    * expression (e.g. [[TextAnalysis.tokenCount]]).
+    * expression (e.g. [[TextAnalysis.tokenCount]]); a NULL count is
+    * treated as 0 — the doc occupies no span and gets a well-defined
+    * offset, instead of poisoning its own bin arithmetic (the window sum
+    * skips nulls, so without the coalesce a null-count row would emit
+    * null pack_offset/bin_id while its neighbours pack normally).
+    *
+    * Call-time contract (inherited from [[Prefix.runningSum]]): above the
+    * size gate an eager boundary-sampling job runs when this is CALLED,
+    * and `shardCol`/`idCol` resolve by name against the materialized
+    * frame — see the Prefix scaladoc.
     */
   def sequencePacking(
       df: DataFrame, shardCol: String, idCol: String, tokenCount: Column,
       capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    df.withColumn("__tok", tokenCount.cast("long"))
+    df.withColumn("__tok", coalesce(tokenCount.cast("long"), lit(0L)))
       .transform(Prefix.runningSum(_, col(shardCol), Seq(col(idCol)), col("__tok"), "__cuminc"))
       // EXCLUSIVE prefix: tokens strictly before this doc in its shard
       .withColumn("pack_offset", col("__cuminc") - col("__tok"))

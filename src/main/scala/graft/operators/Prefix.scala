@@ -12,8 +12,8 @@ import org.apache.spark.sql.graft.Bridge
   * The naive shape — ONE window partitioned by the group key — serializes
   * each group's prefix sum through a single task: groups are languages,
   * sources, or a handful of output shards, so a 100 TB corpus funnels its
-  * dominant group through one sort. This is the classic two-pass parallel
-  * prefix sum instead:
+  * dominant group through one sort. Above a size gate (below) this is the
+  * classic two-pass parallel prefix sum instead:
   *
   *   1. range-partition the corpus on (group, order…): each slice holds a
   *      contiguous run of some group's global order;
@@ -39,15 +39,53 @@ import org.apache.spark.sql.graft.Bridge
   * identity — plan cloning above the RDD cannot split it
   * (`SamplingScaleSpec` pins both the values and the plan shape).
   *
-  * Costs to know about: the range boundaries sample eagerly when the
-  * operator is CALLED (that sampling pass exists in any
+  * '''Size gate.''' The two-pass form pays a fixed toll the naive plan
+  * doesn't — an eager boundary-sampling pass, a broadcast, a join — worth
+  * nothing when the whole input fits one sort task comfortably. Inputs
+  * whose optimizer-estimated size is at most
+  * `spark.graft.prefix.twoPassMinBytes` (default 128 MB) take the naive
+  * one-window plan; larger inputs take the two-pass plan. Both are
+  * value-identical under the total-order precondition (pinned in
+  * `SamplingScaleSpec`). Size over-estimates (e.g. above a join) err
+  * toward two-pass — the direction that is safe at scale. Set the conf to
+  * `0` to force two-pass, or to a huge value to force the naive plan.
+  *
+  * '''Call-time contract''' (both public here and surfaced on every
+  * caller): above the gate, the range boundaries sample EAGERLY when the
+  * operator is called (that sampling pass exists in any
   * `repartitionByRange` — here it just runs at construction instead of
-  * first action), and the RDD boundary stops Catalyst pushdown from
-  * crossing the prefix op (project/filter before calling it).
+  * first action); the RDD boundary stops Catalyst pushdown from crossing
+  * the prefix op (project/filter before calling it); and `group`/`order`/
+  * `weight` are re-resolved BY NAME against the internal materialized
+  * frame — pass expressions over the input's column names (`col("c")`),
+  * never another DataFrame's bound references. A non-resolving expression
+  * fails at call time with the message below.
+  *
+  * '''Ties.''' All windows use an explicit ROWS frame, so rows tied on
+  * the full `order` (a precondition violation) receive DISTINCT
+  * consecutive ranks in an arbitrary engine-dependent order — counts are
+  * preserved (`hashSampleK` still returns exactly k per group) — rather
+  * than the RANGE-frame behavior of handing every tied row the tie
+  * group's maximum.
   */
 private[operators] object Prefix {
 
   private val Helpers = Seq("__pfx_pid", "__pfx_w", "__pfx_cum", "__pfx_tpid", "__pfx_tg", "__pfx_off")
+
+  val TwoPassMinBytesKey = "spark.graft.prefix.twoPassMinBytes"
+  val TwoPassMinBytesDefault: Long = 128L * 1024 * 1024
+
+  private def resolveOrFail(frame: DataFrame, cols: Seq[Column]): Unit =
+    try frame.select(cols: _*).queryExecution.analyzed
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          "Prefix.runningSum re-resolves group/order/weight BY NAME against an internal " +
+            "materialized frame (see Prefix scaladoc): pass expressions over the input's " +
+            "column NAMES (col(\"c\")), not another DataFrame's bound references, and only " +
+            "over columns the input DataFrame actually has. Resolution failed: " +
+            e.getMessage, e)
+    }
 
   /** `df` + `out` = the INCLUSIVE running sum of `weight` within each
     * `group`, ordered by `order` (which must be total). The sum's type is
@@ -58,32 +96,44 @@ private[operators] object Prefix {
     require(!df.columns.exists(Helpers.contains),
       s"Prefix.runningSum uses ${Helpers.mkString("/")} helper columns; the input already has one")
     val spark = df.sparkSession
-    val part = spark.sessionState.conf.numShufflePartitions
-    val ranged = df
-      .withColumn("__pfx_w", weight)
-      .repartitionByRange(part, (group +: order): _*)
-    // ONE materialized shuffle: boundaries sampled once, map outputs
-    // reused by both consumers below via RDD object identity
-    val base = Bridge.internalCreateDataFrame(
-        spark, ranged.queryExecution.toRdd, ranged.schema)
-      .withColumn("__pfx_pid", spark_partition_id())
-    val wLoc = Window.partitionBy(col("__pfx_pid"), group).orderBy(order: _*)
-    val local = base.withColumn("__pfx_cum", sum(col("__pfx_w")).over(wLoc))
-    val totals = base.groupBy(col("__pfx_pid").as("__pfx_tpid"), group.as("__pfx_tg"))
-      .agg(sum(col("__pfx_w")).as("__pfx_tw"))
-    val wOff = Window.partitionBy(col("__pfx_tg")).orderBy(col("__pfx_tpid").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals.select(col("__pfx_tpid"), col("__pfx_tg"),
-      sum(col("__pfx_tw")).over(wOff).as("__pfx_off"))
-    local.join(broadcast(offsets),
-        col("__pfx_pid") === col("__pfx_tpid") && (group <=> col("__pfx_tg")))
-      .withColumn(out, col("__pfx_cum") + coalesce(col("__pfx_off"), lit(0)))
-      .drop(Helpers: _*)
+    val threshold = spark.sessionState.conf
+      .getConfString(TwoPassMinBytesKey, TwoPassMinBytesDefault.toString).toLong
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)) {
+      // small input: the whole prefix fits ordinary per-group window sorts
+      val w = Window.partitionBy(group).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(out, sum(weight).over(w))
+    } else {
+      val part = spark.sessionState.conf.numShufflePartitions
+      val ranged = df
+        .withColumn("__pfx_w", weight)
+        .repartitionByRange(part, (group +: order): _*)
+      // ONE materialized shuffle: boundaries sampled once, map outputs
+      // reused by both consumers below via RDD object identity
+      val base = Bridge.internalCreateDataFrame(
+          spark, ranged.queryExecution.toRdd, ranged.schema)
+        .withColumn("__pfx_pid", spark_partition_id())
+      resolveOrFail(base, group +: order)
+      val wLoc = Window.partitionBy(col("__pfx_pid"), group).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = base.withColumn("__pfx_cum", sum(col("__pfx_w")).over(wLoc))
+      val totals = base.groupBy(col("__pfx_pid").as("__pfx_tpid"), group.as("__pfx_tg"))
+        .agg(sum(col("__pfx_w")).as("__pfx_tw"))
+      val wOff = Window.partitionBy(col("__pfx_tg")).orderBy(col("__pfx_tpid").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = totals.select(col("__pfx_tpid"), col("__pfx_tg"),
+        sum(col("__pfx_tw")).over(wOff).as("__pfx_off"))
+      local.join(broadcast(offsets),
+          col("__pfx_pid") === col("__pfx_tpid") && (group <=> col("__pfx_tg")))
+        .withColumn(out, col("__pfx_cum") + coalesce(col("__pfx_off"), lit(0)))
+        .drop(Helpers: _*)
+    }
   }
 
   /** `df` + `out` = the 1-based rank within each `group` under `order` —
     * `row_number()` without the one-task-per-group window (the order must
-    * be total, so rank == running count). */
+    * be total, so rank == running count; on duplicate keys see the Ties
+    * note above). */
   def runningRank(
       df: DataFrame, group: Column, order: Seq[Column], out: String): DataFrame =
     runningSum(df, group, order, lit(1L), out)

@@ -84,6 +84,11 @@ object Sampling {
     * language through a single sort). The boundary row that would cross
     * the budget is dropped (no partial documents).
     *
+    * Call-time contract (inherited from [[Prefix.runningSum]]): above the
+    * size gate an eager boundary-sampling job runs when this is CALLED,
+    * and `group`/`order`/`weight` resolve by name against the
+    * materialized frame — see the Prefix scaladoc.
+    *
     * → input columns + (cum_weight, kept). */
   def budgetSelect(
       df: DataFrame, group: Column, order: Seq[Column], weight: Column,
@@ -101,8 +106,12 @@ object Sampling {
     * is a pure function of (salt, key), so runs, engines and
     * partitionings agree row-for-row — PROVIDED `key` is unique and
     * non-null per row (the same precondition as [[stratifiedHashSample]]):
-    * duplicate or null keys tie on the whole sort, and a tie that
-    * straddles the k cut resolves by physical scan order. `salt` redraws.
+    * duplicate or null keys tie on the whole sort; tied rows still get
+    * DISTINCT consecutive ranks (ROWS-frame prefix count — exactly k rows
+    * per group come back), but which tied row wins is engine/scan-order
+    * dependent. `salt` redraws. Call-time contract inherited from
+    * [[Prefix.runningSum]] (eager sampling job above the size gate,
+    * by-name resolution — see the Prefix scaladoc).
     * → input columns + sample_rank (1-based). */
   /** THE salted order hash: the raw polynomial hash preserves magnitude
     * order for short keys (no mod wrap below ~1e9), so ordering by it
@@ -149,7 +158,10 @@ object Sampling {
     * shard's order through one task — `numShards` sizes the OUTPUT
     * files, not the sort parallelism. Same unique-non-null-key
     * precondition as [[hashSampleK]]: duplicate keys tie on the whole
-    * order and resolve by scan order.
+    * order and resolve by scan order (distinct positions, arbitrary
+    * assignment). Call-time contract inherited from [[Prefix.runningSum]]
+    * (eager sampling job above the size gate, by-name resolution — see
+    * the Prefix scaladoc).
     * → input columns + shard + pos_in_shard. */
   def shuffleShards(
       df: DataFrame, key: Column, numShards: Int,

@@ -27,13 +27,28 @@ class DedupPlanShapeSpec extends SparkSpec {
       s"per-row signature must not shuffle:\n${sig.queryExecution.executedPlan}")
   }
 
-  test("fused LSH near-dup pairs: one exchange per self-join side, no distinct aggregate") {
+  test("fused LSH near-dup pairs (capping off): one exchange, no distinct aggregate") {
     val pairs = Dedup.minhashNearDupPairs(
-      docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4, minJaccardPermille = 200)
+      docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4, minJaccardPermille = 200,
+      maxBucketSize = Int.MaxValue)
     val plan = pairs.queryExecution.executedPlan.toString
     assert(nExchanges(pairs) <= 2, s"LSH pair plan grew extra shuffles:\n$plan")
     assert(!plan.contains("HashAggregate"),
-      s"pair dedup must be the first-shared-band filter, not an aggregate:\n$plan")
+      s"uncapped pair dedup must be the first-shared-band filter, not an aggregate:\n$plan")
+  }
+
+  test("capped LSH near-dup pairs: exactly-once aggregate is slim and sits above the verify") {
+    val pairs = Dedup.minhashNearDupPairs(
+      docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4, minJaccardPermille = 200)
+    val plan = pairs.queryExecution.executedPlan.toString
+    // band exchange (reused by both join sides) + the one pair-keyed
+    // exchange of verified 3-column rows — the sound capped semantics
+    // costs exactly one slim output-sized shuffle over the uncapped plan
+    assert(nExchanges(pairs) <= 3, s"capped LSH pair plan grew extra shuffles:\n$plan")
+    val aggExchange = "Exchange hashpartitioning\\(a_id[^\\n]*".r.findAllIn(plan).toList
+    assert(aggExchange.nonEmpty, s"pair dedup exchange missing:\n$plan")
+    assert(!aggExchange.exists(_.contains("hs")),
+      s"the pair-dedup exchange must never carry the shingle arrays:\n$plan")
   }
 
   test("simhash near-dup pairs keep the single-exchange shape") {
@@ -110,8 +125,13 @@ class DedupPlanShapeSpec extends SparkSpec {
     // window must be sliced — partitioned by (slice, group), never by the
     // group alone (the one-task-per-group trap); full shape + value
     // equivalence is pinned in SamplingScaleSpec
-    val budgeted = Sampling.budgetSelect(
-      docs.withColumn("w", lit(3L)), col("doc_id") % 2, Seq(col("doc_id")), col("w"), 5L)
+    // force the two-pass path (the size gate would send this toy input
+    // down the naive window — SamplingScaleSpec pins the gate itself)
+    spark.conf.set(Prefix.TwoPassMinBytesKey, "0")
+    val budgeted =
+      try Sampling.budgetSelect(
+        docs.withColumn("w", lit(3L)), col("doc_id") % 2, Seq(col("doc_id")), col("w"), 5L)
+      finally spark.conf.unset(Prefix.TwoPassMinBytesKey)
     budgeted.collect()
     val plan = budgeted.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),

@@ -120,6 +120,31 @@ class DedupSpec extends SparkSpec {
       n = 3, k = 8, bands = 4, minJaccardPermille = 500)
       .select("a_id", "b_id").as[(Int, Int)].collect().toSet
     assert(uncapped.size == 15 + 1, "default cap far above any fixture bucket")
+    // observability: the capped-away buckets are reportable as data — the
+    // 6-doc boilerplate cluster occupies one over-cap bucket in each band
+    val reported = Dedup.cappedLshBuckets(df, col("id"), col("text"),
+      n = 3, k = 8, bands = 4, maxBucketSize = 5)
+      .select("band", "bucket_size").as[(Int, Long)].collect().toSet
+    assert(reported == (0 until 4).map(b => (b, 6L)).toSet, s"got $reported")
+  }
+
+  test("hot-bucket cap keeps a pair whose FIRST shared band is capped but a later band survives") {
+    // hand-built signature table (k = 4, bands = 4, r = 1 → band b keys on
+    // mh_b alone): docs 1-6 flood band 0's bucket 100 past the cap; docs
+    // 7/8 also sit in that bucket AND share a private band-3 bucket. The
+    // r7 first-shared-band filter (computed from the signature arrays,
+    // blind to capping) dropped (7,8) at every band; the capped-mode
+    // pair-keyed dedup must surface it exactly once via band 3.
+    val sig = ((1 to 6).map(i => (i.toLong, 100L, 10L + i, 20L + i, 30L + i)) ++ Seq(
+      (7L, 100L, 7L, 77L, 777L),
+      (8L, 100L, 8L, 88L, 777L)))
+      .toDF("doc", "mh_0", "mh_1", "mh_2", "mh_3")
+    val pairs = Dedup.lshCandidates(sig, k = 4, bands = 4, maxBucketSize = 5)
+      .as[(Long, Long)].collect().toList
+    assert(pairs == List((7L, 8L)), s"got $pairs")
+    // and with capping off, the band-0 bucket emits all 28 pairs
+    val all = Dedup.lshCandidates(sig, k = 4, bands = 4, maxBucketSize = Int.MaxValue)
+    assert(all.count() == 28)
   }
 
   test("simhash: identical docs hamming 0; banded pairs = brute force at hamming<=2") {

@@ -17,6 +17,19 @@ import graft.SparkSpec
 class SamplingScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Force the gated path for a block: 0 → always two-pass, Long.MaxValue
+    * → always the naive window (the session is shared across suites, so
+    * always restore). */
+  private def withTwoPassMinBytes[A](v: Long)(body: => A): A = {
+    val prev = spark.conf.getOption(Prefix.TwoPassMinBytesKey)
+    spark.conf.set(Prefix.TwoPassMinBytesKey, v.toString)
+    try body
+    finally prev match {
+      case Some(x) => spark.conf.set(Prefix.TwoPassMinBytesKey, x)
+      case None => spark.conf.unset(Prefix.TwoPassMinBytesKey)
+    }
+  }
+
   private def naive(df: org.apache.spark.sql.DataFrame, group: org.apache.spark.sql.Column,
       order: Seq[org.apache.spark.sql.Column], weight: org.apache.spark.sql.Column,
       budget: Long) = {
@@ -36,8 +49,10 @@ class SamplingScaleSpec extends SparkSpec {
       pmod(hash(col("id")), lit(97)).cast("long").as("q"),
       (pmod(hash(col("id"), lit(7)), lit(40)) + 1).cast("long").as("w"))
     val order = Seq(col("q").desc, col("id").asc)
-    val got = Sampling.budgetSelect(df, col("g"), order, col("w"), budget = 2000L)
+    val got = withTwoPassMinBytes(0L) {
+      Sampling.budgetSelect(df, col("g"), order, col("w"), budget = 2000L)
       .select("id", "cum_weight", "kept").as[(Long, Long, Boolean)].collect().map { case (a, b, c) => a -> ((b, c)) }.toMap
+    }
     val want = naive(df, col("g"), order, col("w"), budget = 2000L)
       .select("id", "cum_weight", "kept").as[(Long, Long, Boolean)].collect().map { case (a, b, c) => a -> ((b, c)) }.toMap
     assert(got.size == 5000 && got == want)
@@ -49,8 +64,10 @@ class SamplingScaleSpec extends SparkSpec {
       pmod(col("id"), lit(3)).cast("string").as("g"),
       (pmod(hash(col("id"), lit(3)), lit(1000)).cast("double") / 10.0).as("w"))
     val order = Seq(col("id").asc)
-    val got = Sampling.budgetSelect(df, col("g"), order, col("w"), budget = 5000L)
+    val got = withTwoPassMinBytes(0L) {
+      Sampling.budgetSelect(df, col("g"), order, col("w"), budget = 5000L)
       .select("id", "cum_weight", "kept").as[(Long, Double, Boolean)].collect().map { case (a, b, c) => a -> ((b, c)) }.toMap
+    }
     val want = naive(df, col("g"), order, col("w"), budget = 5000L)
       .select("id", "cum_weight", "kept").as[(Long, Double, Boolean)].collect().map { case (a, b, c) => a -> ((b, c)) }.toMap
     assert(got.keySet == want.keySet)
@@ -62,9 +79,11 @@ class SamplingScaleSpec extends SparkSpec {
 
   test("shuffleShards ≡ naive row_number window (few big shards)") {
     val df = spark.range(0, 4000).toDF("id")
-    val got = Sampling.shuffleShards(df, col("id"), numShards = 3)
-      .select("id", "shard", "pos_in_shard")
-      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = withTwoPassMinBytes(0L) {
+      Sampling.shuffleShards(df, col("id"), numShards = 3)
+        .select("id", "shard", "pos_in_shard")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    }
     // naive reference: one window per shard
     val mixed = Sampling.mixedHash(col("id"), "v1")
     val w = Window.partitionBy(col("shard")).orderBy(mixed.asc, col("id").asc_nulls_first)
@@ -79,9 +98,11 @@ class SamplingScaleSpec extends SparkSpec {
     val df = spark.range(0, 3000).select(
       col("id"), pmod(col("id"), lit(2)).cast("string").as("lang"),
       (pmod(hash(col("id")), lit(200)) + 1).cast("long").as("tok"))
-    val got = Packing.sequencePacking(df, "lang", "id", col("tok"), capacity = 512L)
-      .select("id", "pack_offset", "bin_id", "offset_in_bin", "spans_boundary")
-      .as[(Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val got = withTwoPassMinBytes(0L) {
+      Packing.sequencePacking(df, "lang", "id", col("tok"), capacity = 512L)
+        .select("id", "pack_offset", "bin_id", "offset_in_bin", "spans_boundary")
+        .as[(Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    }
     val w = Window.partitionBy(col("lang")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val want = df.withColumn("pack_offset", coalesce(sum(col("tok")).over(w), lit(0L)))
@@ -98,7 +119,9 @@ class SamplingScaleSpec extends SparkSpec {
     val df = spark.range(0, 2000).select(
       col("id"), pmod(col("id"), lit(2)).cast("string").as("g"),
       lit(1L).as("w"))
-    val res = Sampling.budgetSelect(df, col("g"), Seq(col("id").asc), col("w"), 100L)
+    val res = withTwoPassMinBytes(0L) {
+      Sampling.budgetSelect(df, col("g"), Seq(col("id").asc), col("w"), 100L)
+    }
     res.collect() // materialize so AQE finalizes the plan
     val plan = res.queryExecution.executedPlan.toString
     // the range shuffle lives in ONE pre-materialized RDD shared by both
@@ -113,5 +136,48 @@ class SamplingScaleSpec extends SparkSpec {
     // never by the group alone
     assert(plan.contains("windowspecdefinition(__pfx_pid"),
       s"expected slice-partitioned window, got plan:\n$plan")
+  }
+
+  test("size gate: small inputs take the naive window plan, values identical to two-pass") {
+    val df = spark.range(0, 800).select(
+      col("id"), pmod(col("id"), lit(3)).cast("string").as("g"), lit(2L).as("w"))
+    val gated = Sampling.budgetSelect(df, col("g"), Seq(col("id").asc), col("w"), 50L)
+    val plan = gated.queryExecution.executedPlan.toString
+    // default gate (128 MB) >> this input: the plain one-window plan, no
+    // materialized RDD hop, no slice column, no broadcast join
+    assert(!plan.contains("ExistingRDD") && !plan.contains("__pfx_pid"),
+      s"small input must take the naive window plan:\n$plan")
+    val got = gated.select("id", "cum_weight", "kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val want = withTwoPassMinBytes(0L) {
+      Sampling.budgetSelect(df, col("g"), Seq(col("id").asc), col("w"), 50L)
+        .select("id", "cum_weight", "kept").as[(Long, Long, Boolean)].collect().toSet
+    }
+    assert(got == want)
+  }
+
+  test("hashSampleK on duplicate keys still returns exactly k rows per group (both paths)") {
+    // every key appears twice — a flat violation of the unique-key
+    // precondition; the ROWS-frame prefix count must still hand ties
+    // distinct ranks so the k-cut keeps exactly k rows, never fewer
+    val df = spark.range(0, 300)
+      .select(pmod(col("id"), lit(150)).as("key"), pmod(col("id"), lit(3)).cast("string").as("g"))
+    for (force <- Seq(0L, Long.MaxValue)) {
+      val counts = withTwoPassMinBytes(force) {
+        Sampling.hashSampleK(df, col("g"), col("key"), k = 10)
+          .groupBy("g").count().as[(String, Long)].collect().toMap
+      }
+      assert(counts.values.toSet == Set(10L), s"force=$force got $counts")
+    }
+  }
+
+  test("sequencePacking: a null token count packs as an empty doc, not a null bin") {
+    val df = Seq((1L, "en", Some(5L)), (2L, "en", None), (3L, "en", Some(7L)))
+      .toDF("id", "lang", "tok")
+    val got = Packing.sequencePacking(df, "lang", "id", col("tok"), capacity = 8L)
+      .select("id", "pack_offset", "bin_id", "offset_in_bin", "spans_boundary")
+      .as[(Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(2L) == ((2L, 5L, 0L, 5L, false)), s"null-tok row: ${got(2L)}")
+    assert(got(3L) == ((3L, 5L, 0L, 5L, true)), s"row after null-tok: ${got(3L)}")
   }
 }
