@@ -7,9 +7,15 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Sign-random-projection LSH bucket of an embedding: bit j =
-  * [⟨v, plane_j⟩ > 0], with deterministic Rademacher (±1) hyperplane
-  * entries. `table` selects an independent plane family for multi-table
-  * LSH.
+  * [⟨q(v), plane_j⟩ > 0], with deterministic Rademacher (±1) hyperplane
+  * entries over the QUANTIZED vector q(v)ᵢ = ⌊vᵢ·1000⌋ — the projection
+  * is an exact BIGINT sum, so bucket assignment is ENGINE-NEUTRAL: order
+  * of accumulation cannot flip a sign the way a float sum could, and the
+  * DuckDB oracle replays buckets bit-for-bit (same quantization as
+  * [[QuantizedDot]]; the plane-sign mix replays as HUGEINT arithmetic —
+  * all terms are non-negative, so bit 16 of the wrapped 64-bit product
+  * equals bit 16 of the exact product). `table` selects an independent
+  * plane family for multi-table LSH.
   *
   * A native expression, not a Column composition: the unrolled form is
   * `planes × dim` `element_at` terms — at 8 tables × 6 planes that is a
@@ -29,11 +35,12 @@ object LshBucket {
     var j = 0
     while (j < planes) {
       val pj = j + table * 1024
-      var proj = 0.0
+      var proj = 0L
       var d = 0
       while (d < n) {
         val v = if (isFloat) emb.getFloat(d).toDouble else emb.getDouble(d)
-        proj += (if (planeSign(pj, d) > 0) v else -v)
+        val q = Math.floor(v * 1000.0).toLong
+        proj += (if (planeSign(pj, d) > 0) q else -q)
         d += 1
       }
       if (proj > 0) sig |= (1L << j)

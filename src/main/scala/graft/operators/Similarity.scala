@@ -273,7 +273,13 @@ object Similarity {
     * the stored ANN index keeps codes + one float scale (4× smaller than
     * float32) and DROPS the float embeddings after bucketing. Built-in
     * HOFs are fine here — quantization is the index-BUILD pass; the scan
-    * kernel is the native [[graft.functions.Int8Dot]]. */
+    * kernel is the native [[graft.functions.Int8Dot]].
+    *
+    * The code arithmetic runs in DOUBLE on purpose: float32 inputs widen
+    * exactly, and a single double multiply/divide + ties-away-from-zero
+    * round is IEEE-determined — every engine (the DuckDB oracle included)
+    * derives the SAME codes, where float-precision intermediates would
+    * leave the last ulp (and so a code at a .5 boundary) engine-dependent. */
   def int8Quantize(df: DataFrame, embCol: String = "embedding"): DataFrame = {
     val e = col(embCol)
     df.withColumn("scale8",
@@ -281,7 +287,8 @@ object Similarity {
       .withColumn("code8",
         when(col("scale8") === 0f,
           transform(e, _ => lit(0).cast("byte")))
-          .otherwise(transform(e, x => round(x * lit(127f) / col("scale8")).cast("byte"))))
+          .otherwise(transform(e, x =>
+            round(x.cast("double") * lit(127.0) / col("scale8").cast("double")).cast("byte"))))
   }
 
   /** Approximate dot from int8 codes: int8_dot(a,b) · sa·sb / 127². */

@@ -1262,9 +1262,72 @@ object PipelineQueries {
          |WHERE a.vec_id < 256 AND a.vec_id < b.vec_id
          |  AND CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) AS BIGINT) >= 400000""".stripMargin
 
-    // q27_ann_lsh, q37_ann_ivf, q39_semdedup and q52_ann_int8 intentionally
-    // have NO oracle: LSH recall is probabilistic, k-means cells are
-    // trained artifacts, and int8 rescaling is float arithmetic. The driver
+    // q27/q52 oracles: the sign-random-projection tables are DETERMINISTIC
+    // integer arithmetic end to end (LshBucket projects the ⌊x·1000⌋
+    // quantization through ±1 Rademacher planes as an exact BIGINT sum;
+    // the plane-sign mix replays in HUGEINT — every term non-negative, so
+    // bit 16 of the wrapped 64-bit product equals bit 16 of the exact
+    // product), so DuckDB replays bucket assignment, the ≤2-bit
+    // multi-probe XOR fan-out, candidate dedup, scoring and ranking
+    // bit-for-bit. "Approximate" here means approximate NEAREST-NEIGHBOR
+    // recall (SimilaritySpec pins it vs exact brute force) — the
+    // algorithm itself is a pure function of the input.
+    val bucketCte =
+      s"""qv AS (SELECT vec_id, $quant AS e FROM embeddings),
+         |pl AS (SELECT t.r AS t, j.r AS j, t.r*1024 + j.r AS pj
+         |       FROM range(8) t(r), range(6) j(r)),
+         |proj AS (
+         |  SELECT qv.vec_id, pl.t, pl.j,
+         |    SUM(CASE WHEN ((CAST(pl.pj*1000003 + d.r*19349663 + 12289 AS HUGEINT)
+         |                    * 2654435761) // 65536) % 2 = 1
+         |        THEN qv.e[d.r+1] ELSE -qv.e[d.r+1] END) AS pr
+         |  FROM qv, range(64) d(r), pl
+         |  GROUP BY qv.vec_id, pl.t, pl.j),
+         |bk AS (SELECT vec_id, t, CAST(SUM(CASE WHEN pr > 0 THEN 1<<j ELSE 0 END) AS BIGINT) AS b
+         |       FROM proj GROUP BY vec_id, t),
+         |masks AS (SELECT unnest([${(0 until 64).filter(m => Integer.bitCount(m) <= 2).mkString(", ")}]) AS m),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bk q, masks ms, bk c
+         |  WHERE q.vec_id < 64 AND c.t = q.t AND c.b = xor(q.b, ms.m)
+         |    AND q.vec_id <> c.vec_id)""".stripMargin
+
+    m += "q27_ann_lsh" ->
+      s"""WITH $bucketCte,
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) AS BIGINT) AS score
+         |  FROM cand JOIN qv a ON a.vec_id = cand.query_id
+         |            JOIN qv b ON b.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin
+
+    // int8 re-rank: codes = round(127·x/scale) in DOUBLE (exact widening
+    // of float32, one IEEE multiply/divide, ties-away round — identical
+    // in every engine); the score chain replays Spark's association order
+    // ((dot·sa)·sb)/127², all IEEE-determined double ops
+    m += "q52_ann_int8" ->
+      s"""WITH $bucketCte,
+         |i8 AS (SELECT vec_id,
+         |    CAST(coalesce(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 0) AS REAL) AS s,
+         |    embedding::DOUBLE[] AS e FROM embeddings),
+         |codes AS (SELECT vec_id, s,
+         |    CASE WHEN s = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(e, x -> CAST(round(x * 127.0 / CAST(s AS DOUBLE)) AS BIGINT))
+         |    END AS c FROM i8),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  ((CAST(list_sum(list_transform(list_zip(a.c, b.c), p -> p[1] * p[2])) AS DOUBLE)
+         |    * CAST(a.s AS DOUBLE)) * CAST(b.s AS DOUBLE)) / 16129.0 AS score
+         |  FROM cand JOIN codes a ON a.vec_id = cand.query_id
+         |            JOIN codes b ON b.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin
+
+    // q37_ann_ivf and q39_semdedup intentionally keep NO oracle: their
+    // cell assignment is a TRAINED artifact (seeded MLlib k-means — float
+    // iteration order an external engine cannot replay). The driver
     // records rows-only checks; SimilaritySpec / SemDedupSpec assert
     // recall, reconstruction error and soundness vs the exact forms.
     m.result()
