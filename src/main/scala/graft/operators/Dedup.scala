@@ -282,9 +282,21 @@ object Dedup {
     * shuffle task that owns the bucket (measured: a 12-token prefix
     * shared by 8M of 10M synthetic docs put ~10⁵ docs in single buckets
     * ⇒ ~10¹⁰ pairs through one task — the job crawls on one core for
-    * hours). Buckets above the cap are dropped BEFORE the join, via a
-    * count window over the same (band, sig) exchange the join needs
-    * anyway (the jaccardPairs df-prune pattern — no extra corpus pass).
+    * hours). Over-cap buckets are identified by a SLIM side aggregate —
+    * (band, sig) keys only, partial aggregation collapsing exactly the
+    * hot buckets it looks for — and anti-joined away as a broadcast
+    * BELOW the band exchange, so capped rows never even shuffle. The
+    * broadcast is sound because the over-cap list is structurally tiny:
+    * ≤ n_docs·bands/maxBucketSize rows (every member bucket holds more
+    * than `maxBucketSize` docs), e.g. ≤ 4k rows for 10M docs at the
+    * default cap. The previous form — a count window over the join's own
+    * exchange — priced the count at a full SORT of the fat
+    * payload-carrying exchange (measured at 10M docs: the dominant cost
+    * of the pair stage); the slim aggregate re-scans the corpus once
+    * (cheap codegen'd minhash, no payload) instead. A corpus degenerate
+    * enough to overflow the broadcast (~everything in over-cap
+    * boilerplate clusters) should raise the cap or pre-clean — the
+    * broadcast failing loudly beats the window quietly sorting it.
     *
     * Exactly-once + capping interact, so the DUPLICATE policy is split:
     *
@@ -323,11 +335,13 @@ object Dedup {
     val buckets =
       if (!capped) exploded
       else {
-        val wBucket = Window.partitionBy(col("band"), col("sig"))
-        exploded
-          .withColumn("__bsz", count(lit(1)).over(wBucket))
-          .filter(col("__bsz") <= maxBucketSize)
-          .drop("__bsz")
+        val overCap = withB
+          .select(posexplode(col("bs")).as(Seq("band", "sig")))
+          .groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select(col("band"), col("sig"))
+        exploded.join(broadcast(overCap), Seq("band", "sig"), "left_anti")
       }
     def side(p: String) = buckets.select(
       (Seq(col("band").as(s"${p}band"), col("sig").as(s"${p}sig")) ++
@@ -535,12 +549,12 @@ object Dedup {
     *
     * Shape: posexplode of the ORDERED n-gram hash multiset gives
     * (doc, pos, h); one map-side-combined hash aggregate counts global
-    * occurrences per h; the ≥2 keys semi-join back (shuffle-hash build on
-    * the key side — NOT a count-window over h, which a boilerplate gram
-    * would skew into one giant unsplittable partition, and the groupBy's
-    * partial aggregation collapses those same hot grams to one row per
-    * map task); island-merging of the surviving positions is one
-    * doc-keyed window. Output mass = duplicated positions, never corpus².
+    * occurrences per h (NOT a count-window over h, which a boilerplate
+    * gram would skew into one giant unsplittable partition — the
+    * groupBy's partial aggregation collapses those same hot grams to one
+    * row per map task); the ≥2 keys semi-join back (size-gated, below);
+    * island-merging of the surviving positions is one doc-keyed window.
+    * Output mass = duplicated positions, never corpus².
     * The corpus is shingled twice (count pass + mask pass) — at 100 TB two
     * cheap codegen'd scans beat materializing corpus-sized postings.
     *
@@ -553,13 +567,32 @@ object Dedup {
     * `rollingHash(gram)·(10⁹+7) + rollingHash37(gram)` (base-37 twin —
     * a salted base-31 hash would preserve equal-length collisions).
     *
+    * The mask pass is SIZE-GATED on the duplicated-key count, because the
+    * two passes have wildly different natural costs: the count pass must
+    * shuffle every gram key once (irreducible — global exactness), but
+    * the ≥2 survivors are OUTPUT-bounded — ordinarily a sliver of the
+    * corpus gram mass. The operator therefore runs the count pass EAGERLY
+    * at construction time (one sizing job, the same contract as
+    * [[Prefix.runningSum]]'s boundary sampling): at most
+    * `maxBroadcastKeys` surviving keys are collected and the mask pass
+    * becomes a map-side broadcast semi-join — the corpus-sized second
+    * postings exchange disappears entirely (measured at 10M docs / 10⁹
+    * grams: the mask pass's ~24 GB (doc, pos, h) shuffle was about half
+    * the stage). Above the gate (a pathologically duplicate-saturated
+    * corpus) the keys stay a persisted DataFrame feeding the original
+    * shuffled semi-join — the build side then reads from cache instead of
+    * re-running the count aggregate, and the cache entry deliberately
+    * outlives the call (the returned frame recomputes from it; evict via
+    * `unpersist` on a re-derived handle or session cache clearing).
+    *
     * → (doc_id, span_start, span_end, n_dup_grams): DISJOINT,
     * non-touching maximal half-open token spans [span_start, span_end) —
     * each is one contiguous run of duplicated-gram coverage (grams with
     * position gap ≤ n merge: < n overlaps, == n touches), span_end =
     * last merged gram pos + n; docs with no duplicated gram are absent.
     */
-  def duplicateSpans(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+  def duplicateSpans(df: DataFrame, id: Column, text: Column, n: Int,
+      maxBroadcastKeys: Long = 4000000L): DataFrame = {
     val postings = df
       .select(id.as("doc_id"),
         posexplode(TextAnalysis.ngramHashesWideMultiset(text, n)))
@@ -568,7 +601,16 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("h"))
-    val dupPos = postings.join(dupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nKeys = dupKeys.count() // the sizing job — also warms the cache
+    val dupPos =
+      if (nKeys <= maxBroadcastKeys) {
+        val keys = dupKeys.collect().map(_.getLong(0))
+        dupKeys.unpersist(blocking = false)
+        val keysDf = df.sparkSession.createDataset(keys.toIndexedSeq)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("h")
+        postings.join(broadcast(keysDf), Seq("h"), "left_semi")
+      } else postings.join(dupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
     // island merge on COVERAGE, not adjacency: gram at p covers tokens
     // [p, p+n), so coverages overlap at position gap < n and TOUCH at
     // gap == n — both mean one contiguous duplicated run, so gap <= n
@@ -600,19 +642,26 @@ object Dedup {
     * [[graft.functions.RemoveTokenSpans]]. Docs with no mask rows pass
     * through token-normalized (single-space re-join — the tokenizer's
     * contract); fully-masked or token-free docs become "".
-    * → (doc_id, clean_text). */
-  def removeSpans(docs: DataFrame, id: Column, text: Column, spans: DataFrame): DataFrame = {
+    *
+    * `keepCols` names payload columns of `docs` to carry through beside
+    * the rewrite — a caller that needs (metadata + clean text) should
+    * pass them here rather than join the output back to the corpus on
+    * doc_id (that join re-shuffles the whole corpus for columns that were
+    * already in the row).
+    * → (doc_id, keepCols…, clean_text). */
+  def removeSpans(docs: DataFrame, id: Column, text: Column, spans: DataFrame,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val agg = spans.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(
         col("span_start").as("s"), col("span_end").as("e")))).as("__sp"))
-    docs.select(id.as("doc_id"), text.as("__text"))
+    docs.select(id.as("doc_id") +: keepCols.map(col) :+ text.as("__text"): _*)
       .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id") +: keepCols.map(col) :+
         Bridge.column(RemoveTokenSpans(
           Bridge.expression(col("__text")),
           Bridge.expression(coalesce(col("__sp").getField("s"), lit(Array.empty[Long]))),
           Bridge.expression(coalesce(col("__sp").getField("e"), lit(Array.empty[Long])))))
-          .as("clean_text"))
+          .as("clean_text"): _*)
   }
 
   /** The dedup DECISION: given per-doc duplicate-cluster assignments

@@ -159,6 +159,12 @@ object CurationBench {
       // heap comes from the forked JVM: run with SPARK_DRIVER_MEM=96g
       .config("spark.local.dir", "/tmp/graft_curation_scratch") // NOT under root: runs wipe root
       .config("spark.ui.enabled", "false")
+      // AQE-converted broadcasts are sized from RUNTIME stats, so a
+      // larger threshold is safe here and load-bearing: the dedup
+      // verdict drop-lists and the span-mask table are tens of MB at
+      // 10M docs — broadcasting them keeps the corpus-carrying side of
+      // stages 05c/06b map-side instead of shuffling 6 GB of text
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "128m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -170,11 +176,13 @@ object CurationBench {
 
     for (run <- 0 until runs) {
       fs.delete(new Path(root), true)
-      var prev: Option[String] = None // rolling window: keep current + previous stage dirs only
 
       /** Write `df` to parquet as stage `name`, time the write, return the
         * materialized frame. Per-stage cost is measured on data at rest:
-        * each stage reads its predecessor's parquet. */
+        * each stage reads its predecessor's parquet. Stages can have
+        * multiple downstream consumers (05a-c, 06a-b), so cleanup is
+        * explicit: `free(name)` after a stage's LAST consumer has
+        * materialized — at most three stage dirs are alive at once. */
       def stage(name: String)(df: => DataFrame): DataFrame = {
         val out = s"$root/$name"
         val t0 = System.nanoTime()
@@ -185,10 +193,10 @@ object CurationBench {
         stages.getOrElseUpdate(name, Array.fill(runs)(0.0))(run) = sec
         rowsOut(name) = cnt
         println(f"""{"stage":"$name","run":$run,"sec":$sec%.2f,"rows_out":$cnt}""")
-        prev.filterNot(_ == "00_synth").foreach(p => fs.delete(new Path(s"$root/$p"), true))
-        prev = Some(name)
         back
       }
+      def free(names: String*): Unit =
+        names.foreach(p => fs.delete(new Path(s"$root/$p"), true))
 
       val raw = stage("00_synth") { synth(spark, n) }
       val benchDocs = synthBench(spark, n, 10000L).persist()
@@ -201,6 +209,7 @@ object CurationBench {
       val docs = stage("01_strip") {
         raw.withColumn("text", TextAnalysis.htmlText($"text"))
       }
+      free("00_synth")
       // 0. PII redaction + language tag + TARGET-LANGUAGE filter (all
       // map-side, fuse into the scan). The filter is what a real pass
       // does right after lang-id — and it is load-bearing for stage 8:
@@ -212,6 +221,7 @@ object CurationBench {
           .withColumn("lang", TextAnalysis.langId($"text"))
           .filter($"lang".isin("en", "fr"))
       }
+      free("01_strip")
       // 1. composite quality gate
       val kept = stage("03_gate") {
         redacted.join(
@@ -221,6 +231,7 @@ object CurationBench {
             minTokens = 20L, minStopwordPermille = 10L, maxTopGramPermille = 300L)
             .filter($"keep").select("doc_id"), "doc_id")
       }
+      free("02_pii_lang")
       // 2a. exact dedup: content-hash groups, keep each group's canonical
       val exact = stage("04_exact_dedup") {
         kept.join(
@@ -228,27 +239,52 @@ object CurationBench {
             .select($"canonical_id".as("doc_id")),
           Seq("doc_id"), "left_semi")
       }
-      // 2b. near-dup dedup: LSH pairs -> components -> keep the BEST doc
-      val uniq = stage("05_lsh_dedup") {
-        val pairs = Dedup.minhashNearDupPairs(exact, $"doc_id", $"text", 3, 8, 4, 800)
+      free("03_gate")
+      // 2b. near-dup dedup, profiled in three sub-stages:
+      //   05a  LSH pair mining (the band join + Jaccard verify),
+      //   05b  components + keep-best verdict over CLUSTER MEMBERS only —
+      //        the pair endpoints; the untouched corpus majority is
+      //        trivially kept and never enters the window,
+      //   05c  the decision applied as an ANTI join on the drop-list —
+      //        output-bounded (≈ removed docs), so AQE broadcasts it and
+      //        the corpus text never shuffles (the keep-list semi join it
+      //        replaces was corpus-sized on both sides)
+      val pairs = stage("05a_lsh_pairs") {
+        Dedup.minhashNearDupPairs(exact, $"doc_id", $"text", 3, 8, 4, 800)
+      }
+      val verdicts = stage("05b_dedup_verdicts") {
+        val touched = pairs.select($"a_id".as("id"))
+          .unionByName(pairs.select($"b_id".as("id"))).distinct()
         val comp = Components.connectedComponents(
-          exact.select($"doc_id".as("id")),
+          touched,
           pairs.select($"a_id".as("src"), $"b_id".as("dst")),
           checkpointDir = Some(s"$root/ckpt"))
           .select($"id".as("doc_id"), $"component_id")
-        exact.join(Dedup.keepBest(
+        Dedup.keepBest(
           comp.join(exact.select($"doc_id", $"n_chars"), "doc_id"),
           $"doc_id", $"component_id", Seq($"n_chars".desc, $"doc_id".asc))
-          .filter($"is_kept").select("doc_id"), "doc_id")
       }
-      // 3. exact-substring rewrite: cut duplicated >= 13-token runs
-      val rewritten = stage("06_span_rewrite") {
-        val spans = Dedup.duplicateSpans(uniq, $"doc_id", $"text", n = 13)
-        uniq.drop("text")
-          .join(Dedup.removeSpans(uniq, $"doc_id", $"text", spans)
-            .withColumnRenamed("clean_text", "text"), "doc_id")
+      free("05a_lsh_pairs")
+      val uniq = stage("05c_apply_verdicts") {
+        exact.join(verdicts.filter(!$"is_kept").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      }
+      free("04_exact_dedup", "05b_dedup_verdicts")
+      // 3. exact-substring rewrite: cut duplicated >= 13-token runs.
+      //   06a  the span mask (count pass + broadcast-gated mask pass),
+      //   06b  the rewrite kernel with metadata carried THROUGH
+      //        removeSpans — no join back to the corpus for columns that
+      //        were already in the row
+      val spans = stage("06a_dup_spans") {
+        Dedup.duplicateSpans(uniq, $"doc_id", $"text", n = 13)
+      }
+      val rewritten = stage("06b_span_rewrite") {
+        Dedup.removeSpans(uniq, $"doc_id", $"text", spans,
+          keepCols = Seq("source", "lang", "n_chars"))
+          .withColumnRenamed("clean_text", "text")
           .filter(TextAnalysis.tokenCount($"text") > 0)
       }
+      free("05c_apply_verdicts", "06a_dup_spans")
       // 4. contamination gate against the eval suite
       val clean = stage("07_decontam") {
         rewritten.join(
@@ -257,11 +293,13 @@ object CurationBench {
             .select($"train_id".as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
       }
+      free("06b_span_rewrite")
       // 5. temperature mix (α=0.5): damp the dominant language
       val mixed = stage("08_temperature_mix") {
         Sampling.temperatureResample(clean, $"lang", $"doc_id", alpha = 0.5)
           .filter($"kept").drop("keep_permille", "kept")
       }
+      free("07_decontam")
       // 6. per-language token budget: best docs first until the budget fills
       val budgeted = stage("09_token_budget") {
         Sampling.budgetSelect(mixed, $"lang",
@@ -269,16 +307,19 @@ object CurationBench {
           TextAnalysis.tokenCount($"text").cast("long"),
           budget = n * 8L).filter($"kept").drop("cum_weight", "kept")
       }
+      free("08_temperature_mix")
       // 7. pack into context windows per language shard
       val packed = stage("10_packing") {
         Packing.sequencePacking(budgeted, "lang", "doc_id",
           TextAnalysis.tokenCount($"text"), capacity = 4096)
       }
+      free("09_token_budget")
       // 8+9. deterministic split, then training-order shards
       stage("11_split_shards") {
         val split = Sampling.hashSplit(packed, $"doc_id", Seq("train" -> 950, "val" -> 50))
         Sampling.shuffleShards(split.filter($"split" === "train"), $"doc_id", numShards = 64)
       }
+      free("10_packing")
       benchDocs.unpersist()
     }
 

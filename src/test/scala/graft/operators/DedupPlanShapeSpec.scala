@@ -21,6 +21,15 @@ class DedupPlanShapeSpec extends SparkSpec {
   private def nExchanges(df: DataFrame): Int =
     "(?<!Broadcast)Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
 
+  /** DISTINCT shuffles by canonical plan: a self-join prints its shared
+    * exchange once per side, but runtime exchange reuse materializes each
+    * canonically-identical exchange once — this is the number that prices
+    * the plan. */
+  private def nDistinctExchanges(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e.canonicalized
+    }.distinct.size
+
   test("minhash signatures are narrow-only: zero exchanges") {
     val sig = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), n = 3, k = 8)
     assert(nExchanges(sig) == 0,
@@ -41,14 +50,29 @@ class DedupPlanShapeSpec extends SparkSpec {
     val pairs = Dedup.minhashNearDupPairs(
       docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4, minJaccardPermille = 200)
     val plan = pairs.queryExecution.executedPlan.toString
-    // band exchange (reused by both join sides) + the one pair-keyed
-    // exchange of verified 3-column rows — the sound capped semantics
-    // costs exactly one slim output-sized shuffle over the uncapped plan
-    assert(nExchanges(pairs) <= 3, s"capped LSH pair plan grew extra shuffles:\n$plan")
+    // band exchange (reused by both join sides) + the slim (band, sig)
+    // over-cap aggregate + the one pair-keyed exchange of verified
+    // 3-column rows — the sound capped semantics costs one slim
+    // output-sized shuffle and one slim key aggregate over the uncapped
+    // plan, never a sort of the payload-carrying exchange
+    assert(nDistinctExchanges(pairs) <= 3,
+      s"capped LSH pair plan grew extra shuffles:\n$plan")
+    // the shared exchanges must actually be reused at runtime, not
+    // materialized once per side
+    pairs.collect()
+    val finalPlan = pairs.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("Reused"),
+      s"band exchange must be reused across the self-join sides:\n$finalPlan")
     val aggExchange = "Exchange hashpartitioning\\(a_id[^\\n]*".r.findAllIn(plan).toList
     assert(aggExchange.nonEmpty, s"pair dedup exchange missing:\n$plan")
     assert(!aggExchange.exists(_.contains("hs")),
       s"the pair-dedup exchange must never carry the shingle arrays:\n$plan")
+    // the cap filter must be a broadcast anti join on (band, sig) — the
+    // count-window form sorted the full shingle-carrying exchange
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"over-cap buckets must be a broadcast anti join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window (= no fat-exchange sort) in the capped pair plan:\n$plan")
   }
 
   test("simhash near-dup pairs keep the single-exchange shape") {
@@ -90,11 +114,25 @@ class DedupPlanShapeSpec extends SparkSpec {
   }
 
   test("duplicateSpans: semi-join on the gram key, never broadcast of the corpus") {
+    // small dup-key set (the overwhelmingly common case): the mask pass
+    // must be a map-side BROADCAST semi join on the collected keys — the
+    // corpus postings never shuffle a second time
     val spans = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
     val plan = spans.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"dup-position filter must be a semi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small dup-key sets must broadcast, never re-shuffle the postings:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"duplicateSpans degraded to a non-equi plan:\n$plan")
+    // above the gate: the shuffled semi join against the persisted key set
+    val big = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3,
+      maxBroadcastKeys = 0L)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("ShuffledHashJoin") && bigPlan.contains("LeftSemi"),
+      s"above the broadcast gate the mask pass must be the shuffled semi join:\n$bigPlan")
+    assert(big.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      spans.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "both mask-pass strategies must emit identical spans")
   }
 
   test("temperatureResample and quantileBuckets broadcast their tiny side") {

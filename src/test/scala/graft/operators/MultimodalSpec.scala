@@ -224,6 +224,96 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.WavDecoder.audioMeta(ogg) == ((0, 0, 0L)))
   }
 
+  /** Genuine FLAC prefix: "fLaC" + STREAMINFO block (the format requires
+    * it first) with the packed BE bit fields a real encoder writes. */
+  private def flacBytes(rate: Int, channels: Int, bps: Int, totalSamples: Long): Array[Byte] = {
+    val b = new Array[Byte](42)
+    "fLaC".getBytes("ISO-8859-1").copyToArray(b)
+    b(4) = 0x00; b(5) = 0; b(6) = 0; b(7) = 34 // STREAMINFO, length 34
+    b(8) = 0x10; b(9) = 0x00; b(10) = 0x10; b(11) = 0x00 // min/max block 4096
+    // frame sizes (unknown): bytes 12-17 zero
+    val p = 8 + 10
+    b(p) = (rate >>> 12).toByte
+    b(p + 1) = ((rate >>> 4) & 0xff).toByte
+    b(p + 2) = (((rate & 0xf) << 4) | ((channels - 1) << 1) | ((bps - 1) >>> 4)).toByte
+    b(p + 3) = ((((bps - 1) & 0xf) << 4) | ((totalSamples >>> 32) & 0xf)).toInt.toByte
+    b(p + 4) = ((totalSamples >>> 24) & 0xff).toByte
+    b(p + 5) = ((totalSamples >>> 16) & 0xff).toByte
+    b(p + 6) = ((totalSamples >>> 8) & 0xff).toByte
+    b(p + 7) = (totalSamples & 0xff).toByte
+    b
+  }
+
+  /** Genuine MPEG1 Layer III 44.1 kHz stereo CBR 128 kbps frames
+    * (frame length 144·128000/44100 = 417 bytes, no padding). */
+  private def mp3Cbr(nFrames: Int): Array[Byte] = {
+    val frameLen = 417
+    val b = new Array[Byte](frameLen * nFrames)
+    for (i <- 0 until nFrames) {
+      val o = i * frameLen
+      b(o) = 0xff.toByte; b(o + 1) = 0xfb.toByte // sync, MPEG1 L3 no-CRC
+      b(o + 2) = 0x90.toByte // bitrate idx 9 (128k), rate idx 0 (44100)
+      b(o + 3) = 0x00 // stereo
+    }
+    b
+  }
+
+  test("FlacDecoder: STREAMINFO fields; corrupt -> zeros") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, flacBytes(44100, 2, 16, 1234567L), "flac"),
+      Multimodal.MediaRow(2L, flacBytes(96000, 6, 24, 0L), "flac"), // unknown length
+      Multimodal.MediaRow(3L, "fLaC then garbage not a streaminfo block".getBytes, "flac"),
+      Multimodal.MediaRow(4L, null, "flac")).toDS()
+    val got = Multimodal.extractAudioMeta(media, Multimodal.FlacDecoder)
+      .collect().map(m => (m.id, m.sample_rate, m.channels, m.n_frames)).toSet
+    assert(got == Set(
+      (1L, 44100, 2, 1234567L), (2L, 96000, 6, 0L),
+      (3L, 0, 0, 0L), (4L, 0, 0, 0L)))
+    // the JDK cannot read FLAC — the hand walk is the only zero-dep path
+    assert(Multimodal.WavDecoder.audioMeta(flacBytes(44100, 2, 16, 10L)) == ((0, 0, 0L)))
+  }
+
+  test("Mp3Decoder: CBR frame hop, ID3 skip, Xing frame count") {
+    val cbr = mp3Cbr(3)
+    // ID3v2 tag (10-byte header + 10 payload bytes, syncsafe length)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++
+      new Array[Byte](10) ++ cbr
+    // Xing VBR header in the first frame: side info 32 (MPEG1 stereo),
+    // flags FRAMES, 100 frames
+    val xing = mp3Cbr(1)
+    "Xing".getBytes("ISO-8859-1").copyToArray(xing, 4 + 32)
+    xing(4 + 32 + 7) = 0x01
+    xing(4 + 32 + 11) = 100.toByte
+    val media = Seq(
+      Multimodal.MediaRow(1L, cbr, "mp3"),
+      Multimodal.MediaRow(2L, id3, "mp3"),
+      Multimodal.MediaRow(3L, xing, "mp3"),
+      Multimodal.MediaRow(4L, "definitely not mpeg audio data".getBytes, "mp3"),
+      Multimodal.MediaRow(5L, null, "mp3")).toDS()
+    val got = Multimodal.extractAudioMeta(media, Multimodal.Mp3Decoder)
+      .collect().map(m => (m.id, m.sample_rate, m.channels, m.n_frames)).toSet
+    assert(got == Set(
+      (1L, 44100, 2, 3 * 1152L), (2L, 44100, 2, 3 * 1152L),
+      (3L, 44100, 2, 100 * 1152L), (4L, 0, 0, 0L), (5L, 0, 0, 0L)))
+  }
+
+  test("AutoAudioDecoder routes a mixed-format column in one pass") {
+    val ogg = oggPage(0x02, 0L, 0, vorbisIdPacket(2, 44100)) ++
+      oggPage(0x04, 22050L, 1, Array[Byte](0x05))
+    val media = Seq(
+      Multimodal.MediaRow(1L, wavBytes(8000, 1, 800), "wav"),
+      Multimodal.MediaRow(2L, ogg, "ogg"),
+      Multimodal.MediaRow(3L, flacBytes(48000, 2, 16, 4800L), "flac"),
+      Multimodal.MediaRow(4L, mp3Cbr(2), "mp3"),
+      Multimodal.MediaRow(5L, "who knows what this is".getBytes, "bin"),
+      Multimodal.MediaRow(6L, null, "bin")).toDS()
+    val got = Multimodal.extractAudioMeta(media, Multimodal.AutoAudioDecoder)
+      .collect().map(m => (m.id, m.sample_rate, m.channels, m.n_frames)).toSet
+    assert(got == Set(
+      (1L, 8000, 1, 800L), (2L, 44100, 2, 22050L), (3L, 48000, 2, 4800L),
+      (4L, 44100, 2, 2 * 1152L), (5L, 0, 0, 0L), (6L, 0, 0, 0L)))
+  }
+
   /** A REAL JPEG (ImageIO-encoded) with an EXIF APP1 segment spliced in
     * right after SOI — decoders skip unknown APP segments, so the payload
     * stays a valid image AND carries a genuine TIFF IFD. */
