@@ -250,14 +250,9 @@ object Dedup {
 
   /** LSH candidate pairs from banded minhash signatures: docs agreeing on
     * ALL rows of at least one band meet in an equi-join bucket. A pair
-    * sharing several bands is emitted exactly once: with capping disabled
-    * (`maxBucketSize = Int.MaxValue`) via the zero-extra-shuffle
-    * first-shared-band filter over the carried signature arrays; under the
-    * default hot-bucket cap via a slim (a, b)-keyed aggregate over the
-    * candidate pairs — the first-shared filter is UNSOUND under capping
-    * (a pair whose first shared band's bucket was capped never joins
-    * there, and the filter would then drop it at every surviving band;
-    * see [[bucketedPairs]]). → (a_id, b_id), a < b. */
+    * sharing several (surviving — see the cap in [[bucketedPairs]]) bands
+    * is emitted exactly once via the slim (a, b)-keyed aggregate inside
+    * [[bucketedPairs]]. → (a_id, b_id), a < b. */
   def lshCandidates(sig: DataFrame, k: Int, bands: Int,
       maxBucketSize: Int = 10000): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
@@ -265,14 +260,26 @@ object Dedup {
     val bandSig = (b: Int) =>
       bandKey((0 until r).map(i => col(s"mh_${b * r + i}")))
     val withB = sig.select(col("doc"), array((0 until bands).map(bandSig): _*).as("bs"))
-    val raw = bucketedPairs(withB, bands, Nil, maxBucketSize)
-      .select(col("a_id"), col("b_id"))
-    if (maxBucketSize == Int.MaxValue) raw else raw.distinct()
+    bucketedPairs(withB, maxBucketSize)
   }
 
-  /** Band-bucket self-join core: explode band signatures (carrying `extra`
-    * payload columns), equi-join on (band, sig) with a < b. Payload
-    * columns surface as a_<name> / b_<name>.
+  /** Band-bucket self-join core over SLIM rows: explode band signatures
+    * to (doc, band, sig), equi-join on (band, sig) with a < b, then
+    * collapse to exactly-once pairs with a (a, b)-keyed aggregate.
+    * → (a_id, b_id).
+    *
+    * The rows that shuffle are ~40 bytes each — the doc id and the band
+    * key, NOTHING else. An earlier design carried the per-doc shingle
+    * array through this exchange so the Jaccard verify could run inline
+    * on the joined row; measured at 10M docs that payload made the band
+    * exchange ~34 GB and the self-join's hash tables ~500 MB per task,
+    * and the pair stage spent ~800 s almost entirely in that exchange.
+    * The slim formulation shuffles ~1.5 GB for the same corpus and pays
+    * instead with one output-sized aggregate (candidate pairs, 16-byte
+    * rows) and — in [[minhashNearDupPairs]] — two joins against a
+    * candidate-filtered shingle table. At any scale candidates ≪ corpus
+    * shingle mass, so this trade is the right one everywhere except toy
+    * inputs, where both are milliseconds.
     *
     * `maxBucketSize` is the REQUIRED hot-bucket dial at corpus scale:
     * boilerplate (shared page chrome, license headers, shared prefixes)
@@ -282,89 +289,44 @@ object Dedup {
     * shuffle task that owns the bucket (measured: a 12-token prefix
     * shared by 8M of 10M synthetic docs put ~10⁵ docs in single buckets
     * ⇒ ~10¹⁰ pairs through one task — the job crawls on one core for
-    * hours). Over-cap buckets are identified by a SLIM side aggregate —
-    * (band, sig) keys only, partial aggregation collapsing exactly the
-    * hot buckets it looks for — and anti-joined away as a broadcast
-    * BELOW the band exchange, so capped rows never even shuffle. The
-    * broadcast is sound because the over-cap list is structurally tiny:
-    * ≤ n_docs·bands/maxBucketSize rows (every member bucket holds more
-    * than `maxBucketSize` docs), e.g. ≤ 4k rows for 10M docs at the
-    * default cap. The previous form — a count window over the join's own
-    * exchange — priced the count at a full SORT of the fat
-    * payload-carrying exchange (measured at 10M docs: the dominant cost
-    * of the pair stage); the slim aggregate re-scans the corpus once
-    * (cheap codegen'd minhash, no payload) instead. A corpus degenerate
-    * enough to overflow the broadcast (~everything in over-cap
-    * boilerplate clusters) should raise the cap or pre-clean — the
-    * broadcast failing loudly beats the window quietly sorting it.
-    *
-    * Exactly-once + capping interact, so the DUPLICATE policy is split:
-    *
-    *  - `maxBucketSize = Int.MaxValue` (capping off): each pair is kept on
-    *    its FIRST shared band — a filter over the carried signature
-    *    arrays, zero extra shuffle. Exact, because every shared band's
-    *    bucket exists in the join.
-    *  - capped (the default): the first-shared filter is UNSOUND — a pair
-    *    whose first shared band's bucket was capped never joins there, and
-    *    the bs-array filter (which knows nothing about capping) would then
-    *    drop it at EVERY surviving band, silently losing recall on
-    *    multi-band pairs that graze one boilerplate bucket. So capped mode
-    *    emits each pair once per SURVIVING shared band (≤ `bands` copies)
-    *    and the CALLER deduplicates with a slim pair-keyed aggregate at
-    *    its cheapest point — after the Jaccard verify in
-    *    [[minhashNearDupPairs]] (exchange mass = true near-dups, ≈ output
-    *    size), a distinct over (a, b) in [[lshCandidates]]. Contract: a
-    *    pair surfaces iff AT LEAST ONE shared band's bucket is uncapped —
-    *    a boilerplate cluster is pruned as a whole, never resurrected
-    *    pair-by-pair, while pairs that merely touch a hot bucket keep
-    *    their other bands. With no capped buckets this is output-identical
-    *    to first-shared-band (the oracle fixtures' regime).
-    *
-    * The bs arrays ride the exchange only in uncapped mode (the filter
-    * needs them); capped mode ships (doc, extra) only. The default
+    * hours). Over-cap buckets are dropped BEFORE the join by a count
+    * window over the same slim (band, sig) exchange the join needs
+    * anyway — on 40-byte rows the window's sort is noise (the sort was
+    * only ever a problem when the exchange carried shingle arrays), and
+    * a hot bucket is at worst a few MB in one partition. Contract: a
+    * pair surfaces iff AT LEAST ONE shared band's bucket is uncapped —
+    * a boilerplate cluster is pruned as a whole, never resurrected
+    * pair-by-pair, while pairs that merely graze a hot bucket keep their
+    * other bands (spec-pinned in `DedupSpec`). The exactly-once
+    * aggregate makes capped and uncapped modes emit identical pairs on
+    * cap-free corpora (the oracle fixtures' regime). The default
     * (10000) is far above any bucket the oracle fixtures produce and
-    * still bounds the per-bucket pair mass at 10⁸. Capped-away recall is
+    * still bounds per-bucket pair mass at 10⁸. Capped-away recall is
     * observable via [[cappedLshBuckets]]. */
-  private def bucketedPairs(
-      withB: DataFrame, bands: Int, extra: Seq[String],
-      maxBucketSize: Int = 10000): DataFrame = {
-    val capped = maxBucketSize != Int.MaxValue
-    val payload = (if (capped) Seq("doc") else Seq("doc", "bs")) ++ extra
+  private def bucketedPairs(withB: DataFrame, maxBucketSize: Int): DataFrame = {
     val exploded = withB.select(
-      payload.map(col) :+ posexplode(col("bs")).as(Seq("band", "sig")): _*)
+      col("doc"), posexplode(col("bs")).as(Seq("band", "sig")))
     val buckets =
-      if (!capped) exploded
+      if (maxBucketSize == Int.MaxValue) exploded
       else {
-        val overCap = withB
-          .select(posexplode(col("bs")).as(Seq("band", "sig")))
-          .groupBy(col("band"), col("sig"))
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") > maxBucketSize)
-          .select(col("band"), col("sig"))
-        exploded.join(broadcast(overCap), Seq("band", "sig"), "left_anti")
+        val wBucket = Window.partitionBy(col("band"), col("sig"))
+        exploded
+          .withColumn("__bsz", count(lit(1)).over(wBucket))
+          .filter(col("__bsz") <= maxBucketSize)
+          .drop("__bsz")
       }
     def side(p: String) = buckets.select(
-      (Seq(col("band").as(s"${p}band"), col("sig").as(s"${p}sig")) ++
-        payload.map(c => col(c).as(s"${p}_$c"))): _*)
-    // shuffle_hash, not broadcast: both sides are the SAME exploded subplan,
-    // so the shuffle is one exchange materialized once and read twice
-    // (ReusedExchange) — broadcasting would build + ship the array payload
-    // as a hash relation instead. Not merge: sorting rows that carry the
-    // shingle arrays buys nothing the hash table doesn't.
-    val joined = side("a").hint("shuffle_hash").join(side("b"),
+      col("band").as(s"${p}band"), col("sig").as(s"${p}sig"), col("doc").as(s"${p}_doc"))
+    // shuffle_hash, not broadcast: both sides are the SAME exploded
+    // subplan, so the shuffle is one slim exchange materialized once and
+    // read twice (ReusedExchange); per-partition hash tables are tens of
+    // MB. Not merge: the bucket equi-join needs no order.
+    side("a").hint("shuffle_hash").join(side("b"),
       col("aband") === col("bband") && col("asig") === col("bsig") &&
         col("a_doc") < col("b_doc"))
-    val deduped =
-      if (capped) joined
-      else {
-        val firstShared = (0 until bands - 1).foldRight(lit(bands - 1): Column) { (i, rest) =>
-          when(col("a_bs")(i) === col("b_bs")(i), lit(i)).otherwise(rest)
-        }
-        joined.filter(col("aband") === firstShared)
-      }
-    deduped
-      .withColumnRenamed("a_doc", "a_id")
-      .withColumnRenamed("b_doc", "b_id")
+      .groupBy(col("a_doc").as("a_id"), col("b_doc").as("b_id"))
+      .agg(count(lit(1)).as("__nb"))
+      .drop("__nb")
   }
 
   /** Observability companion to the hot-bucket cap: the (band, band
@@ -394,40 +356,55 @@ object Dedup {
     * n-gram Jaccard (deterministic: a fixed-parameter LSH either surfaces
     * a pair or not; the verify step removes false positives).
     *
-    * Fused plan: signature + bands are per-row expressions, the shingle
-    * array rides along through the ONE exchange on (band, sig) (reused
-    * for both self-join sides), and the Jaccard verify is an inline
-    * array_intersect on the joined row. The aggregate/candidate-join
-    * formulation costs 5 more exchanges for the same result. Under the
-    * hot-bucket cap a pair reaches the verify once per surviving shared
-    * band (see [[bucketedPairs]]); the exactly-once aggregate sits ABOVE
-    * the verify threshold on 3-column rows, so its exchange mass is the
-    * true near-dup output, never the candidate mass and never the shingle
-    * arrays. */
+    * Plan shape (the 100 TB-relevant property is that NOTHING
+    * corpus-sized ever carries the shingle arrays through a shuffle):
+    *
+    *  1. candidate pairs from the SLIM band-bucket join
+    *     ([[bucketedPairs]]: ~40-byte rows through the one band
+    *     exchange, exactly-once via the pair-keyed aggregate);
+    *  2. the distinct candidate DOC ids (≤ 2× pair count) semi-filter
+    *     the corpus's (doc, shingles) projection — the id table is
+    *     output-bounded and AQE broadcasts it at runtime, so the corpus
+    *     pass is map-side and only candidate docs' shingle arrays ever
+    *     enter an exchange;
+    *  3. two equi-joins attach a_hs / b_hs to the pairs — both join the
+    *     SAME candidate-shingle exchange (partitioned by doc on both
+    *     sides: ReusedExchange materializes it once) — and the verify is
+    *     an inline array_intersect + integer-exact Jaccard.
+    *
+    * Exchange mass end-to-end: slim bands + candidate pairs + candidate
+    * shingles — each output-bounded or ~2% of the old fat-exchange
+    * design, which shipped every doc's shingle array through the band
+    * join (measured at 10M docs: ~34 GB exchanged, ~800 s; this shape
+    * re-measured ~3-4× faster, see README). */
   def minhashNearDupPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int, k: Int, bands: Int, minJaccardPermille: Int,
       maxBucketSize: Int = 10000): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
-    val base = df.select(id.as("doc"), shingleHashes(text, n).as("hs"))
-      .withColumn("__sig", Bridge.column(MinHashSig(Bridge.expression(col("hs")), k)))
+    val base = df.select(id.as("doc"),
+      minhashSigArray(text, n, k).as("__sig"))
       .filter(col("__sig").isNotNull)
     val bandSig = (b: Int) =>
       bandKey((0 until r).map(i => col("__sig")(b * r + i)))
-    val withB = base.select(col("doc"), col("hs"),
+    val withB = base.select(col("doc"),
       array((0 until bands).map(bandSig): _*).as("bs"))
-    val verified = bucketedPairs(withB, bands, Seq("hs"), maxBucketSize)
+    val cand = bucketedPairs(withB, maxBucketSize)
+    val candIds = cand.select(col("a_id").as("doc"))
+      .unionByName(cand.select(col("b_id").as("doc")))
+      .distinct()
+    val hsCand = df.select(id.as("doc"), shingleHashes(text, n).as("hs"))
+      .filter(col("hs").isNotNull)
+      .join(candIds, Seq("doc"), "left_semi")
+    cand
+      .join(hsCand.select(col("doc").as("a_id"), col("hs").as("a_hs")), Seq("a_id"))
+      .join(hsCand.select(col("doc").as("b_id"), col("hs").as("b_hs")), Seq("b_id"))
       .withColumn("common", size(array_intersect(col("a_hs"), col("b_hs"))))
       .withColumn("jaccard_permille",
         jaccardPermille(col("common"), size(col("a_hs")), size(col("b_hs"))))
       .filter(col("jaccard_permille") >= minJaccardPermille)
       .select(col("a_id"), col("b_id"), col("jaccard_permille"))
-    if (maxBucketSize == Int.MaxValue) verified
-    else verified.groupBy(col("a_id"), col("b_id"))
-      // the verify recomputes the same exact Jaccard on every surviving
-      // copy of a pair — max() of identical values, kept for readability
-      .agg(max(col("jaccard_permille")).as("jaccard_permille"))
   }
 
   /** Incremental near-dup detection: a NEW batch of documents (today's

@@ -35,7 +35,9 @@ import graft.operators.{Components, Contamination, Dedup, Packing, Pii, Sampling
   * are repeated (min-of-2 by default) and a constant-size summary line
   * prints LAST (tail-truncation-proof, same contract as graft.Bench).
   *
-  * Usage: runMain graft.tools.CurationBench [nDocs] [runs]
+  * Usage: runMain graft.tools.CurationBench [nDocs] [runs] [skew]
+  * — the `skew` flag swaps in the adversarial corpus (see [[synth]]):
+  * dominant language, boilerplate LSH cluster, hot dup-gram mass.
   */
 object CurationBench {
 
@@ -96,22 +98,50 @@ object CurationBench {
     * Duplicate structure keys off derived bases so copies agree on every
     * planted feature: `eb` = exact-copy base (id%25==3 copies id-1),
     * `nb` = near-copy base (eb%10==1 copies eb-1; body words hash off
-    * nb, tail words off eb). */
-  def synth(spark: SparkSession, n: Long): DataFrame = {
+    * nb, tail words off eb).
+    *
+    * `skew = true` is the ADVERSARIAL variant — a fast regression
+    * harness for the three at-scale failure modes the prose-shaped
+    * corpus deliberately avoids, each planted to hit its fix:
+    *
+    *   - one dominant language (95% en / 5% fr instead of 80/20): the
+    *     per-group prefix sums (token budget, packing) see one group
+    *     carrying nearly the whole corpus — the one-task-per-group
+    *     window trap `Prefix.runningSum`'s two-pass form exists for;
+    *   - a BOILERPLATE cluster: 10% of docs share constant 36-token
+    *     body1 AND body2 blocks (~72 of ~98 tokens shared; mid + tail
+    *     still differ, so pairwise jaccard ≈ 0.55-0.6 — NOT near-dups
+    *     at the 0.8 bar): most minhash minima come from the shared
+    *     blocks, collecting the cluster into (band, sig) buckets far
+    *     past `maxBucketSize` — the B² pair detonation the hot-bucket
+    *     cap prunes;
+    *   - 10× denser span groups (~110 docs share each planted 20-token
+    *     run) plus the constant block: dup-gram multiplicity in the
+    *     thousands per key — the hot-gram mass that the count pass's
+    *     partial aggregation and the wide 60-bit keys must absorb.
+    */
+  def synth(spark: SparkSession, n: Long, skew: Boolean = false): DataFrame = {
     val id = col("id")
     // span-group count scales with n (≈11 span-eligible docs per group at
     // every scale), so the span stage has the same relative work at 100k
     // and 50M docs
-    val spanGroups = math.max(1L, n / 150L)
+    val spanGroups = math.max(1L, if (skew) n / 1500L else n / 150L)
     val eb = when(pmod(id, lit(25)) === 3, id - 1).otherwise(id)
     val nb = when(pmod(eb, lit(10)) === 1, eb - 1).otherwise(eb)
 
-    val isFr = pmod(nb, lit(5)) === 0
-    val body1 = proseOf(nb, 36, salt = 1, isFr)
+    val isFr = pmod(nb, lit(if (skew) 20 else 5)) === 0
+    val isBp = pmod(id, lit(10)) === 7 // boilerplate member (skew only)
+    val plainBody1 = proseOf(nb, 36, salt = 1, isFr)
+    val body1 =
+      if (!skew) plainBody1
+      else when(isBp, proseOf(lit(0L), 36, 777, lit(false))).otherwise(plainBody1)
     val mid = when(pmod(nb, lit(13)) === 5,
       proseOf(pmod(nb, lit(spanGroups)), 20, salt = 99, isFr))
       .otherwise(proseOf(nb, 20, salt = 2, isFr))
-    val body2 = proseOf(nb, 36, salt = 3, isFr)
+    val plainBody2 = proseOf(nb, 36, salt = 3, isFr)
+    val body2 =
+      if (!skew) plainBody2
+      else when(isBp, proseOf(lit(0L), 36, 778, lit(false))).otherwise(plainBody2)
     val tail = wordsOf(eb, 6, salt = 4)
     val full = concat_ws(" ", body1, mid, body2, tail)
 
@@ -139,19 +169,24 @@ object CurationBench {
   /** The eval suite: `k` docs whose text is exactly the 36-token body1 of
     * every (n/k)-th train doc — the contamination gate must flag those
     * sources (13-grams, ≥5 shared). */
-  def synthBench(spark: SparkSession, n: Long, k: Long): DataFrame = {
+  def synthBench(spark: SparkSession, n: Long, k: Long, skew: Boolean = false): DataFrame = {
     val step = math.max(1L, n / k)
     val tid = col("id") * step
     val eb = when(pmod(tid, lit(25)) === 3, tid - 1).otherwise(tid)
     val nb = when(pmod(eb, lit(10)) === 1, eb - 1).otherwise(eb)
-    spark.range(0, k).select(
-      col("id").as("bench_id"),
-      proseOf(nb, 36, salt = 1, pmod(nb, lit(5)) === 0).as("text"))
+    val isFr = pmod(nb, lit(if (skew) 20 else 5)) === 0
+    val body =
+      if (!skew) proseOf(nb, 36, 1, isFr)
+      else when(pmod(tid, lit(10)) === 7, proseOf(lit(0L), 36, 777, lit(false)))
+        .otherwise(proseOf(nb, 36, 1, isFr))
+    spark.range(0, k).select(col("id").as("bench_id"), body.as("text"))
   }
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
-    val runs = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val skew = args.contains("skew")
+    val num = args.filterNot(_ == "skew")
+    val n = num.headOption.map(_.toLong).getOrElse(10000000L)
+    val runs = num.drop(1).headOption.map(_.toInt).getOrElse(2)
     val root = "/tmp/graft_curation_bench"
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -198,8 +233,8 @@ object CurationBench {
       def free(names: String*): Unit =
         names.foreach(p => fs.delete(new Path(s"$root/$p"), true))
 
-      val raw = stage("00_synth") { synth(spark, n) }
-      val benchDocs = synthBench(spark, n, 10000L).persist()
+      val raw = stage("00_synth") { synth(spark, n, skew) }
+      val benchDocs = synthBench(spark, n, 10000L, skew).persist()
       benchDocs.count()
 
       // -1. markup strip: the web-ingest front door — the structural
@@ -328,8 +363,8 @@ object CurationBench {
     val stagesJson = stages.map { case (k, v) =>
       f""""$k":{"sec":${v.min}%.2f,"rows_out":${rowsOut(k)}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"curation_stages","n_docs":$n,"runs":$runs,"stages":$stagesJson}""")
-    println(f"""{"metric":"curation_total","n_docs":$n,"sec":$total%.2f,"docs_per_sec":${n / total}%.0f,"final_rows":${rowsOut.last._2}}""")
+    println(s"""{"metric":"curation_stages","n_docs":$n,"runs":$runs,"skew":$skew,"stages":$stagesJson}""")
+    println(f"""{"metric":"curation_total","n_docs":$n,"skew":$skew,"sec":$total%.2f,"docs_per_sec":${n / total}%.0f,"final_rows":${rowsOut.last._2}}""")
     fs.delete(new Path(root), true)
     spark.stop()
   }

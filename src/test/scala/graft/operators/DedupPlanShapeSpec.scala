@@ -36,43 +36,64 @@ class DedupPlanShapeSpec extends SparkSpec {
       s"per-row signature must not shuffle:\n${sig.queryExecution.executedPlan}")
   }
 
-  test("fused LSH near-dup pairs (capping off): one exchange, no distinct aggregate") {
+  // the LSH pair plan's load-bearing property at corpus scale: NOTHING
+  // corpus-sized carries the shingle arrays through a shuffle — the band
+  // exchange ships (doc, band, sig) only, and shingles enter an exchange
+  // only for candidate docs (output-bounded). A careless refactor that
+  // rides the hs array through the band join reintroduces a ~34 GB
+  // exchange at 10M docs (measured, round 8).
+  private def assertSlimBandExchange(plan: String): Unit = {
+    val bandExchanges = "Exchange hashpartitioning\\([ab]?band[^\\n]*".r.findAllIn(plan).toList
+    assert(bandExchanges.nonEmpty, s"band exchange missing:\n$plan")
+    assert(!bandExchanges.exists(_.contains("hs")),
+      s"the band exchange must never carry the shingle arrays:\n$plan")
+  }
+
+  /** Evaluate `body` with auto-broadcast off: the toy fixture otherwise
+    * broadcasts every join side and the exchange-shape assertions have
+    * nothing to look at (at corpus scale these exchanges are real). */
+  private def withNoAutoBroadcast[A](body: => A): A = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("LSH near-dup pairs (capping off): slim band exchange, no bucket window") {
+    withNoAutoBroadcast {
     val pairs = Dedup.minhashNearDupPairs(
       docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4, minJaccardPermille = 200,
       maxBucketSize = Int.MaxValue)
     val plan = pairs.queryExecution.executedPlan.toString
-    assert(nExchanges(pairs) <= 2, s"LSH pair plan grew extra shuffles:\n$plan")
-    assert(!plan.contains("HashAggregate"),
-      s"uncapped pair dedup must be the first-shared-band filter, not an aggregate:\n$plan")
+    assertSlimBandExchange(plan)
+    assert(!plan.contains("Window"),
+      s"uncapped mode must not pay the bucket-count window:\n$plan")
+    // band + pair-dedup agg + candidate-id distinct + two verify joins
+    // (candidate side + the reused candidate-shingle exchange)
+    assert(nDistinctExchanges(pairs) <= 6, s"LSH pair plan grew extra shuffles:\n$plan")
+    }
   }
 
-  test("capped LSH near-dup pairs: exactly-once aggregate is slim and sits above the verify") {
+  test("capped LSH near-dup pairs: slim band exchange, bucket-count window on slim rows") {
+    withNoAutoBroadcast {
     val pairs = Dedup.minhashNearDupPairs(
       docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4, minJaccardPermille = 200)
     val plan = pairs.queryExecution.executedPlan.toString
-    // band exchange (reused by both join sides) + the slim (band, sig)
-    // over-cap aggregate + the one pair-keyed exchange of verified
-    // 3-column rows — the sound capped semantics costs one slim
-    // output-sized shuffle and one slim key aggregate over the uncapped
-    // plan, never a sort of the payload-carrying exchange
-    assert(nDistinctExchanges(pairs) <= 3,
+    assertSlimBandExchange(plan)
+    // the cap rides the slim band exchange as a count window — fine on
+    // 40-byte rows; it was the fat-exchange sort that was the problem
+    assert(plan.contains("Window"), s"bucket cap window missing:\n$plan")
+    assert(nDistinctExchanges(pairs) <= 6,
       s"capped LSH pair plan grew extra shuffles:\n$plan")
-    // the shared exchanges must actually be reused at runtime, not
-    // materialized once per side
-    pairs.collect()
-    val finalPlan = pairs.queryExecution.executedPlan.toString
-    assert(finalPlan.contains("Reused"),
-      s"band exchange must be reused across the self-join sides:\n$finalPlan")
     val aggExchange = "Exchange hashpartitioning\\(a_id[^\\n]*".r.findAllIn(plan).toList
     assert(aggExchange.nonEmpty, s"pair dedup exchange missing:\n$plan")
     assert(!aggExchange.exists(_.contains("hs")),
       s"the pair-dedup exchange must never carry the shingle arrays:\n$plan")
-    // the cap filter must be a broadcast anti join on (band, sig) — the
-    // count-window form sorted the full shingle-carrying exchange
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"over-cap buckets must be a broadcast anti join:\n$plan")
-    assert(!plan.contains("Window"),
-      s"no window (= no fat-exchange sort) in the capped pair plan:\n$plan")
+    // the shared band exchange and the candidate-shingle exchange must
+    // actually be reused at runtime, not materialized once per side
+    pairs.collect()
+    val finalPlan = pairs.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("Reused"),
+      s"shared exchanges must be reused across join sides:\n$finalPlan")
+    }
   }
 
   test("simhash near-dup pairs keep the single-exchange shape") {

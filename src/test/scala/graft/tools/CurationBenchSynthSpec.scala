@@ -48,6 +48,38 @@ class CurationBenchSynthSpec extends SparkSpec {
     assert(pairs.count() > n / 15, s"near-dup pair mass off: ${pairs.count()}")
   }
 
+  test("skew corpus plants the three adversarial pathologies") {
+    val skewed = CurationBench.synth(spark, n, skew = true).persist()
+    try {
+      val stripped = skewed.select($"doc_id", TextAnalysis.htmlText($"text").as("t"))
+      // 1. dominant language: fr collapses from ~20% to ~5%
+      val langs = stripped.select(TextAnalysis.langId($"t").as("lang"))
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+      assert(langs("fr") > n / 50 && langs("fr") < n / 10, s"skew fr share off: $langs")
+      // 2. boilerplate cluster: 10% of docs share constant body1+body2
+      // blocks — their band signatures collide into buckets of cluster
+      // scale, which a production cap (smaller than the cluster) must
+      // surface as capped
+      val capped = Dedup.cappedLshBuckets(
+        stripped, $"doc_id", $"t", n = 3, k = 8, bands = 4, maxBucketSize = 100)
+        .agg(max($"bucket_size")).head().getLong(0)
+      assert(capped > n / 50, s"boilerplate bucket too small to stress the cap: $capped")
+      // ...and the cluster members are NOT near-dups (shared blocks, but
+      // distinct mid/tail): the capped join must PRUNE them, not absorb
+      // them as legitimate dedup output
+      val bp = stripped
+        .filter(pmod($"doc_id", lit(10)) === 7 && pmod($"doc_id", lit(37)) =!= 7)
+        .limit(2).select("t").as[String].collect()
+      val sh = (s: String) => s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val (a, b) = (sh(bp(0)), sh(bp(1)))
+      val jac = a.intersect(b).size.toDouble / a.union(b).size
+      assert(jac > 0.1 && jac < 0.8, s"boilerplate pair jaccard out of band: $jac")
+      // 3. hot dup-gram mass: planted span runs are 10x denser
+      val spans = Dedup.duplicateSpans(stripped, $"doc_id", $"t", n = 13)
+      assert(spans.count() > n / 50, s"skew span mass off: ${spans.count()}")
+    } finally { skewed.unpersist(); () }
+  }
+
   test("eval set leaks: each bench doc shares its 36-token body with its source") {
     val bench = CurationBench.synthBench(spark, n, 50L)
     val stripped = docs.select($"doc_id", TextAnalysis.htmlText($"text").as("t"))
