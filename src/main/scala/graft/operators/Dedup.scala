@@ -28,6 +28,11 @@ import graft.functions.{MinHashSig, RemoveTokenSpans, RollingHash, ShingleHashes
   */
 object Dedup {
 
+  /** Input-size gate for [[duplicateSpans]]'s eager broadcast mask pass —
+    * below it the operator stays lazy (see its scaladoc). */
+  val BroadcastGateMinBytesKey = "spark.graft.spans.broadcastGateMinBytes"
+  val BroadcastGateMinBytesDefault: Long = 128L * 1024 * 1024
+
   def rollingHash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
   def simhash(c: Column): Column = Bridge.column(SimHash(Bridge.expression(c)))
 
@@ -544,23 +549,32 @@ object Dedup {
     * `rollingHash(gram)·(10⁹+7) + rollingHash37(gram)` (base-37 twin —
     * a salted base-31 hash would preserve equal-length collisions).
     *
-    * The mask pass is SIZE-GATED on the duplicated-key count, because the
-    * two passes have wildly different natural costs: the count pass must
-    * shuffle every gram key once (irreducible — global exactness), but
-    * the ≥2 survivors are OUTPUT-bounded — ordinarily a sliver of the
-    * corpus gram mass. The operator therefore runs the count pass EAGERLY
-    * at construction time (one sizing job, the same contract as
-    * [[Prefix.runningSum]]'s boundary sampling): at most
-    * `maxBroadcastKeys` surviving keys are collected and the mask pass
-    * becomes a map-side broadcast semi-join — the corpus-sized second
-    * postings exchange disappears entirely (measured at 10M docs / 10⁹
-    * grams: the mask pass's ~24 GB (doc, pos, h) shuffle was about half
-    * the stage). Above the gate (a pathologically duplicate-saturated
-    * corpus) the keys stay a persisted DataFrame feeding the original
-    * shuffled semi-join — the build side then reads from cache instead of
-    * re-running the count aggregate, and the cache entry deliberately
-    * outlives the call (the returned frame recomputes from it; evict via
-    * `unpersist` on a re-derived handle or session cache clearing).
+    * The mask pass is SIZE-GATED twice, because the two passes have
+    * wildly different natural costs: the count pass must shuffle every
+    * gram key once (irreducible — global exactness), but the ≥2
+    * survivors are OUTPUT-bounded — ordinarily a sliver of the corpus
+    * gram mass.
+    *
+    *  - Inputs whose optimizer-estimated size is at most
+    *    `spark.graft.spans.broadcastGateMinBytes` (default 128 MB) keep
+    *    the fully LAZY single-query plan — count aggregate feeding a
+    *    shuffled semi-join — whose second postings exchange is cheap at
+    *    that size (and which costs no extra job at toy scale; same gate
+    *    pattern and rationale as [[Prefix.runningSum]]).
+    *  - Above the gate the operator runs the count pass EAGERLY at
+    *    construction (one sizing job, [[Prefix.runningSum]]'s call-time
+    *    contract): at most `maxBroadcastKeys` surviving keys are
+    *    collected and the mask pass becomes a map-side broadcast
+    *    semi-join — the corpus-sized second postings exchange disappears
+    *    entirely (measured at 10M docs / 10⁹ grams: that ~24 GB
+    *    (doc, pos, h) shuffle was about half the stage; the span-mask
+    *    stage dropped ~3.5× with the gate). On a pathologically
+    *    duplicate-saturated corpus (keys above `maxBroadcastKeys`) the
+    *    keys stay a persisted DataFrame feeding the shuffled semi-join —
+    *    the build side then reads from cache instead of re-running the
+    *    count aggregate, and the cache entry deliberately outlives the
+    *    call (the returned frame recomputes from it; evict via
+    *    `unpersist` on a re-derived handle or session cache clearing).
     *
     * → (doc_id, span_start, span_end, n_dup_grams): DISJOINT,
     * non-touching maximal half-open token spans [span_start, span_end) —
@@ -574,20 +588,27 @@ object Dedup {
       .select(id.as("doc_id"),
         posexplode(TextAnalysis.ngramHashesWideMultiset(text, n)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
-    val dupKeys = postings.groupBy(col("h"))
+    val lazyDupKeys = postings.groupBy(col("h"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nKeys = dupKeys.count() // the sizing job — also warms the cache
+    val gate = df.sparkSession.sessionState.conf
+      .getConfString(BroadcastGateMinBytesKey, BroadcastGateMinBytesDefault.toString).toLong
     val dupPos =
-      if (nKeys <= maxBroadcastKeys) {
-        val keys = dupKeys.collect().map(_.getLong(0))
-        dupKeys.unpersist(blocking = false)
-        val keysDf = df.sparkSession.createDataset(keys.toIndexedSeq)(
-          org.apache.spark.sql.Encoders.scalaLong).toDF("h")
-        postings.join(broadcast(keysDf), Seq("h"), "left_semi")
-      } else postings.join(dupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(gate))
+        // small input: stay lazy — the second postings exchange is cheap
+        postings.join(lazyDupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
+      else {
+        val dupKeys = lazyDupKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nKeys = dupKeys.count() // the sizing job — also warms the cache
+        if (nKeys <= maxBroadcastKeys) {
+          val keys = dupKeys.collect().map(_.getLong(0))
+          dupKeys.unpersist(blocking = false)
+          val keysDf = df.sparkSession.createDataset(keys.toIndexedSeq)(
+            org.apache.spark.sql.Encoders.scalaLong).toDF("h")
+          postings.join(broadcast(keysDf), Seq("h"), "left_semi")
+        } else postings.join(dupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
+      }
     // island merge on COVERAGE, not adjacency: gram at p covers tokens
     // [p, p+n), so coverages overlap at position gap < n and TOUCH at
     // gap == n — both mean one contiguous duplicated run, so gap <= n
@@ -656,5 +677,63 @@ object Dedup {
     df.withColumn("__keep", first(id).over(w))
       .select(id.as("doc_id"), component.as("component_id"),
         col("__keep").as("keep_id"), (id === col("__keep")).as("is_kept"))
+  }
+
+  /** The whole near-dup dedup DECISION in one call — MinHash-LSH pairs →
+    * connected components → [[keepBest]] — returning the corpus MINUS the
+    * losing cluster members. The composition is tuned the way the
+    * 10M-doc curation bench settled on:
+    *
+    *  - components run over the PAIR ENDPOINTS only — the untouched
+    *    corpus majority is trivially kept and never enters the
+    *    cluster-keyed window;
+    *  - the verdict applies as a LEFT ANTI join on the DROP-list
+    *    (cluster members that lost), which is output-bounded (≈ removed
+    *    docs) where the keep-list is corpus-sized — at runtime AQE
+    *    broadcasts it and the corpus text never shuffles;
+    *  - `pairs` feeds two consumers (endpoint ids and edges); pass a
+    *    MATERIALIZED frame (parquet you just wrote, or `.persist()`ed)
+    *    unless recomputing the LSH mining twice is acceptable — a
+    *    checkpointing pipeline gets this for free by writing each stage.
+    *
+    * `order` ranks WITHIN a cluster, best first (ties broken by id — the
+    * id is appended as the final key); the usual policy is quality
+    * descending. `orderCols` must be columns of `df`.
+    * → `df`'s rows minus dropped near-duplicates, schema unchanged. */
+  def nearDupDedup(
+      df: DataFrame, id: Column, text: Column,
+      n: Int, k: Int, bands: Int, minJaccardPermille: Int,
+      order: Seq[Column],
+      maxBucketSize: Int = 10000,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = minhashNearDupPairs(df, id, text, n, k, bands, minJaccardPermille, maxBucketSize)
+    nearDupDedupFromPairs(df, id, pairs, order, checkpointDir)
+  }
+
+  /** [[nearDupDedup]] with the pair mining already done (the normal shape
+    * in a checkpointed pipeline: pairs were written to storage by the
+    * previous stage and re-read, so nothing is mined twice). `pairs`
+    * must have columns a_id / b_id. */
+  def nearDupDedupFromPairs(
+      df: DataFrame, id: Column, pairs: DataFrame,
+      order: Seq[Column],
+      checkpointDir: Option[String] = None): DataFrame = {
+    val touched = pairs.select(col("a_id").as("id"))
+      .unionByName(pairs.select(col("b_id").as("id"))).distinct()
+    val comp = Components.connectedComponents(
+      touched, pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
+      checkpointDir = checkpointDir)
+      .select(col("id"), col("component_id"))
+    // join the cluster table against df itself so the (possibly
+    // direction-carrying) order columns resolve against their own frame;
+    // Catalyst prunes every df column the window does not use, so the
+    // join ships (id, order columns) despite the full-frame join
+    val ranked = comp
+      .select(col("id").as("__ndd_id"), col("component_id"))
+      .join(df, col("__ndd_id") === id)
+    val dropped = keepBest(ranked, col("__ndd_id"), col("component_id"),
+      order :+ col("__ndd_id").asc)
+      .filter(!col("is_kept")).select(col("doc_id").as("__ndd_drop"))
+    df.join(dropped, id === col("__ndd_drop"), "left_anti")
   }
 }

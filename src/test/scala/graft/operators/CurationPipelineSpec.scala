@@ -47,30 +47,33 @@ class CurationPipelineSpec extends SparkSpec {
     val nKept = kept.count()
     assert(nKept > 0 && nKept <= total)
 
-    // 2. near-dup dedup: LSH pairs -> components -> keep the BEST doc of
-    // each duplicate group (longest, ties to smallest id) — the keep
-    // policy, not just the min id
-    val pairs = Dedup.minhashNearDupPairs(kept, $"doc_id", $"text", 3, 8, 4, 800)
-    val comp = Components.connectedComponents(
-      kept.select($"doc_id".as("id")),
-      pairs.select($"a_id".as("src"), $"b_id".as("dst")))
-      .select($"id".as("doc_id"), $"component_id")
-    val verdict = Dedup.keepBest(
-      comp.join(kept.select($"doc_id", $"n_chars"), "doc_id"),
-      $"doc_id", $"component_id", Seq($"n_chars".desc, $"doc_id".asc))
-    val uniq = kept.join(verdict.filter($"is_kept").select("doc_id"), "doc_id")
+    // 2. near-dup dedup, the one-call decision: LSH pairs -> components
+    // over the pair endpoints -> keep the BEST doc of each duplicate
+    // group (longest, ties to smallest id), applied as a drop-list anti
+    // join. Pairs are persisted because the decision reads them twice
+    // (a checkpointing pipeline gets that from its stage writes).
+    val pairs = Dedup.minhashNearDupPairs(kept, $"doc_id", $"text", 3, 8, 4, 800).persist()
+    val uniq = Dedup.nearDupDedupFromPairs(kept, $"doc_id", pairs, Seq($"n_chars".desc))
     val nUniq = uniq.count()
-    val nGroups = comp.select("component_id").distinct().count()
-    assert(nUniq == nGroups, "exactly one survivor per duplicate group")
+    val touched = pairs.select($"a_id".as("id"))
+      .unionByName(pairs.select($"b_id".as("id"))).distinct()
+    val nTouched = touched.count()
+    val nClusters = Components.connectedComponents(
+      touched, pairs.select($"a_id".as("src"), $"b_id".as("dst")))
+      .select("component_id").distinct().count()
+    pairs.unpersist()
+    assert(nUniq == nKept - nTouched + nClusters,
+      "exactly one survivor per duplicate group, untouched docs all pass")
     assert(nUniq <= nKept)
 
     // 3. exact-substring rewrite: cut duplicated >= 13-token runs that
     // survived doc-level dedup (sub-threshold overlaps), keep the rest;
-    // the rewrite can only shorten a doc, never lengthen it
+    // metadata rides THROUGH removeSpans (no corpus re-join); the
+    // rewrite can only shorten a doc, never lengthen it
     val spans = Dedup.duplicateSpans(uniq, $"doc_id", $"text", n = 13)
-    val rewritten = uniq.drop("text")
-      .join(Dedup.removeSpans(uniq, $"doc_id", $"text", spans)
-        .withColumnRenamed("clean_text", "text"), "doc_id")
+    val rewritten = Dedup.removeSpans(uniq, $"doc_id", $"text", spans,
+      keepCols = uniq.columns.filterNot(Set("doc_id", "text")).toSeq)
+      .withColumnRenamed("clean_text", "text")
       .filter(TextAnalysis.tokenCount($"text") > 0)
     assert(rewritten.count() <= nUniq)
     val lengthened = rewritten.select($"doc_id", TextAnalysis.tokenCount($"text").as("nt"))

@@ -135,25 +135,36 @@ class DedupPlanShapeSpec extends SparkSpec {
   }
 
   test("duplicateSpans: semi-join on the gram key, never broadcast of the corpus") {
-    // small dup-key set (the overwhelmingly common case): the mask pass
-    // must be a map-side BROADCAST semi join on the collected keys — the
-    // corpus postings never shuffle a second time
-    val spans = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
-    val plan = spans.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), s"dup-position filter must be a semi join:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"small dup-key sets must broadcast, never re-shuffle the postings:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"duplicateSpans degraded to a non-equi plan:\n$plan")
-    // above the gate: the shuffled semi join against the persisted key set
-    val big = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3,
-      maxBroadcastKeys = 0L)
-    val bigPlan = big.queryExecution.executedPlan.toString
-    assert(bigPlan.contains("ShuffledHashJoin") && bigPlan.contains("LeftSemi"),
-      s"above the broadcast gate the mask pass must be the shuffled semi join:\n$bigPlan")
-    assert(big.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq ==
-      spans.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq,
-      "both mask-pass strategies must emit identical spans")
+    // below the input-size gate (toy inputs): fully lazy plan, shuffled
+    // semi join, NO eager sizing job
+    val lazySpans = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+    val lazyPlan = lazySpans.queryExecution.executedPlan.toString
+    assert(lazyPlan.contains("ShuffledHashJoin") && lazyPlan.contains("LeftSemi"),
+      s"below the size gate the mask pass must stay the lazy shuffled semi join:\n$lazyPlan")
+    assert(!lazyPlan.contains("BroadcastNestedLoopJoin") && !lazyPlan.contains("CartesianProduct"),
+      s"duplicateSpans degraded to a non-equi plan:\n$lazyPlan")
+    // above the gate with a small dup-key set (the common corpus case):
+    // eager sizing, then a map-side BROADCAST semi join — the corpus
+    // postings never shuffle a second time
+    spark.conf.set(Dedup.BroadcastGateMinBytesKey, "0")
+    try {
+      val spans = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+      val plan = spans.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"small dup-key sets above the gate must broadcast:\n$plan")
+      // dup keys above maxBroadcastKeys: shuffled semi join from the
+      // persisted key set
+      val big = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3,
+        maxBroadcastKeys = 0L)
+      val bigPlan = big.queryExecution.executedPlan.toString
+      assert(bigPlan.contains("ShuffledHashJoin") && bigPlan.contains("LeftSemi"),
+        s"above the broadcast cap the mask pass must be the shuffled semi join:\n$bigPlan")
+      // all three strategies emit identical spans
+      val want = lazySpans.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(spans.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq == want &&
+        big.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq == want,
+        "mask-pass strategies must emit identical spans")
+    } finally spark.conf.unset(Dedup.BroadcastGateMinBytesKey)
   }
 
   test("temperatureResample and quantileBuckets broadcast their tiny side") {
