@@ -12,17 +12,21 @@ import org.apache.spark.sql.functions._
   * space as [[Dedup.jaccardPairs]]), never benchmark × corpus:
   *
   *   - both sides explode to (doc, shingle-hash) postings;
-  *   - train postings for shingles in more than `maxShingleFreq` train docs
-  *     are dropped first (boilerplate n-grams — license headers, navigation
-  *     chrome — would otherwise create quadratic buckets; a contamination
-  *     hit on boilerplate is noise, not leakage);
+  *   - shingles in more than `maxShingleFreq` train docs are dropped
+  *     first (boilerplate n-grams — license headers, navigation chrome —
+  *     would otherwise create quadratic buckets; a contamination hit on
+  *     boilerplate is noise, not leakage) — the df count runs only over
+  *     bench-relevant shingles behind a broadcast semi filter, with
+  *     map-side partial aggregation defusing hot shingles;
   *   - the pair's shared-shingle count is one hash aggregate on
   *     (bench_id, train_id).
   *
   * At 100 TB the benchmark side is tiny (eval suites are thousands of
-  * docs, not billions) — it is the shuffle-hash BUILD side — while the
-  * train side streams through as the probe. Cost is posting-list overlap
-  * mass, bounded by the frequency cap, not corpus².
+  * docs, not billions) — it BROADCASTS as the build side — while the
+  * train side streams through map-side and never enters an exchange.
+  * Cost is two streaming passes over the train corpus plus the
+  * output-bounded pair aggregate, never corpus² and never a
+  * corpus-posting shuffle.
   */
 object Contamination {
 
@@ -60,16 +64,27 @@ object Contamination {
     val b = postings(bench, benchId, normalize(benchText), n, "bench_id", "bench_size")
     val t = postings(train, trainId, normalize(trainText), n, "train_id", "__tsz").drop("__tsz")
     // hot-shingle cap: TRAIN-side document frequency (each shingle appears
-    // once per doc — shingleHashes is distinct within a doc), counted as a
-    // WINDOW over the h-partitioning the join needs anyway — an aggregate
-    // branch would re-scan and re-shingle the whole train corpus (same
-    // one-pass rationale as Dedup.jaccardPairs)
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val tPruned = t.withColumn("__df", count(lit(1)).over(wh))
-      .filter(col("__df") <= maxShingleFreq).drop("__df")
-    // bench is the small side at scale: build it, stream the train postings
-    b.hint("shuffle_hash")
-      .join(tPruned.withColumnRenamed("h", "h2"), col("h") === col("h2"))
+    // once per doc — shingleHashes is distinct within a doc), computed
+    // ONLY for bench-relevant shingles: the (tiny) bench shingle set
+    // broadcasts as a map-side semi filter, partial aggregation collapses
+    // hot shingles BEFORE any exchange, and the surviving-shingle table —
+    // ⊆ the bench shingle set — broadcasts back onto the build side. The
+    // corpus posting mass never enters an exchange: the train side
+    // streams map-side through the broadcast join and only the
+    // (bench_id, train_id) pair aggregate — output-bounded by the cap —
+    // shuffles. The previous form windowed df over a full corpus-posting
+    // exchange (~16 GB at 10M docs) whose hot-shingle partitions were
+    // unsplittable single-task sorts — the exact boilerplate pathology
+    // the cap exists to defuse. Price: the train corpus is scanned and
+    // shingled twice (df pass + join pass); two cheap codegen passes beat
+    // one corpus-sized skewed exchange at any interesting scale.
+    val benchH = b.select(col("h")).distinct()
+    val survivingH = t.join(broadcast(benchH), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleFreq)
+      .select(col("h"))
+    val bFiltered = b.join(broadcast(survivingH), Seq("h"))
+    t.join(broadcast(bFiltered.withColumnRenamed("h", "h2")), col("h") === col("h2"))
       .groupBy(col("bench_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"), max(col("bench_size")).as("bench_size"))
       .filter(col("n_shared") >= minShared)
@@ -116,24 +131,20 @@ object Contamination {
       .select(trainId.as("train_id"),
         posexplode(TextAnalysis.ngramHashesMultiset(normalize(trainText), n)))
       .select(col("train_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
-    // DISTINCT-doc df per shingle as stacked windows over ONE
-    // h-partitioning (an aggregate branch would re-scan + re-shingle the
-    // corpus): ordered by (train_id, pos) inside each h, a row opens a new
-    // doc run iff its train_id differs from its predecessor's; the sum of
-    // run-openers over the whole h partition IS the distinct doc count.
-    // (count_distinct is not a window function; partitioning the
-    // first-row-per-doc trick by (h, train_id) would force a second
-    // exchange — lag keeps both windows on hashpartitioning(h).)
-    val whOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h")).orderBy(col("train_id"), col("pos"))
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val opensRun = when(
-      lag(col("train_id"), 1).over(whOrd).isNull ||
-        lag(col("train_id"), 1).over(whOrd) =!= col("train_id"), 1L).otherwise(0L)
-    val tPruned = t.withColumn("__df", sum(opensRun).over(wh))
-      .filter(col("__df") <= maxShingleFreq).drop("__df")
-    val joined = b.hint("shuffle_hash")
-      .join(tPruned.withColumnRenamed("h", "h2"), col("h") === col("h2"))
+    // DISTINCT-doc df per shingle, computed only for bench-relevant
+    // shingles — same two-pass broadcast shape as [[ngramOverlapPairs]]
+    // (the position-carrying posting mass NEVER enters an exchange; the
+    // count_distinct's internal (h, train_id) dedup exchange carries only
+    // bench-relevant rows). The previous form stacked lag/sum windows
+    // over a full corpus-posting exchange.
+    val benchH = b.select(col("h")).distinct()
+    val survivingH = t.join(broadcast(benchH), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(countDistinct(col("train_id")).as("__df"))
+      .filter(col("__df") <= maxShingleFreq)
+      .select(col("h"))
+    val bFiltered = b.join(broadcast(survivingH), Seq("h"))
+    val joined = t
+      .join(broadcast(bFiltered.withColumnRenamed("h", "h2")), col("h") === col("h2"))
     // per-pair distinct-shingle count as the same run-opener trick (h is
     // unique per (bench_id, train posting), so positions are unique within
     // a pair and the merge windows below see no duplicates)
