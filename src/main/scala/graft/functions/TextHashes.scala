@@ -19,25 +19,44 @@ import org.apache.spark.unsafe.types.UTF8String
   * queries (~2.5 s per pass over 5000 docs at sf0.1, recomputed per join
   * side). One native expression = one tight loop per row.
   *
-  * Tokenization matches Java/RE2 `\s+` on ASCII: space, \t, \n, \u000B,
+  * Tokenization matches Java/RE2 `\s+` on ASCII: space, \t, \n, ,
   * \f, \r — the same set the DuckDB oracle's `string_split_regex` uses.
+  *
+  * Inner-loop discipline (these kernels run once per document of a 100 TB
+  * corpus, so constant factors ARE the scan cost):
+  *  - token bounds are a primitive packed-long array, never boxed tuples;
+  *  - n-gram hashes combine PER-TOKEN prefix polynomials (pᵢ = token
+  *    poly hash, mᵢ = 31^|tokenᵢ|), so each gram costs O(n) multiply-mods
+  *    instead of re-folding every character of the window (O(n·len)) —
+  *    polynomial identity: poly(A ⧺ B) = poly(A)·31^|B| + poly(B);
+  *  - the distinct-shingle set is open-addressed primitive longs with
+  *    insertion-order output (= `array_distinct` semantics), not a boxing
+  *    `LinkedHashSet[Long]`.
+  * All value-identical to the composed forms — pinned by the existing
+  * equivalence property specs.
   */
 object TextHashes {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  private def tokenBounds(s: String): mutable.ArrayBuffer[(Int, Int)] = {
-    val bounds = new mutable.ArrayBuffer[(Int, Int)]()
+  /** Token char ranges packed as (start << 32) | end — a primitive long
+    * array instead of boxed tuples: at 10⁹ corpus tokens per scan the
+    * tuple boxing was measurable pure allocation/GC load in every kernel
+    * below. */
+  private[functions] def tokenBounds(s: String): Array[Long] = {
+    val out = new mutable.ArrayBuilder.ofLong()
     var i = 0
     val n = s.length
     while (i < n) {
       while (i < n && isWs(s.charAt(i))) i += 1
       val start = i
       while (i < n && !isWs(s.charAt(i))) i += 1
-      if (i > start) bounds += ((start, i))
+      if (i > start) out += (start.toLong << 32) | i.toLong
     }
-    bounds
+    out.result()
   }
+  @inline private def bStart(b: Long): Int = (b >>> 32).toInt
+  @inline private def bEnd(b: Long): Int = b.toInt
 
   /** Rolling-hash fold of s[from,until) continuing from state (h, first). */
   @inline private def foldRange(s: String, from: Int, until: Int, h0: Long, first0: Boolean): (Long, Boolean) = {
@@ -61,27 +80,128 @@ object TextHashes {
     val out = new Array[Any](bounds.length)
     var i = 0
     while (i < bounds.length) {
-      val (a, b) = bounds(i)
-      out(i) = foldRange(s, a, b, 0L, first0 = true)._1
+      out(i) = foldRange(s, bStart(bounds(i)), bEnd(bounds(i)), 0L, first0 = true)._1
       i += 1
     }
     new GenericArrayData(out)
   }
 
+  /** Per-token polynomial prefix data for base `base`: p(t) = poly hash of
+    * token t's code points, m(t) = base^(#code points of token t), both
+    * mod [[RollingHash.Mod]]. Computed ONCE per document; every gram then
+    * combines tokens in O(1) each. */
+  private def tokenPolys(s: String, bounds: Array[Long], base: Int): (Array[Long], Array[Long]) = {
+    val nt = bounds.length
+    val p = new Array[Long](nt)
+    val m = new Array[Long](nt)
+    var t = 0
+    while (t < nt) {
+      val until = bEnd(bounds(t))
+      var h = 0L
+      var mm = 1L
+      var first = true
+      var i = bStart(bounds(t))
+      while (i < until) {
+        val cp = s.codePointAt(i)
+        h = if (first) cp % RollingHash.Mod else (h * base + cp) % RollingHash.Mod
+        first = false
+        mm = mm * base % RollingHash.Mod
+        i += Character.charCount(cp)
+      }
+      p(t) = h
+      m(t) = mm
+      t += 1
+    }
+    (p, m)
+  }
+
+  /** Gram hash over tokens [g, g+n) from per-token prefix polys: the fold
+    * h ← (h·base + 32)·m(t) + p(t) is the polynomial of the space-joined
+    * gram (tokens are non-empty, so the space join is unconditional after
+    * the first token). Products stay < Mod² ≈ 10¹⁸ < 2⁶³. */
+  @inline private def gramHash(p: Array[Long], m: Array[Long], base: Int, g: Int, n: Int): Long = {
+    var h = p(g)
+    var t = 1
+    while (t < n) {
+      h = (h * base + 32L) % RollingHash.Mod
+      h = (h * m(g + t) + p(g + t)) % RollingHash.Mod
+      t += 1
+    }
+    h
+  }
+
+  /** Open-addressed primitive-long set preserving insertion order — the
+    * `array_distinct` contract without per-insert boxing. Values must be
+    * ≥ 0 (rolling hashes are; −1 marks empty slots). Capacity is fixed
+    * from the caller's known upper bound (gram count), load ≤ 0.5. */
+  private final class LongSetOrdered(maxElems: Int) {
+    private val cap = Integer.highestOneBit(math.max(4, maxElems) * 4 - 1) << 1
+    private val mask = cap - 1
+    private val table = {
+      val a = new Array[Long](cap)
+      java.util.Arrays.fill(a, -1L)
+      a
+    }
+    private val order = new Array[Long](maxElems)
+    var size = 0
+    def add(v: Long): Unit = {
+      var idx = (scramble(v) & mask).toInt
+      while (true) {
+        val cur = table(idx)
+        if (cur == v) return
+        if (cur == -1L) {
+          table(idx) = v
+          order(size) = v
+          size += 1
+          return
+        }
+        idx = (idx + 1) & mask
+      }
+    }
+    @inline private def scramble(v: Long): Long = {
+      val x = (v ^ (v >>> 33)) * 0xff51afd7ed558ccdL
+      x ^ (x >>> 33)
+    }
+    def toAnyArray: Array[Any] = {
+      val out = new Array[Any](size)
+      var i = 0
+      while (i < size) { out(i) = order(i); i += 1 }
+      out
+    }
+  }
+
   /** Distinct [[RollingHash]] values of all space-joined word n-grams,
     * first-occurrence order (= `array_distinct` semantics). */
   def shingleHashes(u: UTF8String, n: Int): ArrayData = {
-    val seen = new mutable.LinkedHashSet[Long]()
-    eachShingleHash(u, n)(seen += _)
-    new GenericArrayData(seen.toArray.map(_.asInstanceOf[Any]))
+    val s = u.toString
+    val bounds = tokenBounds(s)
+    if (bounds.length < n) return new GenericArrayData(Array.empty[Any])
+    val (p, m) = tokenPolys(s, bounds, 31)
+    val maxG = bounds.length - n + 1
+    val seen = new LongSetOrdered(maxG)
+    var g = 0
+    while (g < maxG) {
+      seen.add(gramHash(p, m, 31, g, n))
+      g += 1
+    }
+    new GenericArrayData(seen.toAnyArray)
   }
 
   /** [[shingleHashes]] WITHOUT dedup — the occurrence multiset the
     * repetition-quality signals count over. */
   def shingleHashesAll(u: UTF8String, n: Int): ArrayData = {
-    val out = new mutable.ArrayBuffer[Any]()
-    eachShingleHash(u, n)(h => out += h)
-    new GenericArrayData(out.toArray)
+    val s = u.toString
+    val bounds = tokenBounds(s)
+    if (bounds.length < n) return new GenericArrayData(Array.empty[Any])
+    val (p, m) = tokenPolys(s, bounds, 31)
+    val maxG = bounds.length - n + 1
+    val out = new Array[Any](maxG)
+    var g = 0
+    while (g < maxG) {
+      out(g) = gramHash(p, m, 31, g, n)
+      g += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Distinct space-joined word n-grams as STRINGS, first-occurrence
@@ -95,12 +215,11 @@ object TextHashes {
     val seen = new mutable.LinkedHashSet[String]()
     var g = 0
     while (g <= bounds.length - n) {
-      val sb = new java.lang.StringBuilder(bounds(g + n - 1)._2 - bounds(g)._1)
+      val sb = new java.lang.StringBuilder(bEnd(bounds(g + n - 1)) - bStart(bounds(g)))
       var t = 0
       while (t < n) {
         if (t > 0) sb.append(' ')
-        val (a, b) = bounds(g + t)
-        sb.append(s, a, b)
+        sb.append(s, bStart(bounds(g + t)), bEnd(bounds(g + t)))
         t += 1
       }
       seen += sb.toString
@@ -140,8 +259,7 @@ object TextHashes {
       }
       if (t >= activeEnd) {
         if (!firstOut) sb.append(' ')
-        val (a, b) = bounds(t)
-        sb.append(s, a, b)
+        sb.append(s, bStart(bounds(t)), bEnd(bounds(t)))
         firstOut = false
       }
       t += 1
@@ -149,29 +267,15 @@ object TextHashes {
     UTF8String.fromString(sb.toString)
   }
 
-  /** Base-37 twin of [[foldRange]] — the independent second hash. A
-    * SALTED base-31 hash is NOT independent: for equal-length strings
-    * H(salt+x) is an affine function of the base-31 polynomial of x, so
-    * every equal-length collision survives salting (caught by the
-    * collision spec). A different base is a genuinely different linear
-    * combination of the code points. */
-  @inline private def foldRange37(s: String, from: Int, until: Int, h0: Long, first0: Boolean): (Long, Boolean) = {
-    var h = h0
-    var first = first0
-    var i = from
-    while (i < until) {
-      val cp = s.codePointAt(i)
-      h = if (first) cp % RollingHash.Mod else (h * 37 + cp) % RollingHash.Mod
-      first = false
-      i += Character.charCount(cp)
-    }
-    (h, first)
-  }
-
   /** [[shingleHashesAll]] in a ~60-bit key space: per gram,
     * h1 · Mod + h2, with h1 the plain base-31 rolling hash and h2 its
     * base-37 twin (both < Mod = 1e9+7, so the combination is exact in
-    * a signed 64-bit long AND in the oracle's BIGINT arithmetic).
+    * a signed 64-bit long AND in the oracle's BIGINT arithmetic). A
+    * SALTED base-31 hash is NOT an independent twin: for equal-length
+    * strings H(salt+x) is an affine function of the base-31 polynomial
+    * of x, so every equal-length collision survives salting (caught by
+    * the collision spec); base 37 is a genuinely different linear
+    * combination of the code points.
     *
     * Why it exists: any GLOBAL distinctness test over gram hashes — the
     * duplicate-span criterion "this gram occurs ≥ 2 times in the corpus"
@@ -185,9 +289,19 @@ object TextHashes {
     * rolling hashes to collide: ~10¹² corpus grams yield ≈ a dozen
     * expected false pairs — noise, not saturation. */
   def shingleHashesWideAll(u: UTF8String, n: Int): ArrayData = {
-    val out = new mutable.ArrayBuffer[Any]()
-    eachShingleHashWide(u, n)((w: Long) => out += w)
-    new GenericArrayData(out.toArray)
+    val s = u.toString
+    val bounds = tokenBounds(s)
+    if (bounds.length < n) return new GenericArrayData(Array.empty[Any])
+    val (p31, m31) = tokenPolys(s, bounds, 31)
+    val (p37, m37) = tokenPolys(s, bounds, 37)
+    val maxG = bounds.length - n + 1
+    val out = new Array[Any](maxG)
+    var g = 0
+    while (g < maxG) {
+      out(g) = gramHash(p31, m31, 31, g, n) * RollingHash.Mod + gramHash(p37, m37, 37, g, n)
+      g += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** One-pass per-document repetition summary over the n-gram occurrence
@@ -200,10 +314,17 @@ object TextHashes {
     * exchange of the aggregate form. Sort-and-scan over the ~tokens-sized
     * local array, no per-row hash map. */
   def gramRepetition(u: UTF8String, n: Int): InternalRow = {
-    val buf = new mutable.ArrayBuilder.ofLong()
-    eachShingleHash(u, n)(buf += _)
-    val arr = buf.result()
-    if (arr.isEmpty) return null
+    val s = u.toString
+    val bounds = tokenBounds(s)
+    if (bounds.length < n) return null
+    val (p, m) = tokenPolys(s, bounds, 31)
+    val maxG = bounds.length - n + 1
+    val arr = new Array[Long](maxG)
+    var g = 0
+    while (g < maxG) {
+      arr(g) = gramHash(p, m, 31, g, n)
+      g += 1
+    }
     java.util.Arrays.sort(arr)
     var distinct = 0L
     var maxC = 0L
@@ -217,60 +338,85 @@ object TextHashes {
     }
     new GenericInternalRow(Array[Any](arr.length.toLong, distinct, maxC))
   }
+}
 
-  @inline private def eachShingleHashWide(u: UTF8String, n: Int)(emit: Long => Unit): Unit = {
-    val s = u.toString
-    val bounds = tokenBounds(s)
-    if (bounds.length < n) return
-    var g = 0
-    while (g <= bounds.length - n) {
-      var h1 = 0L
-      var first1 = true
-      var h2 = 0L
-      var first2 = true
-      var t = 0
-      while (t < n) {
-        if (t > 0) { // the joining space, cp 32
-          h1 = if (first1) 32L else (h1 * 31 + 32L) % RollingHash.Mod
-          first1 = false
-          h2 = if (first2) 32L else (h2 * 37 + 32L) % RollingHash.Mod
-          first2 = false
-        }
-        val (a, b) = bounds(g + t)
-        val r1 = foldRange(s, a, b, h1, first1)
-        h1 = r1._1; first1 = r1._2
-        val r2 = foldRange37(s, a, b, h2, first2)
-        h2 = r2._1; first2 = r2._2
-        t += 1
-      }
-      emit(h1 * RollingHash.Mod + h2)
-      g += 1
+/** Per-document quality-gate evidence in ONE tokenize pass:
+  * (n_tokens, token_chars, stopword_count) — the fused form of the three
+  * interpreted-HOF signal columns (`size(filter(split))`,
+  * `aggregate(tokens, Σ length)`, `size(filter(tokens(lower), ∈ set))`)
+  * that dominated the gate stage's CPU at 10M docs. Value-identical to
+  * the composed columns (spec-pinned): token chars count CODE POINTS per
+  * token (Spark `length` semantics), stopword membership tokenizes
+  * `lower(text)` separately (the composed form's exact semantics — a
+  * lowercase mapping may change char counts but never whitespace). */
+final class GateStatsKernel(stopwords: Array[String]) extends Serializable {
+  // stopwords bucketed by char-unit length: token membership is then a
+  // regionMatches over the few same-length candidates — no substring
+  // allocation per token
+  @transient private lazy val byLen: Array[Array[String]] = {
+    val maxLen = if (stopwords.isEmpty) 0 else stopwords.map(_.length).max
+    val buckets = Array.fill(maxLen + 1)(List.empty[String])
+    stopwords.distinct.foreach { w =>
+      if (w.nonEmpty) buckets(w.length) ::= w
     }
+    buckets.map(_.reverse.toArray)
   }
 
-  @inline private def eachShingleHash(u: UTF8String, n: Int)(emit: Long => Unit): Unit = {
+  def eval(u: UTF8String): InternalRow = {
     val s = u.toString
-    val bounds = tokenBounds(s)
-    if (bounds.length < n) return
-    var g = 0
-    while (g <= bounds.length - n) {
-      var h = 0L
-      var first = true
-      var t = 0
-      while (t < n) {
-        if (t > 0) { // the joining space, cp 32
-          h = if (first) 32L else (h * 31 + 32L) % RollingHash.Mod
-          first = false
-        }
-        val (a, b) = bounds(g + t)
-        val r = foldRange(s, a, b, h, first)
-        h = r._1; first = r._2
-        t += 1
-      }
-      emit(h)
-      g += 1
+    val bounds = TextHashes.tokenBounds(s)
+    var chars = 0L
+    var t = 0
+    while (t < bounds.length) {
+      chars += s.codePointCount((bounds(t) >>> 32).toInt, bounds(t).toInt)
+      t += 1
     }
+    val ls = u.toLowerCase.toString
+    val lb = TextHashes.tokenBounds(ls)
+    var sw = 0L
+    var i = 0
+    val maxLen = byLen.length - 1
+    while (i < lb.length) {
+      val a = (lb(i) >>> 32).toInt
+      val len = lb(i).toInt - a
+      if (len <= maxLen) {
+        val cands = byLen(len)
+        var c = 0
+        while (c < cands.length) {
+          if (ls.regionMatches(a, cands(c), 0, len)) { sw += 1; c = cands.length }
+          else c += 1
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bounds.length.toLong, chars, sw))
   }
+}
+
+/** Struct-typed fused gate evidence — see [[GateStatsKernel]]. */
+case class GateStats(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = GateStats.Schema
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gate_stats requires a string argument, got ${child.dataType.catalogString}")
+  override def prettyName: String = "gate_stats"
+  @transient private lazy val kernel = new GateStatsKernel(stopwords.toArray)
+  override def nullSafeEval(input: Any): Any =
+    kernel.eval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gateStatsKernel", kernel, classOf[GateStatsKernel].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.eval($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GateStats =
+    copy(child = newChild)
+}
+
+object GateStats {
+  val Schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("token_chars", LongType, nullable = false),
+    StructField("stopword_count", LongType, nullable = false)))
 }
 
 /** Occurrence-multiset n-gram hashes in the ~60-bit combined key space —

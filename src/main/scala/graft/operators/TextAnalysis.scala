@@ -459,17 +459,82 @@ object TextAnalysis {
       minMeanTokLenPermille: Long = 3000L, maxMeanTokLenPermille: Long = 10000L,
       minStopwordPermille: Long = 20L,
       maxTopGramPermille: Long = 300L,
-      n: Int = 2): org.apache.spark.sql.DataFrame = {
-    val rep = Bridge.column(graft.functions.GramRepetition(Bridge.expression(text), n))
-    df.select(
-      id.as("doc_id"),
-      tokenCount(text).cast("long").as("n_tokens"),
-      perMille(tokenCharCount(text), tokenCount(text)).as("mean_tok_len_permille"),
-      perMille(stopwordCount(lower(text), stopwords), tokenCount(text))
-        .as("stopword_permille"),
-      coalesce(
-        perMille(rep.getField("max_gram_count"), rep.getField("n_grams")), lit(0L))
-        .as("top_gram_permille"))
+      n: Int = 2): org.apache.spark.sql.DataFrame =
+    qualityGateFrom(df, id,
+      Bridge.column(graft.functions.GateStats(Bridge.expression(text), stopwords)),
+      Bridge.column(graft.functions.GramRepetition(Bridge.expression(text), n)),
+      minTokens, maxTokens, minMeanTokLenPermille, maxMeanTokLenPermille,
+      minStopwordPermille, maxTopGramPermille)
+
+  /** The gate verdict as ONE boolean expression — the gate-as-filter form
+    * for pipelines that only APPLY the gate: `docs.filter(qualityKeep(
+    * text, …))` keeps exactly the rows `docs.join(qualityGate(docs, …)
+    * .filter($"keep").select(id), id)` keeps (spec-pinned), but as a
+    * single map-side predicate fused into the scan — no self-join, no
+    * shuffle, and structurally immune to the conjunct-inlining that
+    * multiplies per-row kernel evaluations when a filter condition is
+    * built from the gate's signal columns (see
+    * [[graft.functions.QualityKeepKernel]] — measured ~6 kernel copies
+    * per row in the join form's optimized plan). Use [[qualityGate]] when
+    * the per-signal audit columns are the point. */
+  def qualityKeep(
+      text: Column,
+      stopwords: Seq[String] = StopwordProfiles.toMap.apply("en"),
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      minMeanTokLenPermille: Long = 3000L, maxMeanTokLenPermille: Long = 10000L,
+      minStopwordPermille: Long = 20L,
+      maxTopGramPermille: Long = 300L,
+      n: Int = 2): Column =
+    Bridge.column(graft.functions.QualityKeep(Bridge.expression(text), stopwords,
+      minTokens, maxTokens, minMeanTokLenPermille, maxMeanTokLenPermille,
+      minStopwordPermille, maxTopGramPermille, n))
+
+  /** Built-ins-composed reference form of [[qualityGate]] — the three
+    * token-level signals as the interpreted HOF columns the fused
+    * [[graft.functions.GateStats]] kernel replaces (the HOFs evaluate
+    * per-element interpreted and dominated the gate stage's CPU at 10M
+    * docs). Kept for the equivalence spec; value-identical output. */
+  def qualityGateComposed(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      stopwords: Seq[String] = StopwordProfiles.toMap.apply("en"),
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      minMeanTokLenPermille: Long = 3000L, maxMeanTokLenPermille: Long = 10000L,
+      minStopwordPermille: Long = 20L,
+      maxTopGramPermille: Long = 300L,
+      n: Int = 2): org.apache.spark.sql.DataFrame =
+    qualityGateFrom(df, id,
+      struct(
+        tokenCount(text).cast("long").as("n_tokens"),
+        tokenCharCount(text).as("token_chars"),
+        stopwordCount(lower(text), stopwords).cast("long").as("stopword_count")),
+      Bridge.column(graft.functions.GramRepetition(Bridge.expression(text), n)),
+      minTokens, maxTokens, minMeanTokLenPermille, maxMeanTokLenPermille,
+      minStopwordPermille, maxTopGramPermille)
+
+  private def qualityGateFrom(
+      df: org.apache.spark.sql.DataFrame, id: Column, gs: Column, rep: Column,
+      minTokens: Long, maxTokens: Long,
+      minMeanTokLenPermille: Long, maxMeanTokLenPermille: Long,
+      minStopwordPermille: Long,
+      maxTopGramPermille: Long): org.apache.spark.sql.DataFrame = {
+    // the evidence structs are aliased ONCE in their own projection and
+    // the signal columns derive from the alias: CollapseProject refuses to
+    // inline a non-cheap alias referenced more than once, so the kernels
+    // evaluate one time per row however many signals read them (writing
+    // the kernel expression into each signal column hands the optimizer
+    // N copies it will never re-unify)
+    df.select(id.as("doc_id"), gs.as("__gs"), rep.as("__rep"))
+      .select(
+        col("doc_id"),
+        col("__gs").getField("n_tokens").as("n_tokens"),
+        perMille(col("__gs").getField("token_chars"), col("__gs").getField("n_tokens"))
+          .as("mean_tok_len_permille"),
+        perMille(col("__gs").getField("stopword_count"), col("__gs").getField("n_tokens"))
+          .as("stopword_permille"),
+        coalesce(
+          perMille(col("__rep").getField("max_gram_count"), col("__rep").getField("n_grams")),
+          lit(0L))
+          .as("top_gram_permille"))
       .withColumn("too_short", col("n_tokens") < minTokens)
       .withColumn("too_long", col("n_tokens") > maxTokens)
       .withColumn("bad_token_shape",

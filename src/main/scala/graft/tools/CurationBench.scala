@@ -257,14 +257,15 @@ object CurationBench {
           .filter($"lang".isin("en", "fr"))
       }
       free("01_strip")
-      // 1. composite quality gate
+      // 1. composite quality gate — the gate-as-filter predicate form:
+      // one kernel evaluation per row fused into the scan, no doc_id
+      // self-join (the join form hands pushdown a condition that inlines
+      // the signal kernels into every conjunct — ~6 evaluations per row)
       val kept = stage("03_gate") {
-        redacted.join(
-          TextAnalysis.qualityGate(redacted, $"doc_id", $"text",
-            stopwords = TextAnalysis.StopwordProfiles.toMap.apply("en") ++
-              TextAnalysis.StopwordProfiles.toMap.apply("fr"),
-            minTokens = 20L, minStopwordPermille = 10L, maxTopGramPermille = 300L)
-            .filter($"keep").select("doc_id"), "doc_id")
+        redacted.filter(TextAnalysis.qualityKeep($"text",
+          stopwords = TextAnalysis.StopwordProfiles.toMap.apply("en") ++
+            TextAnalysis.StopwordProfiles.toMap.apply("fr"),
+          minTokens = 20L, minStopwordPermille = 10L, maxTopGramPermille = 300L))
       }
       free("02_pii_lang")
       // 2a. exact dedup: content-hash groups, keep each group's canonical

@@ -150,6 +150,74 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == ((0L, true, false, false)))
   }
 
+  test("fused GateStats qualityGate ≡ HOF-composed gate (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sw = TextAnalysis.StopwordProfiles.toMap.apply("en") ++
+      TextAnalysis.StopwordProfiles.toMap.apply("fr")
+    // adversarial vocabulary: stopwords, case variants the lower() pass
+    // must normalize, a char whose lowercase EXPANDS (İ → i + combining
+    // dot), a supplementary-plane token (code-point counting), junk
+    val word = Gen.oneOf("the", "and", "la", "pour", "THE", "Le", "DANS",
+      "İstanbul", "ß", "𝒜𝒷𝒸", "interblag", "a", "1,2", "...")
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n ", "  ")
+    val genDoc = Gen.choose(0, 25).flatMap { k =>
+      for { ws <- Gen.listOfN(k, word); ss <- Gen.listOfN(k, sep) }
+        yield ws.zip(ss).map { case (w, s) => w + s }.mkString
+    }
+    val gateCols = Seq("doc_id", "n_tokens", "mean_tok_len_permille",
+      "stopword_permille", "top_gram_permille", "keep")
+    val prop = Prop.forAll(Gen.listOfN(20, genDoc)) { docs: List[String] =>
+      val df = docs.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+      def rows(g: org.apache.spark.sql.DataFrame) =
+        g.select(gateCols.head, gateCols.tail: _*)
+          .as[(Int, Long, Long, Long, Long, Boolean)].collect()
+          .map(r => r._1 -> r).toMap
+      rows(TextAnalysis.qualityGate(df, col("doc_id"), col("text"), sw,
+        minTokens = 3L, minStopwordPermille = 50L, maxTopGramPermille = 600L)) ==
+        rows(TextAnalysis.qualityGateComposed(df, col("doc_id"), col("text"), sw,
+          minTokens = 3L, minStopwordPermille = 50L, maxTopGramPermille = 600L))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("fused GateStats qualityGate ≡ HOF-composed gate on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fused = TextAnalysis.qualityGate(docs, col("doc_id"), col("text"))
+    val composed = TextAnalysis.qualityGateComposed(docs, col("doc_id"), col("text"))
+    assert(fused.count() == composed.count())
+    assert(fused.except(composed).count() == 0 && composed.except(fused).count() == 0)
+  }
+
+  test("qualityKeep predicate ≡ qualityGate keep-join (fixture corpus + edge thresholds)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sw = TextAnalysis.StopwordProfiles.toMap.apply("en") ++
+      TextAnalysis.StopwordProfiles.toMap.apply("fr")
+    for ((minT, minSw, maxTop) <- Seq((20L, 10L, 300L), (1L, 0L, 1000L), (50L, 20L, 0L))) {
+      val viaFilter = docs.filter(TextAnalysis.qualityKeep(col("text"), sw,
+        minTokens = minT, minStopwordPermille = minSw, maxTopGramPermille = maxTop))
+        .select("doc_id")
+      val viaJoin = docs.join(
+        TextAnalysis.qualityGate(docs, col("doc_id"), col("text"), sw,
+          minTokens = minT, minStopwordPermille = minSw, maxTopGramPermille = maxTop)
+          .filter(col("keep")).select("doc_id"), "doc_id")
+        .select("doc_id")
+      assert(viaFilter.count() == viaJoin.count(),
+        s"thresholds ($minT, $minSw, $maxTop)")
+      assert(viaFilter.except(viaJoin).count() == 0 &&
+        viaJoin.except(viaFilter).count() == 0,
+        s"thresholds ($minT, $minSw, $maxTop)")
+    }
+  }
+
+  test("qualityKeep evaluates its kernel once: a single filter conjunct in the plan") {
+    val docs = spark.range(10).selectExpr(
+      "id as doc_id", "concat('the a b c ', id) as text")
+    val plan = docs.filter(TextAnalysis.qualityKeep(col("text")))
+      .queryExecution.optimizedPlan.toString
+    assert("quality_keep".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("fused Shingles kernel ≡ HOF gram composition (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genDoc = Gen.choose(0, 12).flatMap(k =>
