@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   * [[OggVorbisDecoder]] hand-walks Ogg pages the JDK cannot read), and so
   * is the VIDEO header ([[Mp4Decoder]] walks the ISO-BMFF box structure by
   * hand — MP4/MOV track dimensions without any codec library). Compressed
-  * SAMPLE decode
-  * (MP3/FLAC/H.264 pixels) remains stubbed ([[StubDecoder]] derives
-  * deterministic fake dimensions from payload bytes — those codecs don't
-  * ship with the JDK); the stub also stays the oracle-replayable path
+  * SAMPLE decode is real for FLAC ([[FlacPcmDecoder]] rides the zero-dep
+  * [[FlacPcm]] bit-walk — Rice residuals, fixed/LPC predictors, stereo
+  * decorrelation — and [[WavPcmDecoder]]/[[AutoPcmDecoder]] cover
+  * uncompressed PCM and routing); MP3 and H.264 PIXEL decode remain
+  * stubbed ([[StubDecoder]] derives deterministic fake dimensions from
+  * payload bytes — their entropy decoders don't ship with the JDK); the
+  * stub also stays the oracle-replayable path
   * for the q29/q45 correctness gate, since DuckDB can recompute its
   * arithmetic but not a pixel decode. Either way the surrounding
   * plumbing —
@@ -387,6 +390,115 @@ object Multimodal {
         val len = if (r.content == null) 0L else r.content.length.toLong
         val (sr, ch, nf) = d.audioMeta(r.content)
         AudioMeta(r.id, len, sr, ch, nf)
+      }
+    }
+  }
+
+  /** The SAMPLE-decode boundary — unlike [[AudioDecoder]] this decodes the
+    * actual PCM, so it belongs after the pipeline's filter stages (same
+    * placement rule as [[ImageIoResizer]] vs [[ImageIoDecoder]]). */
+  trait PcmDecoder extends Serializable {
+    /** → (sampleRate, channels, interleaved samples); (0, 0, empty) for
+      * undecodable payloads — the filterable-zero contract. */
+    def decodePcm(content: Array[Byte]): (Int, Int, Array[Int])
+  }
+
+  /** REAL FLAC sample decode — the zero-dep [[FlacPcm]] walk (Rice
+    * residuals, fixed + LPC predictors, stereo decorrelation). */
+  object FlacPcmDecoder extends PcmDecoder {
+    def decodePcm(content: Array[Byte]): (Int, Int, Array[Int]) =
+      FlacPcm.decode(content)
+  }
+
+  /** REAL uncompressed-PCM decode via `javax.sound.sampled` (WAV/AIFF/AU):
+    * reads the sample bytes and re-assembles signed interleaved ints for
+    * 8/16/24/32-bit PCM, either endianness (8-bit unsigned is recentered,
+    * the WAV convention). */
+  object WavPcmDecoder extends PcmDecoder {
+    def decodePcm(content: Array[Byte]): (Int, Int, Array[Int]) = {
+      if (content == null || content.isEmpty) return (0, 0, Array.empty[Int])
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val f = in.getFormat
+          val enc = f.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bytesPer = f.getSampleSizeInBits / 8
+          if ((!signed && !unsigned) || bytesPer < 1 || bytesPer > 4)
+            return (0, 0, Array.empty[Int])
+          val raw = in.readAllBytes()
+          val n = raw.length / bytesPer
+          val out = new Array[Int](n)
+          val big = f.isBigEndian
+          var i = 0
+          while (i < n) {
+            var v = 0
+            var k = 0
+            while (k < bytesPer) {
+              val byteVal = raw(i * bytesPer + (if (big) k else bytesPer - 1 - k)) & 0xff
+              v = (v << 8) | byteVal
+              k += 1
+            }
+            // sign-extend to the sample width; recenter unsigned PCM
+            val bits = bytesPer * 8
+            val sv = (v << (32 - bits)) >> (32 - bits)
+            out(i) = if (unsigned) (v - (1 << (bits - 1))) else sv
+            i += 1
+          }
+          (math.max(0, f.getSampleRate.toInt), math.max(0, f.getChannels), out)
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => (0, 0, Array.empty[Int]) }
+    }
+  }
+
+  /** Magic-byte PCM router, [[AutoAudioDecoder]]'s sample-decode twin:
+    * "fLaC" → [[FlacPcmDecoder]], RIFF/FORM/.snd → [[WavPcmDecoder]];
+    * formats without a zero-dep sample decode (Ogg, MP3) return the
+    * filterable zero — their HEADERS still decode via
+    * [[AutoAudioDecoder]]. */
+  object AutoPcmDecoder extends PcmDecoder {
+    def decodePcm(content: Array[Byte]): (Int, Int, Array[Int]) = {
+      val b = content
+      if (b == null || b.length < 4) return (0, 0, Array.empty[Int])
+      val sig = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+        ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+      if (sig == 0x664c6143L) FlacPcmDecoder.decodePcm(b)            // fLaC
+      else if (sig == 0x52494646L || sig == 0x464f524dL ||           // RIFF / FORM
+        sig == 0x2e736e64L) WavPcmDecoder.decodePcm(b)               // .snd
+      else (0, 0, Array.empty[Int])
+    }
+  }
+
+  /** Decoded-sample statistics of one payload — the per-row evidence an
+    * audio curation gate filters on (silence ⇒ peak 0, clipping ⇒ peak at
+    * full scale, loudness via mean |sample|). Exact integers. */
+  final case class PcmStats(
+      id: Long, sample_rate: Int, channels: Int, n_samples: Long,
+      peak_abs: Long, mean_abs: Long)
+
+  /** Sample-decode statistics, partition-batched like every codec pass:
+    * decode PCM, reduce to (peak, mean |amplitude|) per row — the samples
+    * never leave the executor, only the bounded stats do (the shape that
+    * holds at 100 TB of audio). */
+  def extractPcmStats(rows: Dataset[MediaRow], decoder: PcmDecoder): Dataset[PcmStats] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      val d = decoder
+      it.map { r =>
+        val (sr, ch, samples) = d.decodePcm(r.content)
+        var peak = 0L
+        var sumAbs = 0L
+        var i = 0
+        while (i < samples.length) {
+          val a = math.abs(samples(i).toLong)
+          if (a > peak) peak = a
+          sumAbs += a
+          i += 1
+        }
+        PcmStats(r.id, sr, ch, samples.length.toLong, peak,
+          if (samples.isEmpty) 0L else sumAbs / samples.length)
       }
     }
   }
