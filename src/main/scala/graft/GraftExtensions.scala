@@ -60,6 +60,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "shingle_hashes_all(str, n) - rolling_hash of word n-grams, duplicates kept", 2) {
       args => ShingleHashesAll(args.head, foldableInt(args(1), "shingle_hashes_all n"))
     }
+    register(ext, "shingle_hashes_wide_all",
+      "shingle_hashes_wide_all(str, n) - ~60-bit two-base n-gram hashes, duplicates kept", 2) {
+      args => graft.functions.ShingleHashesWideAll(
+        args.head, foldableInt(args(1), "shingle_hashes_wide_all n"))
+    }
+    register(ext, "gram_repetition",
+      "gram_repetition(str, n) - struct(n_grams, n_distinct_grams, max_gram_count) per row", 2) {
+      args => graft.functions.GramRepetition(args.head, foldableInt(args(1), "gram_repetition n"))
+    }
+    register(ext, "gate_stats",
+      "gate_stats(str, stopwords_array) - struct(n_tokens, token_chars, stopword_count) in one pass", 2) {
+      args => graft.functions.GateStats(
+        args.head, foldableStringSeq(args(1), "gate_stats stopwords"))
+    }
     register(ext, "remove_token_spans",
       "remove_token_spans(str, starts, ends) - cut the [startsᵢ, endsᵢ) token ranges, re-join with spaces", 3) {
       args => RemoveTokenSpans(args.head, args(1), args(2))
@@ -115,6 +129,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "html_text",
       "html_text(str) - structural (tokenizer) markup strip: quote-aware attrs, pre fidelity, numeric entities, alt/title text", 1) {
       args => graft.functions.HtmlText(args.head, attrText = true)
+    }
+  }
+
+  private def foldableStringSeq(e: Expression, what: String): Seq[String] = {
+    require(e.foldable, s"$what must be a literal array of strings")
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+          .toIndexedSeq
+      case other => throw new IllegalArgumentException(
+        s"$what must be an array of strings, got $other")
     }
   }
 

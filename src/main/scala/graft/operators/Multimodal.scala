@@ -610,6 +610,60 @@ object Multimodal {
   /** One feature vector extracted per row. */
   final case class MediaFeatures(id: Long, embedding: Array[Float])
 
+  /** Decoded-pixel statistics of one image — [[extractPcmStats]]'s image
+    * twin: per-row evidence an image curation gate filters on (black /
+    * blank frames ⇒ extreme mean luma, washed-out scans ⇒ tiny luma
+    * spread). Exact integers. */
+  final case class PixelStats(
+      id: Long, width: Int, height: Int,
+      mean_luma_permille: Long, min_luma: Int, max_luma: Int)
+
+  /** REAL pixel decode statistics — full `javax.imageio` decode (the
+    * pixel tier above the header-only [[ImageIoDecoder]]), reduced
+    * per-row to mean/min/max luminance (integer (r+g+b)/3 per pixel,
+    * mean as permille of 255): the pixels never leave the executor, only
+    * the bounded stats do. Belongs after the pipeline's filter stages,
+    * same placement rule as [[ImageIoResizer]]. Corrupt payloads are
+    * filterable zeros. */
+  def extractPixelStats(rows: Dataset[MediaRow]): Dataset[PixelStats] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        try {
+          val img =
+            if (r.content == null || r.content.isEmpty) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+          if (img == null) PixelStats(r.id, 0, 0, 0L, 0, 0)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0L
+            var minL = 255
+            var maxL = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                sum += luma
+                if (luma < minL) minL = luma
+                if (luma > maxL) maxL = luma
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            PixelStats(r.id, w, h, if (n == 0) 0L else sum * 1000L / (n * 255L),
+              if (n == 0) 0 else minL, maxL)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => PixelStats(r.id, 0, 0, 0L, 0, 0)
+        }
+      }
+    }
+  }
+
   /** The pluggable feature-extraction boundary (CLIP/wav2vec in
     * production; the stub here). Serializable — ships once per
     * partition. */

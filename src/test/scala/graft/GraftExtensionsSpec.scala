@@ -87,6 +87,27 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.isNullAt(3)) // no shingles -> null signature
   }
 
+  test("gate_stats, gram_repetition and shingle_hashes_wide_all from SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  gate_stats('The cat and the dog', array('the', 'and')) AS gs,
+        |  gram_repetition('go go go', 2) AS rep,
+        |  gram_repetition('one', 2) AS rep_null,
+        |  size(shingle_hashes_wide_all('a b a b', 2)) AS nw,
+        |  shingle_hashes_wide_all('x y', 2)[0] AS w0
+        |""".stripMargin).head()
+    val gs = row.getStruct(0)
+    assert((gs.getLong(0), gs.getLong(1), gs.getLong(2)) == ((5L, 15L, 3L)))
+    val rep = row.getStruct(1)
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2)) == ((2L, 1L, 2L)))
+    assert(row.isNullAt(2)) // < n tokens → null
+    assert(row.getInt(3) == 3) // duplicates kept
+    // wide key = h31("x y")·(1e9+7) + h37("x y"), both plain rolling folds
+    val h31 = (("x".head.toInt * 31 + 32) * 31L + 'y'.toInt) % 1000000007L
+    val h37 = (("x".head.toInt * 37 + 32) * 37L + 'y'.toInt) % 1000000007L
+    assert(row.getLong(4) == h31 * 1000000007L + h37)
+  }
+
   test("non-literal arity/param misuse fails analysis, not execution") {
     val e = intercept[Exception](spark.sql("SELECT rolling_hash('a', 'b')").head())
     assert(e.getMessage.contains("expects 1 argument"))

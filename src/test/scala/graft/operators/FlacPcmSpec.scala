@@ -337,6 +337,32 @@ class FlacPcmSpec extends SparkSpec {
       (4L, 0, 0, 0L, 0L, 0L)))
   }
 
+  test("extractPixelStats: real pixel decode, exact luma stats, corrupt-safe") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, png(4, 3, 0xffffff), "png"), // white: luma 255
+      Multimodal.MediaRow(2L, png(2, 2, 0x000000), "png"), // black: luma 0
+      Multimodal.MediaRow(3L, png(1, 1, 0x604020), "png"), // (96+64+32)/3 = 64
+      Multimodal.MediaRow(4L, "not an image".getBytes, "png"),
+      Multimodal.MediaRow(5L, null, "png")).toDS()
+    val got = Multimodal.extractPixelStats(media)
+      .collect().map(s => (s.id, s.width, s.height, s.mean_luma_permille, s.min_luma, s.max_luma))
+      .toSet
+    assert(got == Set(
+      (1L, 4, 3, 1000L, 255, 255),
+      (2L, 2, 2, 0L, 0, 0),
+      (3L, 1, 1, 64L * 1000 / 255, 64, 64),
+      (4L, 0, 0, 0L, 0, 0),
+      (5L, 0, 0, 0L, 0, 0)))
+  }
+
   test("FLAC header decoder and sample decoder agree on rate/channels") {
     val w = new BitWriter
     frameHeader(w, 8, chCode = 1, ssCode = 4)
