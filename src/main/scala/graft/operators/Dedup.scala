@@ -662,6 +662,46 @@ object Dedup {
           .as("clean_text"): _*)
   }
 
+  /** C4/RefinedWeb-style LINE-level dedup: every line whose exact
+    * (space-trimmed) content occurs more than `maxFreq` times across the
+    * corpus — occurrence count, repeats within one doc included — is cut
+    * from EVERY document it appears in; the rest of each document
+    * survives in order, re-joined with "\n". The line tier sits between
+    * exact doc dedup (too coarse for shared footers/nav chrome) and
+    * n-gram span dedup (boilerplate lines are exact strings — counting
+    * them whole is cheaper and surgically precise). Lines that trim to ""
+    * are structure, not content: never counted, never dropped.
+    *
+    * Shape: one posexplode pass keyed by md5(trim(line)); the over-cap
+    * key set is OUTPUT-bounded (distinct hot lines) and so is the
+    * per-doc drop-position mask (docs touching a hot line) — at runtime
+    * AQE broadcasts the mask join, so the corpus text never shuffles and
+    * the rewrite is a map-side positional filter. Cost: corpus line mass
+    * through one count exchange, never corpus².
+    * → (doc_id, keepCols…, clean_text). */
+  def lineDedup(df: DataFrame, id: Column, text: Column,
+      maxFreq: Long = 1L, keepCols: Seq[String] = Nil): DataFrame = {
+    val lines = df
+      .select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+      .select(col("doc_id"), col("pos"), md5(trim(col("line"))).as("k"))
+    val dropKeys = lines.groupBy(col("k"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxFreq)
+      .select(col("k"))
+    val masks = lines.join(dropKeys.hint("shuffle_hash"), Seq("k"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("__drop"))
+    df.select(id.as("doc_id") +: keepCols.map(col) :+ text.as("__text"): _*)
+      .join(masks, Seq("doc_id"), "left")
+      .select(col("doc_id") +: keepCols.map(col) :+
+        when(col("__drop").isNull, col("__text"))
+          .otherwise(array_join(
+            filter(split(col("__text"), "\n"),
+              (l, i) => !array_contains(col("__drop"), i)),
+            "\n"))
+          .as("clean_text"): _*)
+  }
+
   /** The dedup DECISION: given per-doc duplicate-cluster assignments
     * (from [[Components.connectedComponents]] over any near-dup pair
     * tier) and a preference order, pick the canonical document of every

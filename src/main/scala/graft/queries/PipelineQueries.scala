@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Contamination, Dedup, Multimodal, Packing, Pii, Relational, Sampling, Similarity, SimilarityJoin, Stats, TextAnalysis}
+import graft.operators.{Components, Contamination, Dedup, Multimodal, Packing, Pii, Relational, Sampling, Similarity, SimilarityJoin, Stats, TextAnalysis, UrlOps}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (builder prompt: dedup / similarity /
@@ -38,6 +38,36 @@ object PipelineQueries {
     // exact dedup: one shuffle on the content hash
     "q18_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), col("text"), col("doc_id"))),
+
+    // URL provenance tier: host extraction (userinfo/port-stripping
+    // regexp), registrable-domain reduction (public-suffix second-level
+    // heuristic), blocklist verdict — all map-side scans; URLs are
+    // synthesized deterministically from the fixture so every shape
+    // (www., cc-TLD suffix, userinfo, port, junk) appears
+    "q71_url_domains" -> ((s, d) => {
+      val urls = Tables.documents(s, d).withColumn("url",
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("https://www."), col("source"), lit(".example.com/a/"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("http://"), col("source"), lit(".shop.example.co.uk:8080/b?q="), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("https://user@"), col("source"), lit(".org/c#frag")))
+        .otherwise(concat(lit("not a url "), col("doc_id"))))
+      val h = UrlOps.host(col("url"))
+      val dom = UrlOps.registrableDomain(h)
+      urls.select(col("doc_id"), h.as("host"), dom.as("reg_domain"),
+        coalesce(dom.isin("example.co.uk"), lit(false)).as("blocked"))
+    }),
+
+    // C4-style line-level dedup: the fixture text has no newlines, so the
+    // query makes words the lines (space -> \n) with a high occurrence
+    // cap — only the corpus's most common words cross it and get cut from
+    // every doc; the rebuild is a map-side positional filter
+    "q72_line_dedup" -> ((s, d) => {
+      val src = Tables.documents(s, d)
+        .withColumn("text", translate(col("text"), " ", "\n"))
+      Dedup.lineDedup(src, col("doc_id"), col("text"), maxFreq = 400L)
+    }),
 
     // token/quality metrics — all integers; ratios in exact per-mille
     "q19_text_stats" -> ((s, d) => {
@@ -865,6 +895,49 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(m % 8 AS BIGINT) AS shard,
          |  CAST(row_number() OVER (PARTITION BY m % 8 ORDER BY m, doc_id) AS BIGINT) AS pos_in_shard
          |FROM h""".stripMargin
+
+    // q71: same regexp (RE2∩Java, no quotes/backslashes), same
+    // public-suffix second-level heuristic; DuckDB list slices are
+    // 1-based inclusive, mirroring Spark's slice(start, length)
+    m += "q71_url_domains" ->
+      """WITH u AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 4 = 0 THEN 'https://www.' || source || '.example.com/a/' || CAST(doc_id AS VARCHAR)
+        |    WHEN doc_id % 4 = 1 THEN 'http://' || source || '.shop.example.co.uk:8080/b?q=' || CAST(doc_id AS VARCHAR)
+        |    WHEN doc_id % 4 = 2 THEN 'https://user@' || source || '.org/c#frag'
+        |    ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  nullif(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '') AS host
+        |  FROM u),
+        |l AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+        |r AS (SELECT doc_id, host, CASE
+        |    WHEN host IS NULL THEN NULL
+        |    WHEN len(ls) <= 1 THEN host
+        |    WHEN len(ls) >= 3 AND length(ls[len(ls)]) = 2
+        |         AND ls[len(ls) - 1] IN ('co','com','net','org','gov','edu','ac')
+        |      THEN array_to_string(ls[len(ls)-2:len(ls)], '.')
+        |    ELSE array_to_string(ls[len(ls)-1:len(ls)], '.') END AS reg_domain
+        |  FROM l)
+        |SELECT doc_id, host, reg_domain,
+        |  COALESCE(reg_domain = 'example.co.uk', FALSE) AS blocked FROM r""".stripMargin
+
+    // q72: words-as-lines (space -> \n); occurrence count over trimmed
+    // non-empty lines, drop-all above the cap, positional rebuild;
+    // string_agg over zero kept rows is NULL -> '' (Spark: empty array
+    // -> array_join -> ""); both trims are space-only
+    m += "q72_line_dedup" ->
+      """WITH src AS (SELECT doc_id, replace(text, ' ', chr(10)) AS t FROM documents),
+        |ls AS (SELECT doc_id, t, string_split(t, chr(10)) AS l FROM src),
+        |pos AS (SELECT doc_id, l, CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS i FROM ls),
+        |ln AS (SELECT doc_id, i - 1 AS pos, l[i] AS line FROM pos),
+        |k AS (SELECT doc_id, pos, line, md5(trim(line)) AS kk, trim(line) <> '' AS ne FROM ln),
+        |drops AS (SELECT kk FROM k WHERE ne GROUP BY kk HAVING COUNT(*) > 400),
+        |kept AS (SELECT doc_id, pos, line FROM k
+        |  WHERE NOT (ne AND kk IN (SELECT kk FROM drops))),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct
+        |  FROM kept GROUP BY doc_id)
+        |SELECT src.doc_id, COALESCE(agg.ct, '') AS clean_text
+        |FROM src LEFT JOIN agg USING (doc_id)""".stripMargin
 
     // q69: md5 of the UTF-8 bytes is engine-neutral hex; FULL OUTER +
     // COALESCE mirrors Spark's USING-column join

@@ -495,6 +495,47 @@ class DedupSpec extends SparkSpec {
     assert(out2.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
   }
 
+  test("lineDedup: corpus-hot lines cut everywhere, order kept, empties survive") {
+    val docs = Seq(
+      (1L, "unique one\nCOMMON FOOTER\nunique two", "a"),
+      (2L, "COMMON FOOTER\n\nother text", "b"),
+      (3L, "solo doc\n  \nmore solo", "c"),
+      (4L, "COMMON FOOTER", "d")) // fully boilerplate → ""
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.lineDedup(docs, col("doc_id"), col("text"),
+      maxFreq = 1L, keepCols = Seq("source"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("a", "unique one\nunique two")))
+    assert(got(2L) == (("b", "\nother text"))) // empty line is structure, kept
+    assert(got(3L) == (("c", "solo doc\n  \nmore solo"))) // whitespace line never counted
+    assert(got(4L) == (("d", "")))
+  }
+
+  test("lineDedup: within-doc repeats count toward the cap; trim keys, raw content kept") {
+    val docs = Seq(
+      (1L, "echo\necho"), // the same line twice IN ONE doc = 2 occurrences
+      (2L, "  padded  \nkeep me"),
+      (3L, "padded")) // trims equal to doc 2's padded line -> both count
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, col("doc_id"), col("text"), maxFreq = 1L)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "") // 2 occurrences > 1 even though one doc
+    assert(got(2L) == "keep me") // "  padded  " dropped by its trimmed key
+    assert(got(3L) == "")
+  }
+
+  test("lineDedup: maxFreq raises the bar; untouched docs byte-identical") {
+    val docs = Seq(
+      (1L, "x\ny"), (2L, "x\nz"), (3L, "x\nw")) // "x" occurs 3 times
+      .toDF("doc_id", "text")
+    val loose = Dedup.lineDedup(docs, col("doc_id"), col("text"), maxFreq = 3L)
+      .as[(Long, String)].collect().toMap
+    assert(loose == Map(1L -> "x\ny", 2L -> "x\nz", 3L -> "x\nw"))
+    val tight = Dedup.lineDedup(docs, col("doc_id"), col("text"), maxFreq = 2L)
+      .as[(Long, String)].collect().toMap
+    assert(tight == Map(1L -> "y", 2L -> "z", 3L -> "w"))
+  }
+
   test("corpusDiff: keyed status by content hash, hashes null exactly off-side") {
     val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newDf = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
