@@ -30,6 +30,28 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
+  /** Input-size gate for the one-scan persist of bench-relevant train
+    * postings (see [[ngramOverlapPairs]]): below it both passes stay lazy
+    * re-scans (cheap at that size, no cache residue); above it the slim
+    * bench-relevant posting table — match-mass-bounded, a sliver of the
+    * corpus — persists MEMORY_AND_DISK so the df pass and the join pass
+    * cost ONE corpus scan + shingling instead of two. The cache entry
+    * deliberately outlives the call (the returned frame recomputes from
+    * it) — same contract as [[Dedup.duplicateSpans]]'s gate. */
+  val PersistGateMinBytesKey = "spark.graft.contamination.persistGateMinBytes"
+  val PersistGateMinBytesDefault: Long = 128L * 1024 * 1024
+
+  /** Bench-relevant slice of the train postings (`t` semi-filtered by the
+    * broadcast bench shingle set), persisted above the size gate. */
+  private def benchRelevant(t: DataFrame, benchH: DataFrame, train: DataFrame): DataFrame = {
+    val rel = t.join(broadcast(benchH), Seq("h"), "left_semi")
+    val gate = train.sparkSession.sessionState.conf
+      .getConfString(PersistGateMinBytesKey, PersistGateMinBytesDefault.toString).toLong
+    if (train.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(gate))
+      rel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else rel
+  }
+
   /** → (bench_id, train_id, n_shared, bench_size, contaminated_permille)
     * for every cross-corpus pair with `n_shared ≥ minShared`.
     * `contaminated_permille` = ⌊n_shared·1000 / bench_size⌋: how much of
@@ -75,16 +97,22 @@ object Contamination {
     // shuffles. The previous form windowed df over a full corpus-posting
     // exchange (~16 GB at 10M docs) whose hot-shingle partitions were
     // unsplittable single-task sorts — the exact boilerplate pathology
-    // the cap exists to defuse. Price: the train corpus is scanned and
-    // shingled twice (df pass + join pass); two cheap codegen passes beat
-    // one corpus-sized skewed exchange at any interesting scale.
+    // the cap exists to defuse. Price: two passes over the train corpus —
+    // paid as two SCANS below the persist gate (cheap there) and as ONE
+    // scan + a cached match-mass-bounded slim table above it (the df pass
+    // populates [[benchRelevant]]'s cache while building the broadcast,
+    // the join pass reads it back) — never as a corpus-sized skewed
+    // exchange.
     val benchH = b.select(col("h")).distinct()
-    val survivingH = t.join(broadcast(benchH), Seq("h"), "left_semi")
+    val tRel = benchRelevant(t, benchH, train)
+    val survivingH = tRel
       .groupBy(col("h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxShingleFreq)
       .select(col("h"))
     val bFiltered = b.join(broadcast(survivingH), Seq("h"))
-    t.join(broadcast(bFiltered.withColumnRenamed("h", "h2")), col("h") === col("h2"))
+    // joining the bench-relevant slice is output-identical to joining the
+    // full postings: bFiltered's shingles are a subset of the bench set
+    tRel.join(broadcast(bFiltered.withColumnRenamed("h", "h2")), col("h") === col("h2"))
       .groupBy(col("bench_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"), max(col("bench_size")).as("bench_size"))
       .filter(col("n_shared") >= minShared)
@@ -132,18 +160,19 @@ object Contamination {
         posexplode(TextAnalysis.ngramHashesMultiset(normalize(trainText), n)))
       .select(col("train_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
     // DISTINCT-doc df per shingle, computed only for bench-relevant
-    // shingles — same two-pass broadcast shape as [[ngramOverlapPairs]]
-    // (the position-carrying posting mass NEVER enters an exchange; the
-    // count_distinct's internal (h, train_id) dedup exchange carries only
-    // bench-relevant rows). The previous form stacked lag/sum windows
-    // over a full corpus-posting exchange.
+    // shingles — same two-pass broadcast shape (and one-scan persist gate)
+    // as [[ngramOverlapPairs]] (the position-carrying posting mass NEVER
+    // enters an exchange; the count_distinct's internal (h, train_id)
+    // dedup exchange carries only bench-relevant rows). The previous form
+    // stacked lag/sum windows over a full corpus-posting exchange.
     val benchH = b.select(col("h")).distinct()
-    val survivingH = t.join(broadcast(benchH), Seq("h"), "left_semi")
+    val tRel = benchRelevant(t, benchH, train)
+    val survivingH = tRel
       .groupBy(col("h")).agg(countDistinct(col("train_id")).as("__df"))
       .filter(col("__df") <= maxShingleFreq)
       .select(col("h"))
     val bFiltered = b.join(broadcast(survivingH), Seq("h"))
-    val joined = t
+    val joined = tRel
       .join(broadcast(bFiltered.withColumnRenamed("h", "h2")), col("h") === col("h2"))
     // per-pair distinct-shingle count as the same run-opener trick (h is
     // unique per (bench_id, train posting), so positions are unique within

@@ -49,6 +49,33 @@ class ContaminationSpec extends SparkSpec {
     assert(uncapped.count() == 3)
   }
 
+  test("above the persist gate: one-scan cached postings, identical output") {
+    val bench = Seq((1L, "a b c d e"), (2L, "p q r s")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "a b c d x"), (11L, "z z q w e r"), (12L, "p q r s t"),
+      (13L, "a b c x y")).toDF("doc_id", "text")
+    def run() = Contamination.ngramOverlapPairs(
+      bench, col("doc_id"), col("text"), train, col("doc_id"), col("text"),
+      n = 3, minShared = 2)
+    def spansRun() = Contamination.ngramOverlapSpans(
+      bench, col("doc_id"), col("text"), train, col("doc_id"), col("text"),
+      n = 3, minShared = 2)
+    val defaultPairs = run().collect().map(_.toSeq).toSet
+    val defaultSpans = spansRun().collect().map(_.toSeq).toSet
+    spark.conf.set(Contamination.PersistGateMinBytesKey, "0")
+    try {
+      val gated = run()
+      assert(gated.collect().map(_.toSeq).toSet == defaultPairs)
+      // the join pass reads the persisted slim posting table, not a
+      // second corpus scan
+      assert(gated.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      assert(spansRun().collect().map(_.toSeq).toSet == defaultSpans)
+    } finally {
+      spark.conf.unset(Contamination.PersistGateMinBytesKey)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("inverted-index overlap ≡ naive set intersection (property)") {
     val genDoc = Gen.choose(2, 10).flatMap(k =>
       Gen.listOfN(k, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))

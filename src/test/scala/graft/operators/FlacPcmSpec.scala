@@ -276,6 +276,47 @@ class FlacPcmSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: random signals × random fixed order × random rice param round-trip") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      sig <- Gen.listOfN(n, Gen.choose(-2000, 2000))
+      order <- Gen.choose(0, 4)
+      param <- Gen.choose(10, 14) // wide enough that unary quotients stay sane
+      stereoSide <- Gen.oneOf(8, 9, 10, 1) // every stereo mode + independent
+    } yield (sig.toArray, order, param, stereoSide)
+    val prop = Prop.forAll(gen) { case (sig, order, param, chCode) =>
+      val n = sig.length
+      if (chCode == 1) { // independent stereo: fixed subframe per channel
+        val w = new BitWriter
+        frameHeader(w, n, chCode = 1, ssCode = 4)
+        subFixed(w, sig, order, 16, param)
+        subFixed(w, sig.map(-_), order, 16, param)
+        endFrame(w)
+        val (_, _, got) = FlacPcm.decode(streaminfo(16000, 2, 16, n) ++ w.bytes)
+        got.toSeq == (0 until n).flatMap(i => Seq(sig(i), -sig(i)))
+      } else {
+        val left = sig
+        val right = sig.map(v => (v / 2) - 7)
+        val side = Array.tabulate(n)(i => left(i) - right(i))
+        val (c0, b0, c1, b1) = chCode match {
+          case 8 => (left, 16, side, 17)
+          case 9 => (side, 17, right, 16)
+          case _ => (Array.tabulate(n)(i => (left(i) + right(i)) >> 1), 16, side, 17)
+        }
+        val w = new BitWriter
+        frameHeader(w, n, chCode, ssCode = 4)
+        subFixed(w, c0, order, b0, param)
+        subFixed(w, c1, order, b1, param)
+        endFrame(w)
+        val (_, _, got) = FlacPcm.decode(streaminfo(16000, 2, 16, n) ++ w.bytes)
+        got.toSeq == (0 until n).flatMap(i => Seq(left(i), right(i)))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("corrupt, truncated, and non-FLAC payloads are filterable zeros, not throws") {
     assert(FlacPcm.decode(null) == ((0, 0, Array.empty[Int])) ||
       FlacPcm.decode(null)._3.isEmpty)
