@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * queries (~2.5 s per pass over 5000 docs at sf0.1, recomputed per join
   * side). One native expression = one tight loop per row.
   *
-  * Tokenization matches Java/RE2 `\s+` on ASCII: space, \t, \n, ,
+  * Tokenization matches Java/RE2 `\s+` on ASCII: space, \t, \n, \u000B,
   * \f, \r — the same set the DuckDB oracle's `string_split_regex` uses.
   *
   * Inner-loop discipline (these kernels run once per document of a 100 TB

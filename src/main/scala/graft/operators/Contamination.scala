@@ -41,10 +41,31 @@ object Contamination {
   val PersistGateMinBytesKey = "spark.graft.contamination.persistGateMinBytes"
   val PersistGateMinBytesDefault: Long = 128L * 1024 * 1024
 
+  /** Ceiling (optimizer estimate of the BENCH input) for broadcasting the
+    * bench-derived tables. Eval suites are normally thousands of docs —
+    * broadcasting keeps the train corpus map-side — but `broadcast()` is
+    * a forced hint that bypasses `autoBroadcastJoinThreshold`, so a
+    * genuinely large bench side (millions of docs) must fall back to
+    * shuffle-hash builds instead of materializing its posting table on
+    * the driver and every executor. Both paths are output-identical
+    * (spec-pinned). */
+  val BenchBroadcastMaxBytesKey = "spark.graft.contamination.benchBroadcastMaxBytes"
+  val BenchBroadcastMaxBytesDefault: Long = 1L * 1024 * 1024 * 1024
+
+  /** The bench-side build strategy: `broadcast` below the ceiling,
+    * `shuffle_hash` hint above it. */
+  private def benchBuild(bench: DataFrame): DataFrame => DataFrame = {
+    val max = bench.sparkSession.sessionState.conf
+      .getConfString(BenchBroadcastMaxBytesKey, BenchBroadcastMaxBytesDefault.toString).toLong
+    if (bench.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(max)) df => broadcast(df)
+    else df => df.hint("shuffle_hash")
+  }
+
   /** Bench-relevant slice of the train postings (`t` semi-filtered by the
-    * broadcast bench shingle set), persisted above the size gate. */
-  private def benchRelevant(t: DataFrame, benchH: DataFrame, train: DataFrame): DataFrame = {
-    val rel = t.join(broadcast(benchH), Seq("h"), "left_semi")
+    * bench shingle set via `build`), persisted above the size gate. */
+  private def benchRelevant(t: DataFrame, benchH: DataFrame, train: DataFrame,
+      build: DataFrame => DataFrame): DataFrame = {
+    val rel = t.join(build(benchH), Seq("h"), "left_semi")
     val gate = train.sparkSession.sessionState.conf
       .getConfString(PersistGateMinBytesKey, PersistGateMinBytesDefault.toString).toLong
     if (train.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(gate))
@@ -103,16 +124,17 @@ object Contamination {
     // populates [[benchRelevant]]'s cache while building the broadcast,
     // the join pass reads it back) — never as a corpus-sized skewed
     // exchange.
+    val build = benchBuild(bench)
     val benchH = b.select(col("h")).distinct()
-    val tRel = benchRelevant(t, benchH, train)
+    val tRel = benchRelevant(t, benchH, train, build)
     val survivingH = tRel
       .groupBy(col("h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxShingleFreq)
       .select(col("h"))
-    val bFiltered = b.join(broadcast(survivingH), Seq("h"))
+    val bFiltered = b.join(build(survivingH), Seq("h"))
     // joining the bench-relevant slice is output-identical to joining the
     // full postings: bFiltered's shingles are a subset of the bench set
-    tRel.join(broadcast(bFiltered.withColumnRenamed("h", "h2")), col("h") === col("h2"))
+    tRel.join(build(bFiltered.withColumnRenamed("h", "h2")), col("h") === col("h2"))
       .groupBy(col("bench_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"), max(col("bench_size")).as("bench_size"))
       .filter(col("n_shared") >= minShared)
@@ -165,15 +187,16 @@ object Contamination {
     // enters an exchange; the count_distinct's internal (h, train_id)
     // dedup exchange carries only bench-relevant rows). The previous form
     // stacked lag/sum windows over a full corpus-posting exchange.
+    val build = benchBuild(bench)
     val benchH = b.select(col("h")).distinct()
-    val tRel = benchRelevant(t, benchH, train)
+    val tRel = benchRelevant(t, benchH, train, build)
     val survivingH = tRel
       .groupBy(col("h")).agg(countDistinct(col("train_id")).as("__df"))
       .filter(col("__df") <= maxShingleFreq)
       .select(col("h"))
-    val bFiltered = b.join(broadcast(survivingH), Seq("h"))
+    val bFiltered = b.join(build(survivingH), Seq("h"))
     val joined = tRel
-      .join(broadcast(bFiltered.withColumnRenamed("h", "h2")), col("h") === col("h2"))
+      .join(build(bFiltered.withColumnRenamed("h", "h2")), col("h") === col("h2"))
     // per-pair distinct-shingle count as the same run-opener trick (h is
     // unique per (bench_id, train posting), so positions are unique within
     // a pair and the merge windows below see no duplicates)

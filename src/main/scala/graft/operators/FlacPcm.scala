@@ -145,8 +145,9 @@ object FlacPcm {
       case 15 => return false
       case _ =>
     }
+    if (chCode > 10) return false // reserved channel assignments
     val nCh = if (chCode < 8) chCode + 1 else 2
-    if (nCh != siChannels && chCode < 8) return false
+    if (nCh != siChannels) return false
     val bps = ssCode match {
       case 0 => siBps
       case 1 => 8
@@ -158,7 +159,7 @@ object FlacPcm {
       case _ => return false
     }
     br.bits(8) // frame-header CRC-8
-    val chans = new Array[Array[Int]](nCh)
+    val chans = new Array[Array[Long]](nCh)
     var ch = 0
     while (ch < nCh) {
       // side channels carry one extra bit: left/side → ch1, right/side →
@@ -191,7 +192,7 @@ object FlacPcm {
         while (i < blockSize) {
           val side = chans(1)(i)
           var mid = chans(0)(i) << 1
-          mid |= (side & 1) // the dropped LSB of (l+r)
+          mid |= (side & 1L) // the dropped LSB of (l+r)
           chans(0)(i) = (mid + side) >> 1
           chans(1)(i) = (mid - side) >> 1
           i += 1
@@ -201,47 +202,51 @@ object FlacPcm {
     var s = 0
     while (s < blockSize) {
       var c = 0
-      while (c < nCh) { out += chans(c)(s); c += 1 }
+      while (c < nCh) { out += chans(c)(s).toInt; c += 1 }
       s += 1
     }
     true
   }
 
-  private def decodeSubframe(br: BitReader, blockSize: Int, bps: Int): Array[Int] = {
+  /** Samples stay in the LONG domain through the subframe: a side channel
+    * of a 32-bit stream is 33 bits wide, so Int would silently wrap its
+    * warm-ups, verbatim samples, and zigzag residuals — the interleave
+    * step truncates to Int only AFTER stereo reconstruction, where values
+    * fit the stream's bit depth again. */
+  private def decodeSubframe(br: BitReader, blockSize: Int, bps: Int): Array[Long] = {
     require(br.bits(1) == 0L, "subframe pad bit")
     val typ = br.bits(6).toInt
     val wasted =
       if (br.bits(1) == 1L) br.unary() + 1
       else 0
     val eb = bps - wasted
-    val s = new Array[Int](blockSize)
+    val s = new Array[Long](blockSize)
     if (typ == 0) { // CONSTANT
-      val v = br.sbits(eb).toInt
-      java.util.Arrays.fill(s, v)
+      java.util.Arrays.fill(s, br.sbits(eb))
     } else if (typ == 1) { // VERBATIM
       var i = 0
-      while (i < blockSize) { s(i) = br.sbits(eb).toInt; i += 1 }
+      while (i < blockSize) { s(i) = br.sbits(eb); i += 1 }
     } else if ((typ & 0x38) == 0x08 && (typ & 0x07) <= 4) { // FIXED order 0-4
       val order = typ & 0x07
       var i = 0
-      while (i < order) { s(i) = br.sbits(eb).toInt; i += 1 }
+      while (i < order) { s(i) = br.sbits(eb); i += 1 }
       decodeResidual(br, blockSize, order, s)
       i = order
       while (i < blockSize) {
         val p = order match {
           case 0 => 0L
-          case 1 => s(i - 1).toLong
+          case 1 => s(i - 1)
           case 2 => 2L * s(i - 1) - s(i - 2)
           case 3 => 3L * s(i - 1) - 3L * s(i - 2) + s(i - 3)
           case _ => 4L * s(i - 1) - 6L * s(i - 2) + 4L * s(i - 3) - s(i - 4)
         }
-        s(i) = (s(i) + p).toInt
+        s(i) = s(i) + p
         i += 1
       }
     } else if ((typ & 0x20) == 0x20) { // LPC order 1-32
       val order = (typ & 0x1f) + 1
       var i = 0
-      while (i < order) { s(i) = br.sbits(eb).toInt; i += 1 }
+      while (i < order) { s(i) = br.sbits(eb); i += 1 }
       val precision = br.bits(4).toInt + 1
       require(precision < 16, "invalid LPC precision")
       val shift = br.sbits(5).toInt
@@ -255,7 +260,7 @@ object FlacPcm {
         var acc = 0L
         var j = 0
         while (j < order) { acc += coefs(j).toLong * s(i - 1 - j); j += 1 }
-        s(i) = (s(i) + (acc >> shift)).toInt
+        s(i) = s(i) + (acc >> shift)
         i += 1
       }
     } else throw new IllegalArgumentException(s"reserved subframe type $typ")
@@ -267,7 +272,7 @@ object FlacPcm {
   }
 
   /** Rice/Rice2 residual into s(order until blockSize) (zigzag decoded). */
-  private def decodeResidual(br: BitReader, blockSize: Int, order: Int, s: Array[Int]): Unit = {
+  private def decodeResidual(br: BitReader, blockSize: Int, order: Int, s: Array[Long]): Unit = {
     val method = br.bits(2).toInt
     require(method <= 1, s"reserved residual method $method")
     val paramBits = if (method == 0) 4 else 5
@@ -283,13 +288,13 @@ object FlacPcm {
       if (param == escape) {
         val raw = br.bits(5).toInt
         var i = 0
-        while (i < count) { s(idx) = if (raw == 0) 0 else br.sbits(raw).toInt; idx += 1; i += 1 }
+        while (i < count) { s(idx) = if (raw == 0) 0L else br.sbits(raw); idx += 1; i += 1 }
       } else {
         var i = 0
         while (i < count) {
           val q = br.unary().toLong
           val v = (q << param) | br.bits(param)
-          s(idx) = ((v >>> 1) ^ -(v & 1L)).toInt
+          s(idx) = (v >>> 1) ^ -(v & 1L)
           idx += 1
           i += 1
         }

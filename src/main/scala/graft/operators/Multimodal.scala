@@ -306,9 +306,14 @@ object Multimodal {
       if (b == null || b.length < 4) return (0, 0, 0L)
       try {
         var off = 0
-        if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
           off = 10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
             ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+          // ID3v2.4 footer flag: the syncsafe size excludes the 10-byte
+          // footer — without this a footered tag lands the sync probe on
+          // "3DI" and a valid file reads as corrupt
+          if ((b(5) & 0x10) != 0) off += 10
+        }
         if (off + 4 > b.length || (b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0)
           return (0, 0, 0L)
         val ver = (b(off + 1) >>> 3) & 0x3       // 0=2.5, 2=2, 3=1
@@ -425,6 +430,10 @@ object Multimodal {
           val enc = f.getEncoding
           val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
           val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          // non-byte-multiple sample sizes (12-bit WAV stores 2 bytes per
+          // sample) would make the byte stride wrong and fabricate
+          // samples — filterable zero instead
+          if (f.getSampleSizeInBits % 8 != 0) return (0, 0, Array.empty[Int])
           val bytesPer = f.getSampleSizeInBits / 8
           if ((!signed && !unsigned) || bytesPer < 1 || bytesPer > 4)
             return (0, 0, Array.empty[Int])

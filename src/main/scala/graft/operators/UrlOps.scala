@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
 object UrlOps {
 
   /** Lowercased host of an absolute URL: the authority between
-    * `scheme://` and the first `/`, `?` or `#`, with any `user@` info and
-    * any `:port` stripped. Null (never "") when the value has no
+    * `scheme://` and the first `/`, `?` or `#`, with any `user@` info,
+    * any `:port`, and any trailing root-dot stripped (`example.com.` is
+    * the same fully-qualified name as `example.com` — leaving the dot
+    * would let a blocklisted domain evade [[domainBlocklistFilter]] by
+    * appending one). Null (never "") when the value has no
     * scheme://host shape — a relative link or junk is filterable, not a
     * phantom empty host. */
   def host(url: Column): Column =
-    nullif(lower(regexp_extract(url,
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)), lit(""))
+    nullif(regexp_replace(lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)), "\\.+$", ""), lit(""))
 
   /** Second-level labels that act as public suffixes under 2-letter
     * country TLDs (`co.uk`, `com.au`, …) — the tiny fixed heuristic tier

@@ -907,7 +907,7 @@ object PipelineQueries {
         |    ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
         |  FROM documents),
         |h AS (SELECT doc_id,
-        |  nullif(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '') AS host
+        |  nullif(regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '\.+$', ''), '') AS host
         |  FROM u),
         |l AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
         |r AS (SELECT doc_id, host, CASE

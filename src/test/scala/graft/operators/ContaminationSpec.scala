@@ -74,6 +74,17 @@ class ContaminationSpec extends SparkSpec {
       spark.conf.unset(Contamination.PersistGateMinBytesKey)
       spark.sharedState.cacheManager.clearCache()
     }
+    // oversized-bench fallback: shuffle-hash builds instead of forced
+    // broadcasts, identical output
+    spark.conf.set(Contamination.BenchBroadcastMaxBytesKey, "0")
+    try {
+      assert(run().collect().map(_.toSeq).toSet == defaultPairs)
+      assert(spansRun().collect().map(_.toSeq).toSet == defaultSpans)
+      assert(!run().queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.unset(Contamination.BenchBroadcastMaxBytesKey)
+      spark.sharedState.cacheManager.clearCache()
+    }
   }
 
   test("inverted-index overlap ≡ naive set intersection (property)") {

@@ -39,13 +39,18 @@ class CurationPipelineSpec extends SparkSpec {
     assert(redacted.join(docs.select($"doc_id", $"text".as("orig")), "doc_id")
       .filter($"text" =!= $"orig").count() == 0, "no PII in fixture -> identity")
 
-    // 1. composite quality gate: named per-rule flags, keep = conjunction
-    val kept = redacted.join(
-      TextAnalysis.qualityGate(redacted, $"doc_id", $"text",
-        minTokens = 20L, minStopwordPermille = 10L, maxTopGramPermille = 300L)
-        .filter($"keep").select("doc_id"), "doc_id")
+    // 1. composite quality gate, predicate form (the README example):
+    // one fused kernel evaluation in the scan; must keep exactly the
+    // rows the audit-form join keeps
+    val kept = redacted.filter(TextAnalysis.qualityKeep($"text",
+      minTokens = 20L, minStopwordPermille = 10L, maxTopGramPermille = 300L))
     val nKept = kept.count()
     assert(nKept > 0 && nKept <= total)
+    assert(nKept == redacted.join(
+      TextAnalysis.qualityGate(redacted, $"doc_id", $"text",
+        minTokens = 20L, minStopwordPermille = 10L, maxTopGramPermille = 300L)
+        .filter($"keep").select("doc_id"), "doc_id").count(),
+      "predicate form ≡ audit-form join")
 
     // 2. near-dup dedup, the one-call decision: LSH pairs -> components
     // over the pair endpoints -> keep the BEST doc of each duplicate

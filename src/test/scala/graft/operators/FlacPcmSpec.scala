@@ -317,6 +317,63 @@ class FlacPcmSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  private def subVerbatimL(w: BitWriter, s: Seq[Long], bps: Int): Unit = {
+    w.bits(0L, 1); w.bits(1L, 6); w.bits(0L, 1)
+    s.foreach(v => w.bits(v & (if (bps == 64) -1L else (1L << bps) - 1), bps))
+  }
+
+  test("32-bit stereo: the 33-bit side channel survives (no Int wrap)") {
+    // left − right at the extremes needs 33 bits: Int arithmetic would
+    // silently wrap the side subframe and reconstruct garbage
+    val left = Array(Int.MaxValue, Int.MinValue, 7, -1)
+    val right = Array(Int.MinValue, Int.MaxValue, -7, 1)
+    val n = left.length
+    val side = Array.tabulate(n)(i => left(i).toLong - right(i).toLong)
+    val w = new BitWriter
+    frameHeader(w, n, chCode = 8, ssCode = 7) // left/side, 32-bit
+    subVerbatimL(w, left.map(_.toLong), 32)
+    subVerbatimL(w, side, 33)
+    endFrame(w)
+    val (_, ch, got) = FlacPcm.decode(streaminfo(48000, 2, 32, n) ++ w.bytes)
+    assert(ch == 2)
+    assert(got.toSeq == (0 until n).flatMap(i => Seq(left(i), right(i))))
+  }
+
+  test("reserved channel codes and channel-count mismatches stop the frame cleanly") {
+    // valid first frame, then a frame with reserved chCode 11: the clean
+    // prefix survives, the garbage frame contributes nothing
+    val w = new BitWriter
+    frameHeader(w, 2, chCode = 0, ssCode = 4)
+    subVerbatim(w, Seq(3, -3), 16)
+    endFrame(w)
+    frameHeader(w, 2, chCode = 11, ssCode = 4)
+    subVerbatim(w, Seq(9, 9), 16)
+    endFrame(w)
+    val (_, _, got) = FlacPcm.decode(streaminfo(8000, 1, 16, 4) ++ w.bytes)
+    assert(got.toSeq == Seq(3, -3))
+    // stereo-coded frame against a mono STREAMINFO: rejected, not
+    // interleaved-as-two-channels
+    val w2 = new BitWriter
+    frameHeader(w2, 2, chCode = 8, ssCode = 4)
+    subVerbatim(w2, Seq(1, 2), 16)
+    subVerbatim(w2, Seq(0, 0), 17)
+    endFrame(w2)
+    val (_, _, got2) = FlacPcm.decode(streaminfo(8000, 1, 16, 2) ++ w2.bytes)
+    assert(got2.isEmpty)
+  }
+
+  test("WavPcmDecoder: non-byte-multiple sample size is a filterable zero, not fabricated samples") {
+    // hand-built RIFF header claiming 12-bit PCM (stored 2 bytes/sample)
+    def le(v: Int, n: Int): Array[Byte] = Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+    val data = Array[Byte](0x34, 0x02, 0x56, 0x01)
+    val wav = "RIFF".getBytes ++ le(36 + data.length, 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++
+      le(16000, 4) ++ le(2, 2) ++ le(12, 2) ++
+      "data".getBytes ++ le(data.length, 4) ++ data
+    val (r, c, s) = Multimodal.WavPcmDecoder.decodePcm(wav)
+    assert(s.isEmpty && (r == 0 || s.isEmpty)) // zero samples either way
+  }
+
   test("corrupt, truncated, and non-FLAC payloads are filterable zeros, not throws") {
     assert(FlacPcm.decode(null) == ((0, 0, Array.empty[Int])) ||
       FlacPcm.decode(null)._3.isEmpty)

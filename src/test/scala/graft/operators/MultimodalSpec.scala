@@ -297,6 +297,15 @@ class MultimodalSpec extends SparkSpec {
       (3L, 44100, 2, 100 * 1152L), (4L, 0, 0, 0L), (5L, 0, 0, 0L)))
   }
 
+  test("Mp3Decoder: ID3v2.4 footer flag shifts the sync probe past the footer") {
+    val body = new Array[Byte](20)
+    val header = Array[Byte]('I', 'D', '3', 4, 0, 0x10.toByte, 0, 0, 0, 20)
+    val footer = Array[Byte]('3', 'D', 'I', 4, 0, 0x10.toByte, 0, 0, 0, 20)
+    val withFooter = header ++ body ++ footer ++ mp3Cbr(3)
+    val got = Multimodal.Mp3Decoder.audioMeta(withFooter)
+    assert(got == ((44100, 2, 3L * 1152)))
+  }
+
   test("AutoAudioDecoder routes a mixed-format column in one pass") {
     val ogg = oggPage(0x02, 0L, 0, vorbisIdPacket(2, 44100)) ++
       oggPage(0x04, 22050L, 1, Array[Byte](0x05))

@@ -42,6 +42,13 @@ class UrlOpsSpec extends SparkSpec {
       "localhost", "example.ac.jp"))
   }
 
+  test("trailing root-dot FQDNs normalize: a blocklisted domain cannot dot-evade") {
+    assert(hosts("http://spam.example.co.uk./x", "https://example.com.../y") ==
+      Seq(Some("spam.example.co.uk"), Some("example.com")))
+    val docs = Seq((1L, "http://spam.example.co.uk./x")).toDF("doc_id", "url")
+    assert(UrlOps.domainBlocklistFilter(docs, col("url"), Seq("example.co.uk")).count() == 0)
+  }
+
   test("registrableDomain of a null host is null") {
     val got = Seq((1, Option.empty[String])).toDF("id", "h")
       .select(UrlOps.registrableDomain(col("h"))).as[Option[String]].head()
