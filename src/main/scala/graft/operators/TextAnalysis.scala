@@ -262,6 +262,92 @@ object TextAnalysis {
         perMille(col("n_in_target"), col("n_grams")))
   }
 
+  /** Input-size gate for [[bigramLmScore]]'s eager broadcast path — below
+    * it the score join stays a lazy shuffle-hash plan. */
+  val LmBroadcastGateMinBytesKey = "spark.graft.lm.broadcastGateMinBytes"
+  val LmBroadcastGateMinBytesDefault: Long = 128L * 1024 * 1024
+
+  /** Bigram language model of a reference corpus — the deterministic core
+    * of CCNet-style "perplexity under a reference LM" quality filtering
+    * (KenLM scoring reduced to its exact-integer conditional-probability
+    * proxy): for every bigram `w1 w2` seen at least `minCount` times,
+    * `p_permille = ⌊1000·C(w1 w2) / C(w1 ·)⌋` — the per-mille conditional
+    * probability of `w2` given `w1`, with the denominator summed over ALL
+    * successors (computed BEFORE the prune, so pruning shifts no
+    * probability mass). Tokens are lowercased whitespace tokens, so case
+    * variants don't split mass.
+    *
+    * Shape: one gram-keyed count aggregate (Zipfian keys combine
+    * map-side — the exchange carries distinct grams per partition, not
+    * occurrences), one vocabulary-keyed prefix-sum aggregate over the
+    * already-aggregated gram table, one `w1`-keyed equi-join whose per-key
+    * multiplicity is the successor count, never the occurrence count.
+    * `minCount` is the KenLM-style prune dial: at corpus scale raise it
+    * until the table broadcasts (the score join's hot grams are by
+    * construction IN the table — a shuffled probe would skew).
+    *
+    * → (gram, c, p_permille). */
+  def bigramLm(ref: org.apache.spark.sql.DataFrame, text: Column,
+      minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val cnt = ref.select(explode(ngramsMultiset(lower(text), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    val pre = cnt
+      .groupBy(substring_index(col("gram"), " ", 1).as("w1"))
+      .agg(sum(col("c")).cast("long").as("cp"))
+    cnt.filter(col("c") >= minCount)
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .join(pre, Seq("w1"))
+      .select(col("gram"), col("c"), perMille(col("c"), col("cp")).as("p_permille"))
+  }
+
+  /** Score every document of `df` against a [[bigramLm]] table: the mean
+    * per-mille conditional probability of the doc's bigrams under the LM
+    * (pruned/out-of-vocabulary bigrams score 0 — they are evidence of
+    * off-distribution text, exactly what the filter wants to see). High =
+    * predictable in-domain prose, low = junk/boilerplate/wrong-language;
+    * threshold via [[graft.operators.Stats.quantileBuckets]]. Exact
+    * integer arithmetic end-to-end, so the score is engine-replayable —
+    * unlike a float log-prob sum, whose association order would differ
+    * per partitioning.
+    *
+    * Shape: the probe explodes doc bigrams ONCE and joins the slim
+    * (gram, p_permille) table. The LM side builds: below the input-size
+    * gate a lazy `shuffle_hash` hint; above it the table persists, is
+    * counted, and broadcasts when ≤ `maxBroadcastKeys` — a shuffled
+    * gram-keyed probe would send every `of the` in the corpus to one
+    * partition (the LM's hot keys are its HEAD, not its tail). Docs with
+    * fewer than 2 tokens survive with n_bigrams = 0 (explode_outer).
+    *
+    * → (doc_id, n_bigrams, mean_p_permille). */
+  def bigramLmScore(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      lm: org.apache.spark.sql.DataFrame,
+      maxBroadcastKeys: Long = 4000000L): org.apache.spark.sql.DataFrame = {
+    val bg = df.select(id.as("doc_id"),
+      explode_outer(ngramsMultiset(lower(text), 2)).as("gram"))
+    val slim = lm.select(col("gram"), col("p_permille"))
+    val gate = df.sparkSession.sessionState.conf
+      .getConfString(LmBroadcastGateMinBytesKey, LmBroadcastGateMinBytesDefault.toString).toLong
+    val probe =
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(gate))
+        bg.join(slim.hint("shuffle_hash"), Seq("gram"), "left")
+      else {
+        val cached = slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nKeys = cached.count() // sizing job — also warms the cache
+        if (nKeys <= maxBroadcastKeys) bg.join(broadcast(cached), Seq("gram"), "left")
+        else bg.join(cached.hint("shuffle_hash"), Seq("gram"), "left")
+      }
+    probe.groupBy(col("doc_id"))
+      .agg(count(col("gram")).as("n_bigrams"),
+        sum(coalesce(col("p_permille"), lit(0L))).as("__sum_p"))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, 0L)
+          .otherwise(Bridge.column(catalyst.expressions.IntegralDivide(
+            Bridge.expression(col("__sum_p")),
+            Bridge.expression(col("n_bigrams").cast("long")))))
+          .cast("long").as("mean_p_permille"))
+  }
+
   /** Gopher-style intra-document repetition signals over word `n`-grams:
     * per doc, how dominant the single most frequent n-gram is and what
     * fraction of all n-gram occurrences are repeats of an earlier one —

@@ -69,6 +69,16 @@ object PipelineQueries {
       Dedup.lineDedup(src, col("doc_id"), col("text"), maxFreq = 400L)
     }),
 
+    // CCNet-style LM quality signal: train an exact-integer bigram LM on
+    // the corpus itself (minCount=2 prune; denominators pre-prune), score
+    // every doc by mean per-mille P(w2|w1) — OOV bigrams score 0, docs
+    // under 2 tokens survive with n_bigrams=0
+    "q73_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bigramLmScore(docs, col("doc_id"), col("text"),
+        TextAnalysis.bigramLm(docs, col("text"), minCount = 2L))
+    }),
+
     // token/quality metrics — all integers; ratios in exact per-mille
     "q19_text_stats" -> ((s, d) => {
       val t = col("text")
@@ -938,6 +948,28 @@ object PipelineQueries {
         |  FROM kept GROUP BY doc_id)
         |SELECT src.doc_id, COALESCE(agg.ct, '') AS clean_text
         |FROM src LEFT JOIN agg USING (doc_id)""".stripMargin
+
+    // q73: bigram LM score — grams join back to their w1 prefix by
+    // first-space split (tokens are whitespace-free by construction);
+    // denominator summed pre-prune; SUMs CAST BIGINT (HUGEINT rule);
+    // LEFT JOIN from documents keeps <2-token docs at n_bigrams=0
+    m += "q73_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokens("lower(text)")} AS w FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |  i -> w[i] || ' ' || w[i+1])) AS gram FROM toks),
+         |cnt AS (SELECT gram, COUNT(*) AS c FROM bg GROUP BY gram),
+         |pre AS (SELECT string_split(gram, ' ')[1] AS w1, CAST(SUM(c) AS BIGINT) AS cp
+         |  FROM cnt GROUP BY 1),
+         |lm AS (SELECT gram, CAST(c * 1000 // cp AS BIGINT) AS p
+         |  FROM cnt JOIN pre ON string_split(cnt.gram, ' ')[1] = pre.w1
+         |  WHERE c >= 2),
+         |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(COALESCE(p, 0)) AS BIGINT) AS sum_p
+         |  FROM bg LEFT JOIN lm USING (gram) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(CASE WHEN sc.n_bigrams IS NULL THEN 0
+         |       ELSE sum_p // sc.n_bigrams END AS BIGINT) AS mean_p_permille
+         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
 
     // q69: md5 of the UTF-8 bytes is engine-neutral hex; FULL OUTER +
     // COALESCE mirrors Spark's USING-column join

@@ -418,4 +418,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(explodes == 1,
       s"the corpus must explode once, found $explodes:\n$plan")
   }
+
+  test("bigramLm: conditional per-mille, lowercased mass, denominator pre-prune") {
+    val docs = Seq((1L, "a b A b"), (2L, "a b c"), (3L, ""), (4L, "solo"))
+      .toDF("doc_id", "text")
+    // bigrams (lowercased): doc1 [a b, b a, a b]  doc2 [a b, b c]
+    // counts: "a b"=3, "b a"=1, "b c"=1; prefixes: a·=3, b·=2
+    val lm2 = TextAnalysis.bigramLm(docs, col("text"), minCount = 2L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(lm2 == Set(("a b", 3L, 1000L)))
+    // minCount=1 keeps the b-prefix grams: their denominator (2) was
+    // summed over ALL successors, not just surviving ones
+    val lm1 = TextAnalysis.bigramLm(docs, col("text"), minCount = 1L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(lm1 == Set(("a b", 3L, 1000L), ("b a", 1L, 500L), ("b c", 1L, 500L)))
+  }
+
+  test("bigramLmScore: mean P(w2|w1) per-mille, OOV scores 0, short docs survive") {
+    val docs = Seq((1L, "a b A b"), (2L, "a b c"), (3L, ""), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val lm = TextAnalysis.bigramLm(docs, col("text"), minCount = 2L)
+    val got = TextAnalysis.bigramLmScore(docs, col("doc_id"), col("text"), lm)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc1: [1000, 0 (b a pruned), 1000] → 2000 // 3 = 666
+    // doc2: [1000, 0 (b c pruned)]       → 1000 // 2 = 500
+    // doc3/doc4: no bigrams → n=0, mean=0 (NOT dropped)
+    assert(got == Set((1L, 3L, 666L), (2L, 2L, 500L), (3L, 0L, 0L), (4L, 0L, 0L)))
+  }
+
+  test("bigramLmScore: above the gate the LM broadcasts; all strategies agree") {
+    val docs = (1L to 300L).map(i => (i, s"w${i % 5} w${i % 7} w${i % 5} w${i % 3}"))
+      .toDF("doc_id", "text")
+    val lazyScore = TextAnalysis.bigramLmScore(docs, col("doc_id"), col("text"),
+      TextAnalysis.bigramLm(docs, col("text")))
+    val lazyPlan = lazyScore.queryExecution.executedPlan.toString
+    assert(lazyPlan.contains("ShuffledHashJoin"),
+      s"below the size gate the probe must stay the lazy shuffled join:\n$lazyPlan")
+    spark.conf.set(TextAnalysis.LmBroadcastGateMinBytesKey, "0")
+    try {
+      val bc = TextAnalysis.bigramLmScore(docs, col("doc_id"), col("text"),
+        TextAnalysis.bigramLm(docs, col("text")))
+      val bcPlan = bc.queryExecution.executedPlan.toString
+      assert(bcPlan.contains("BroadcastHashJoin"),
+        s"a prunable LM above the gate must broadcast into the probe:\n$bcPlan")
+      val big = TextAnalysis.bigramLmScore(docs, col("doc_id"), col("text"),
+        TextAnalysis.bigramLm(docs, col("text")), maxBroadcastKeys = 0L)
+      val bigPlan = big.queryExecution.executedPlan.toString
+      assert(bigPlan.contains("ShuffledHashJoin"),
+        s"above the broadcast cap the probe must fall back to shuffled:\n$bigPlan")
+      val want = lazyScore.collect().sortBy(_.getLong(0)).toSeq
+      assert(bc.collect().sortBy(_.getLong(0)).toSeq == want &&
+        big.collect().sortBy(_.getLong(0)).toSeq == want,
+        "probe strategies must emit identical scores")
+    } finally spark.conf.unset(TextAnalysis.LmBroadcastGateMinBytesKey)
+  }
 }
