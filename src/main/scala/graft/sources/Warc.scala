@@ -1,0 +1,329 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException, InputStream}
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC / WET web-archive source — the container format training corpora
+  * actually arrive in (Common Crawl ships crawl text as `*.warc.wet.gz`
+  * shards). A first-class DataSource V2 (`spark.read.format("warc")`), so
+  * ingestion composes with the whole pipeline tier
+  * ([[graft.operators.UrlOps]] provenance, dedup, quality gates) without a
+  * preprocessing hop.
+  *
+  * Format (ISO 28500, re-derived from the public spec, no code consulted):
+  * each record is `WARC/1.x` + CRLF header lines (`Name: value`, folded
+  * continuations allowed) + empty line + exactly `Content-Length` payload
+  * bytes + blank-line separators. Common Crawl gzips EACH RECORD as its own
+  * member and concatenates, so one multi-member `GZIPInputStream` walks a
+  * whole `.gz` shard sequentially.
+  *
+  * Scale shape: one input partition PER FILE — gzip members are not
+  * seekable, so the file is the natural split unit, and crawls ship as
+  * thousands of ~1 GB shards (file-level parallelism is exactly how a
+  * 1000-executor cluster eats them). The reader streams records — never
+  * the file — through a fixed-size buffer. Column pruning reaches the
+  * byte level: when `content` is pruned the payload is SKIPPED, not read
+  * (a metadata-only census of a 100 TB crawl decompresses but never
+  * materializes the bodies); a pushed `record_type` filter (EqualTo/In —
+  * e.g. WET's `conversion` rows) skips payloads of non-matching records
+  * the same way. [[Scan.estimateStatistics]] reports summed file sizes so
+  * Catalyst can size joins against the scan.
+  *
+  * Malformed-input contract (crawls contain garbage): bytes between
+  * records that aren't a `WARC/` version line are skipped; a record whose
+  * payload is cut by EOF is dropped (its fields can't be trusted);
+  * records missing `Content-Length` end the file (the framing is gone).
+  */
+object Warc {
+  val Schema: StructType = StructType(Seq(
+    StructField("warc_file", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = true),
+    StructField("record_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true)))
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("warc").load(path)
+
+  /** WET payloads are UTF-8 text; Spark's binary→string cast is the
+    * decode. */
+  def wetText(content: Column): Column = content.cast("string")
+
+  /** One parsed record: header keys lower-cased; `payload` is null when
+    * the reader skipped it (pruned or filtered out). */
+  final class Record(val headers: Map[String, String], val payload: Array[Byte]) {
+    def header(k: String): String = headers.getOrElse(k, null)
+    def contentLength: Long = headers.get("content-length").map(_.toLong).getOrElse(-1L)
+  }
+
+  /** Streaming record walk over one (possibly multi-member-gzip) WARC
+    * stream. `wantPayload` decides per record whether to materialize the
+    * block or skip it byte-exactly. Not thread-safe; single forward pass. */
+  final class Parser(in: InputStream) {
+    private val MaxHeaderLine = 1 << 16
+
+    /** Next record, with `wantPayload(headers)` gating materialization;
+      * null at EOF. */
+    def next(wantPayload: Map[String, String] => Boolean): Record = {
+      var line = readLine()
+      // tolerate inter-record blank lines and non-WARC garbage
+      while (line != null && !line.startsWith("WARC/")) line = readLine()
+      if (line == null) return null
+      val headers = mutable.Map.empty[String, String]
+      var lastKey: String = null
+      var h = readLine()
+      while (h != null && h.nonEmpty) {
+        if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && lastKey != null) {
+          headers(lastKey) = headers(lastKey) + " " + h.trim // folded continuation
+        } else {
+          val i = h.indexOf(':')
+          if (i > 0) {
+            lastKey = h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+            headers(lastKey) = h.substring(i + 1).trim
+          }
+        }
+        h = readLine()
+      }
+      if (h == null) return null // EOF inside headers: framing gone
+      val len = headers.get("content-length").flatMap(_.toLongOption).getOrElse(-1L)
+      if (len < 0) return null // unframed record ends the file
+      val hmap = headers.toMap
+      if (wantPayload(hmap)) {
+        val buf = readFully(len)
+        if (buf == null) return null // truncated payload: drop
+        new Record(hmap, buf)
+      } else {
+        if (!skipFully(len)) return null
+        new Record(hmap, null)
+      }
+    }
+
+    /** CRLF/LF line as a String (UTF-8), null at EOF. */
+    private def readLine(): String = {
+      val out = new ByteArrayOutputStream(128)
+      var b = in.read()
+      if (b < 0) return null
+      while (b >= 0 && b != '\n') {
+        out.write(b)
+        if (out.size > MaxHeaderLine)
+          throw new IllegalArgumentException("WARC header line exceeds 64 KiB")
+        b = in.read()
+      }
+      val bytes = out.toByteArray
+      val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1 else bytes.length
+      new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+    private def readFully(len: Long): Array[Byte] = {
+      if (len > Int.MaxValue - 8) throw new IllegalArgumentException(s"record of $len bytes")
+      val buf = new Array[Byte](len.toInt)
+      var off = 0
+      while (off < buf.length) {
+        val n = in.read(buf, off, buf.length - off)
+        if (n < 0) return null
+        off += n
+      }
+      buf
+    }
+
+    private val skipBuf = new Array[Byte](64 * 1024)
+    private def skipFully(len: Long): Boolean = {
+      var left = len
+      while (left > 0) {
+        val n = in.read(skipBuf, 0, math.min(left, skipBuf.length.toLong).toInt)
+        if (n < 0) return false
+        left -= n
+      }
+      true
+    }
+  }
+
+  /** Hadoop Configuration that survives Java serialization (the public
+    * Writable round-trip — no Spark-internal wrapper). */
+  final class SerializableConf(@transient var conf: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = { out.defaultWriteObject(); conf.write(out) }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject(); conf = new Configuration(false); conf.readFields(in)
+    }
+  }
+}
+
+/** `format("warc")` provider (registered via DataSourceRegister). */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Warc.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new WarcTable(paths(new CaseInsensitiveStringMap(properties)))
+
+  /** `load(p)` arrives as `path`; `load(p1, p2, …)` as a JSON array in
+    * `paths`. */
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).map { js =>
+      val m = java.util.regex.Pattern.compile("\"((?:\\\\.|[^\"\\\\])*)\"").matcher(js)
+      val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group(1).replace("\\\\", "\\").replace("\\\"", "\"")
+      b.result()
+    }.getOrElse(Nil)
+    val single = Option(options.get("path")).toSeq
+    val all = multi ++ single
+    require(all.nonEmpty, "warc source needs a path: spark.read.format(\"warc\").load(<path>)")
+    all
+  }
+}
+
+class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"warc(${paths.mkString(",")})"
+  override def schema(): StructType = Warc.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(paths)
+}
+
+class WarcScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = Warc.Schema
+  private var typeFilter: Set[String] = null // null = no filter
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** `record_type` EqualTo/In are handled EXACTLY in the reader (and gate
+    * payload materialization), so they need no re-evaluation; everything
+    * else stays post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accept, rest) = filters.partition {
+      case EqualTo("record_type", _: String) => true
+      case In("record_type", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    pushed = accept
+    typeFilter =
+      if (accept.isEmpty) null
+      else accept.map {
+        case EqualTo(_, v: String) => Set(v)
+        case In(_, vs) => vs.map(_.asInstanceOf[String]).toSet
+        case f => throw new IllegalStateException(s"unexpected pushed filter $f")
+      }.reduce(_ intersect _)
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new WarcScan(paths, required, typeFilter)
+}
+
+class WarcScan(paths: Seq[String], required: StructType, typeFilter: Set[String])
+    extends Scan with Batch with SupportsReportStatistics {
+  private lazy val files: Seq[FileStatus] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+      require(matched.nonEmpty, s"warc path matches nothing: $p")
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(f =>
+            f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        else Seq(st)
+      }
+    }
+  }
+
+  override def readSchema(): StructType = required
+  override def description(): String = {
+    val tf = if (typeFilter == null) "" else s", type=${typeFilter.toSeq.sorted.mkString("|")}"
+    s"warc[${required.fieldNames.mkString(",")}$tf]"
+  }
+  override def toBatch: Batch = this
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(files.map(_.getLen).sum)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => WarcInputPartition(f.getPath.toString): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new Warc.SerializableConf(SparkSession.active.sessionState.newHadoopConf())
+    WarcReaderFactory(required, typeFilter, conf)
+  }
+}
+
+case class WarcInputPartition(path: String) extends InputPartition
+
+case class WarcReaderFactory(required: StructType, typeFilter: Set[String],
+    conf: Warc.SerializableConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].path, required, typeFilter, conf.conf)
+}
+
+class WarcPartitionReader(path: String, required: StructType, typeFilter: Set[String],
+    conf: Configuration) extends PartitionReader[InternalRow] {
+  private val hPath = new Path(path)
+  private val raw = hPath.getFileSystem(conf).open(hPath)
+  private val in: InputStream = {
+    val buffered = new BufferedInputStream(raw, 1 << 16)
+    if (path.endsWith(".gz")) new GZIPInputStream(buffered, 1 << 16) else buffered
+  }
+  private val parser = new Warc.Parser(in)
+  private val wantContent = required.fieldNames.contains("content")
+  private val fileUtf8 = UTF8String.fromString(path)
+  private val getters: Array[Warc.Record => Any] = required.fieldNames.map {
+    case "warc_file" => (_: Warc.Record) => fileUtf8
+    case "record_id" => (r: Warc.Record) => utf8(r.header("warc-record-id"))
+    case "record_type" => (r: Warc.Record) => utf8(r.header("warc-type"))
+    case "target_uri" => (r: Warc.Record) => utf8(r.header("warc-target-uri"))
+    case "warc_date" => (r: Warc.Record) => utf8(r.header("warc-date"))
+    case "content_type" => (r: Warc.Record) => utf8(r.header("content-type"))
+    case "content_length" => (r: Warc.Record) => r.contentLength
+    case "content" => (r: Warc.Record) => r.payload
+    case other => throw new IllegalArgumentException(s"unknown warc column $other")
+  }
+  private def utf8(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+
+  private var current: Warc.Record = null
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null) {
+      val r = parser.next(hs =>
+        wantContent && (typeFilter == null || typeFilter.contains(hs.getOrElse("warc-type", ""))))
+      if (r == null) return false
+      if (typeFilter == null || typeFilter.contains(r.headers.getOrElse("warc-type", "")))
+        current = r
+    }
+    true
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(getters.length)
+    var i = 0
+    while (i < getters.length) { row.update(i, getters(i)(current)); i += 1 }
+    row
+  }
+
+  override def close(): Unit =
+    try in.close() catch { case _: EOFException | _: java.io.IOException => () }
+}

@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The `format("warc")` DataSource V2 against byte-exact synthetic WET/WARC
+  * shards — plain and Common-Crawl-style per-record-gzip-member files. */
+class WarcSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def record(tpe: String, uri: String, payload: Array[Byte],
+      ctype: String = "text/plain", extra: String = ""): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: $tpe\r\n"
+    if (uri != null) h ++= s"WARC-Target-URI: $uri\r\n"
+    h ++= "WARC-Date: 2026-08-14T00:00:00Z\r\n"
+    h ++= s"WARC-Record-ID: <urn:uuid:$tpe-${if (uri == null) "x" else uri.length}>\r\n"
+    h ++= extra
+    h ++= s"Content-Type: $ctype\r\n"
+    h ++= s"Content-Length: ${payload.length}\r\n"
+    h ++= "\r\n"
+    h.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def gzMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  private def tempDir(): Path = {
+    val d = Files.createTempDirectory("warcspec")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private val wetBytes: Array[Byte] =
+    record("warcinfo", null, "software: synthetic\r\n".getBytes(UTF_8),
+      ctype = "application/warc-fields") ++
+    record("conversion", "https://a.example.com/1", "hello wet world".getBytes(UTF_8)) ++
+    record("conversion", "https://b.example.org/2", "héllo — unicode ✓".getBytes(UTF_8))
+
+  test("plain WET file: all columns round-trip, unicode payload intact") {
+    val dir = tempDir()
+    Files.write(dir.resolve("part0.warc.wet"), wetBytes)
+    val df = Warc.read(spark, dir.toString)
+    val got = df.select(col("record_type"), col("target_uri"), col("content_type"),
+      col("content_length"), Warc.wetText(col("content")).as("text"))
+      .as[(String, String, String, Long, String)].collect().sortBy(r => (r._1, String.valueOf(r._2)))
+    assert(got.toSeq == Seq(
+      ("conversion", "https://a.example.com/1", "text/plain", 15L, "hello wet world"),
+      ("conversion", "https://b.example.org/2", "text/plain",
+        "héllo — unicode ✓".getBytes(UTF_8).length.toLong, "héllo — unicode ✓"),
+      ("warcinfo", null, "application/warc-fields", 21L, "software: synthetic\r\n")))
+    assert(df.select("record_id").as[String].collect().forall(_.startsWith("<urn:uuid:")))
+    assert(df.select("warc_date").distinct().as[String].head() == "2026-08-14T00:00:00Z")
+  }
+
+  test("multi-member gzip (Common Crawl shape): one stream walks every member") {
+    val dir = tempDir()
+    val gz = gzMember(record("warcinfo", null, "x".getBytes(UTF_8))) ++
+      gzMember(record("conversion", "https://c.example.com", "gzipped body".getBytes(UTF_8))) ++
+      gzMember(record("conversion", "https://d.example.com", "second member".getBytes(UTF_8)))
+    Files.write(dir.resolve("part0.warc.wet.gz"), gz)
+    val got = Warc.read(spark, dir.toString)
+      .select(col("target_uri"), Warc.wetText(col("content")))
+      .as[(String, String)].collect().toSet
+    assert(got == Set((null, "x"), ("https://c.example.com", "gzipped body"),
+      ("https://d.example.com", "second member")))
+  }
+
+  test("one partition per file — the shard is the scale-out unit") {
+    val dir = tempDir()
+    (0 until 3).foreach(i => Files.write(dir.resolve(s"part$i.warc.wet"), wetBytes))
+    val df = Warc.read(spark, dir.toString)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 9)
+    assert(df.select("warc_file").distinct().count() == 3)
+  }
+
+  test("column pruning reaches the scan; record_type filter pushes down") {
+    val dir = tempDir()
+    Files.write(dir.resolve("part0.warc.wet"), wetBytes)
+    val pruned = Warc.read(spark, dir.toString).select("target_uri", "content_length")
+    val planP = pruned.queryExecution.executedPlan.toString
+    assert(planP.contains("warc[target_uri,content_length]"),
+      s"content must be pruned out of the scan (payloads skipped, not read):\n$planP")
+    val filtered = Warc.read(spark, dir.toString)
+      .filter(col("record_type") === "conversion").select("target_uri")
+    val planF = filtered.queryExecution.executedPlan.toString
+    assert(planF.contains("type=conversion"),
+      s"record_type equality must reach the reader:\n$planF")
+    assert(filtered.as[String].collect().toSet ==
+      Set("https://a.example.com/1", "https://b.example.org/2"))
+  }
+
+  test("garbage between records is skipped; a truncated final record is dropped") {
+    val dir = tempDir()
+    val full = record("conversion", "https://ok.example.com", "good".getBytes(UTF_8))
+    val truncated = record("conversion", "https://cut.example.com",
+      "this payload is long".getBytes(UTF_8)).dropRight(12) // cut inside payload
+    Files.write(dir.resolve("part0.warc"),
+      "junk preamble\r\n\r\n".getBytes(UTF_8) ++ full ++ "stray bytes\r\n".getBytes(UTF_8) ++ truncated)
+    val got = Warc.read(spark, dir.toString)
+      .select(col("target_uri"), Warc.wetText(col("content")))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("https://ok.example.com", "good")))
+  }
+
+  test("folded header continuations join with a space") {
+    val dir = tempDir()
+    Files.write(dir.resolve("part0.warc"),
+      record("conversion", "https://e.example.com", "p".getBytes(UTF_8),
+        extra = "WARC-Concurrent-To: <urn:uuid:one>\r\n <urn:uuid:two>\r\n"))
+    // the folded header must not derail target_uri/content parsing
+    val got = Warc.read(spark, dir.toString)
+      .select(col("target_uri"), col("content_length")).as[(String, Long)].head()
+    assert(got == (("https://e.example.com", 1L)))
+  }
+
+  test("multiple load() paths and glob patterns resolve") {
+    val dir = tempDir()
+    Files.write(dir.resolve("a.warc.wet"), wetBytes)
+    Files.write(dir.resolve("b.warc.wet"), wetBytes)
+    val two = spark.read.format("warc")
+      .load(dir.resolve("a.warc.wet").toString, dir.resolve("b.warc.wet").toString)
+    assert(two.count() == 6)
+    val globbed = Warc.read(spark, dir.toString + "/*.wet")
+    assert(globbed.count() == 6)
+  }
+}
