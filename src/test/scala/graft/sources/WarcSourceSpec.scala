@@ -125,6 +125,31 @@ class WarcSourceSpec extends SparkSpec {
     assert(got == (("https://e.example.com", 1L)))
   }
 
+  test("adversarial payloads round-trip byte-exact (property): embedded WARC markers, CRLFs, binary") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // payloads that LOOK like record boundaries must not derail the
+    // Content-Length framing
+    val nasty = Gen.oneOf(
+      Gen.const("WARC/1.0\r\nWARC-Type: conversion\r\n\r\n".getBytes(UTF_8)),
+      Gen.const("\r\n\r\nContent-Length: 0\r\n".getBytes(UTF_8)),
+      Gen.const(Array.empty[Byte]),
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      Gen.alphaStr.map(_.getBytes(UTF_8)))
+    val prop = Prop.forAll(Gen.listOfN(5, nasty)) { (payloads: List[Array[Byte]]) =>
+      val bytes = payloads.zipWithIndex.flatMap { case (p, i) =>
+        record("conversion", s"https://p.example.com/$i", p)
+      }.toArray
+      val parser = new Warc.Parser(new java.io.ByteArrayInputStream(bytes))
+      val got = Iterator.continually(parser.next(_ => true)).takeWhile(_ != null).toList
+      got.length == payloads.length &&
+        got.zip(payloads).forall { case (r, p) => java.util.Arrays.equals(r.payload, p) } &&
+        got.zipWithIndex.forall { case (r, i) =>
+          r.header("warc-target-uri") == s"https://p.example.com/$i" }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(80), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("multiple load() paths and glob patterns resolve") {
     val dir = tempDir()
     Files.write(dir.resolve("a.warc.wet"), wetBytes)
