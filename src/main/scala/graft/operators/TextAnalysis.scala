@@ -290,8 +290,17 @@ object TextAnalysis {
   def bigramLm(ref: org.apache.spark.sql.DataFrame, text: Column,
       minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
-    val cnt = ref.select(explode(ngramsMultiset(lower(text), 2)).as("gram"))
+    val cntRaw = ref.select(explode(ngramsMultiset(lower(text), 2)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    // the gram-count table feeds BOTH the prefix sum and the prune join;
+    // above the size gate it persists so the ref corpus explodes ONCE
+    // (lazy recompute would be a second full corpus pass at scale)
+    val gate = ref.sparkSession.sessionState.conf
+      .getConfString(LmBroadcastGateMinBytesKey, LmBroadcastGateMinBytesDefault.toString).toLong
+    val cnt =
+      if (ref.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(gate))
+        cntRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cntRaw
     val pre = cnt
       .groupBy(substring_index(col("gram"), " ", 1).as("w1"))
       .agg(sum(col("c")).cast("long").as("cp"))

@@ -446,6 +446,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Set((1L, 3L, 666L), (2L, 2L, 500L), (3L, 0L, 0L), (4L, 0L, 0L)))
   }
 
+  test("bigramLm above the gate: the gram-count table persists — ref corpus explodes once") {
+    val docs = (1L to 50L).map(i => (i, s"w${i % 3} w${i % 5} w${i % 3}")).toDF("doc_id", "text")
+    val below = TextAnalysis.bigramLm(docs, col("text")).collect().toSet // default gate: lazy
+    spark.conf.set(TextAnalysis.LmBroadcastGateMinBytesKey, "0")
+    try {
+      val lm = TextAnalysis.bigramLm(docs, col("text"))
+      assert(lm.collect().toSet == below)
+      val plan = lm.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"above the gate both consumers must read the cached gram counts:\n$plan")
+    } finally spark.conf.unset(TextAnalysis.LmBroadcastGateMinBytesKey)
+  }
+
   test("bigramLmScore: above the gate the LM broadcasts; all strategies agree") {
     val docs = (1L to 300L).map(i => (i, s"w${i % 5} w${i % 7} w${i % 5} w${i % 3}"))
       .toDF("doc_id", "text")
