@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -194,7 +195,7 @@ class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = Warc.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths)
 }
@@ -255,6 +256,8 @@ class WarcScan(paths: Seq[String], required: StructType, typeFilter: Set[String]
     s"warc[${required.fieldNames.mkString(",")}$tf]"
   }
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WarcMicroBatchStream(paths, required, typeFilter, checkpointLocation)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
@@ -272,6 +275,93 @@ class WarcScan(paths: Seq[String], required: StructType, typeFilter: Set[String]
 }
 
 case class WarcInputPartition(path: String) extends InputPartition
+
+/** Continuous crawl ingestion: `spark.readStream.format("warc")` discovers
+  * shards as they land and emits each exactly once, so arriving WET files
+  * flow straight into the streaming curation gates (`bloomGate`,
+  * streaming dedup/contamination) with no batch re-run.
+  *
+  * Offset design: a monotone batch id; the id → file-list assignment is
+  * persisted under `<checkpoint>/warc-batches/<id>` BEFORE the offset is
+  * returned, so a crashed run recovers the exact same batch membership
+  * (replays are byte-identical — the WAL semantics Structured Streaming
+  * expects of a source). `commit` keeps the log: it is the seen-files set
+  * on restart. One file = one partition, as in batch. Files are assumed
+  * immutable once visible (the crawl-shard contract); a shard REPLACED
+  * in-place with new content is not re-read. */
+class WarcMicroBatchStream(paths: Seq[String], required: StructType, typeFilter: Set[String],
+    checkpointLocation: String) extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private val conf = SparkSession.active.sessionState.newHadoopConf()
+  private val logDir = new Path(checkpointLocation, "warc-batches")
+  private val fs = logDir.getFileSystem(conf)
+  fs.mkdirs(logDir)
+
+  /** batch id → files, recovered from the persisted log on construction. */
+  private var batches: scala.collection.immutable.TreeMap[Long, Seq[String]] = {
+    val entries = Option(fs.listStatus(logDir)).getOrElse(Array.empty[FileStatus])
+      .filter(_.isFile).flatMap { st =>
+        st.getPath.getName.toLongOption.map { id =>
+          val in = fs.open(st.getPath)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+          id -> lines.filter(_.nonEmpty)
+        }
+      }
+    scala.collection.immutable.TreeMap.from(entries)
+  }
+  private def lastId: Long = if (batches.isEmpty) -1L else batches.lastKey
+  private var availableNowTarget: Long = -2L // -2 = not in AvailableNow mode
+
+  private def listFiles(): Seq[String] = paths.flatMap { p =>
+    val hp = new Path(p)
+    val hfs = hp.getFileSystem(conf)
+    Option(hfs.globStatus(hp)).map(_.toSeq).getOrElse(Nil).flatMap { st =>
+      if (st.isDirectory)
+        hfs.listStatus(st.getPath).toSeq.filter(f =>
+          f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      else Seq(st)
+    }.map(_.getPath.toString)
+  }
+
+  /** Discover new files; persist the batch BEFORE exposing its offset. */
+  private def discover(): Long = synchronized {
+    val seen = batches.valuesIterator.flatten.toSet
+    val fresh = listFiles().filterNot(seen).sorted
+    if (fresh.nonEmpty) {
+      val id = lastId + 1
+      val out = fs.create(new Path(logDir, id.toString), false)
+      try out.write((fresh.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      batches += id -> fresh
+    }
+    lastId
+  }
+
+  override def initialOffset(): Offset = WarcStreamOffset(-1L)
+  override def latestOffset(): Offset = WarcStreamOffset(discover())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    if (availableNowTarget != -2L) WarcStreamOffset(availableNowTarget)
+    else WarcStreamOffset(discover())
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = WarcStreamOffset(lastId)
+  override def prepareForTriggerAvailableNow(): Unit = availableNowTarget = discover()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WarcStreamOffset].batchId
+    val e = end.asInstanceOf[WarcStreamOffset].batchId
+    batches.range(s + 1, e + 1).valuesIterator.flatten
+      .map(f => WarcInputPartition(f): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcReaderFactory(required, typeFilter, new Warc.SerializableConf(conf))
+  override def deserializeOffset(json: String): Offset = WarcStreamOffset(json.toLong)
+  override def commit(end: Offset): Unit = () // the log IS the seen-set on restart
+  override def stop(): Unit = ()
+}
+
+case class WarcStreamOffset(batchId: Long) extends Offset {
+  override def json(): String = batchId.toString
+}
 
 case class WarcReaderFactory(required: StructType, typeFilter: Set[String],
     conf: Warc.SerializableConf) extends PartitionReaderFactory {
