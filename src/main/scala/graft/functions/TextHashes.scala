@@ -228,6 +228,33 @@ object TextHashes {
     new GenericArrayData(seen.toArray.map(g => UTF8String.fromString(g): Any))
   }
 
+  /** ALL space-joined word n-grams as STRINGS, duplicates kept, document
+    * order — the occurrence multiset where the surface form itself is the
+    * key (the bigram-LM train/probe sides join and aggregate on gram
+    * strings so the DuckDB oracle can replay them verbatim). Same
+    * tokenization and windowing as [[shingleHashesAll]]; one pass, one
+    * StringBuilder per gram, no per-element HOF dispatch. */
+  def shinglesAll(u: UTF8String, n: Int): ArrayData = {
+    val s = u.toString
+    val bounds = tokenBounds(s)
+    if (bounds.length < n) return new GenericArrayData(Array.empty[Any])
+    val maxG = bounds.length - n + 1
+    val out = new Array[Any](maxG)
+    var g = 0
+    while (g < maxG) {
+      val sb = new java.lang.StringBuilder(bEnd(bounds(g + n - 1)) - bStart(bounds(g)))
+      var t = 0
+      while (t < n) {
+        if (t > 0) sb.append(' ')
+        sb.append(s, bStart(bounds(g + t)), bEnd(bounds(g + t)))
+        t += 1
+      }
+      out(g) = UTF8String.fromString(sb.toString)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Rewrite `s` with the token index ranges [startsᵢ, endsᵢ) cut out —
     * the APPLY step of exact-substring dedup
     * ([[graft.operators.Dedup.duplicateSpans]] produces the mask). Kept
@@ -517,6 +544,21 @@ case class RemoveTokenSpans(text: Expression, starts: Expression, ends: Expressi
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): RemoveTokenSpans =
     copy(text = f, starts = s, ends = t)
+}
+
+case class ShinglesAll(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType] && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingles_all requires a string argument and n >= 1")
+  override def prettyName: String = "shingles_all"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.shinglesAll(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.shinglesAll($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesAll =
+    copy(child = newChild)
 }
 
 case class ShingleHashesAll(child: Expression, n: Int) extends UnaryExpression {

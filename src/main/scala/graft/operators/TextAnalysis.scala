@@ -186,6 +186,14 @@ object TextAnalysis {
   def ngramHashesMultiset(text: Column, n: Int): Column =
     Bridge.column(graft.functions.ShingleHashesAll(Bridge.expression(text), n))
 
+  /** [[ngramsMultiset]] as one fused kernel (the HOF slice/concat chain
+    * evaluates interpreted per element; the kernel is one pass with one
+    * StringBuilder per gram) — for operators that need the gram SURFACE
+    * FORMS at occurrence multiplicity (the bigram LM). Spec-pinned ≡
+    * [[ngramsMultiset]]. */
+  def ngramStringsMultiset(text: Column, n: Int): Column =
+    Bridge.column(graft.functions.ShinglesAll(Bridge.expression(text), n))
+
   /** [[ngramHashesMultiset]] in the ~60-bit combined key space (two
     * independent rolling hashes, h1·Mod + h2) — REQUIRED wherever a
     * single gram's global multiplicity is the decision
@@ -279,34 +287,26 @@ object TextAnalysis {
     *
     * Shape: one gram-keyed count aggregate (Zipfian keys combine
     * map-side — the exchange carries distinct grams per partition, not
-    * occurrences), one vocabulary-keyed prefix-sum aggregate over the
-    * already-aggregated gram table, one `w1`-keyed equi-join whose per-key
-    * multiplicity is the successor count, never the occurrence count.
-    * `minCount` is the KenLM-style prune dial: at corpus scale raise it
-    * until the table broadcasts (the score join's hot grams are by
-    * construction IN the table — a shuffled probe would skew).
+    * occurrences), then the `C(w1 ·)` prefix mass as a WINDOW over the
+    * aggregated gram table partitioned by `w1` — the reference corpus is
+    * exploded exactly once BY CONSTRUCTION, and there is no prefix join
+    * (the former agg + self-join shape paid a second corpus pass when
+    * lazy and a persist when not). Window partitions are successor
+    * counts (vocabulary-bounded), never occurrence counts. `minCount` is
+    * the KenLM-style prune dial: at corpus scale raise it until the
+    * table broadcasts (the score join's hot grams are by construction IN
+    * the table — a shuffled probe would skew).
     *
     * → (gram, c, p_permille). */
   def bigramLm(ref: org.apache.spark.sql.DataFrame, text: Column,
       minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
-    val cntRaw = ref.select(explode(ngramsMultiset(lower(text), 2)).as("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring_index(col("gram"), " ", 1))
+    ref.select(explode(ngramStringsMultiset(lower(text), 2)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("c"))
-    // the gram-count table feeds BOTH the prefix sum and the prune join;
-    // above the size gate it persists so the ref corpus explodes ONCE
-    // (lazy recompute would be a second full corpus pass at scale)
-    val gate = ref.sparkSession.sessionState.conf
-      .getConfString(LmBroadcastGateMinBytesKey, LmBroadcastGateMinBytesDefault.toString).toLong
-    val cnt =
-      if (ref.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(gate))
-        cntRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else cntRaw
-    val pre = cnt
-      .groupBy(substring_index(col("gram"), " ", 1).as("w1"))
-      .agg(sum(col("c")).cast("long").as("cp"))
-    cnt.filter(col("c") >= minCount)
-      .withColumn("w1", substring_index(col("gram"), " ", 1))
-      .join(pre, Seq("w1"))
+      .withColumn("cp", sum(col("c")).over(w))
+      .filter(col("c") >= minCount)
       .select(col("gram"), col("c"), perMille(col("c"), col("cp")).as("p_permille"))
   }
 
@@ -333,7 +333,7 @@ object TextAnalysis {
       lm: org.apache.spark.sql.DataFrame,
       maxBroadcastKeys: Long = 4000000L): org.apache.spark.sql.DataFrame = {
     val bg = df.select(id.as("doc_id"),
-      explode_outer(ngramsMultiset(lower(text), 2)).as("gram"))
+      explode_outer(ngramStringsMultiset(lower(text), 2)).as("gram"))
     val slim = lm.select(col("gram"), col("p_permille"))
     val gate = df.sparkSession.sessionState.conf
       .getConfString(LmBroadcastGateMinBytesKey, LmBroadcastGateMinBytesDefault.toString).toLong

@@ -949,20 +949,20 @@ object PipelineQueries {
         |SELECT src.doc_id, COALESCE(agg.ct, '') AS clean_text
         |FROM src LEFT JOIN agg USING (doc_id)""".stripMargin
 
-    // q73: bigram LM score — grams join back to their w1 prefix by
-    // first-space split (tokens are whitespace-free by construction);
-    // denominator summed pre-prune; SUMs CAST BIGINT (HUGEINT rule);
-    // LEFT JOIN from documents keeps <2-token docs at n_bigrams=0
+    // q73: bigram LM score — the prefix mass is a window over the gram
+    // table partitioned by the first-space split (tokens are
+    // whitespace-free by construction), summed PRE-prune; SUMs CAST
+    // BIGINT (HUGEINT rule); LEFT JOIN from documents keeps <2-token
+    // docs at n_bigrams=0
     m += "q73_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokens("lower(text)")} AS w FROM documents),
          |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
          |  i -> w[i] || ' ' || w[i+1])) AS gram FROM toks),
          |cnt AS (SELECT gram, COUNT(*) AS c FROM bg GROUP BY gram),
-         |pre AS (SELECT string_split(gram, ' ')[1] AS w1, CAST(SUM(c) AS BIGINT) AS cp
-         |  FROM cnt GROUP BY 1),
+         |lmw AS (SELECT gram, c, CAST(SUM(c) OVER
+         |    (PARTITION BY string_split(gram, ' ')[1]) AS BIGINT) AS cp FROM cnt),
          |lm AS (SELECT gram, CAST(c * 1000 // cp AS BIGINT) AS p
-         |  FROM cnt JOIN pre ON string_split(cnt.gram, ' ')[1] = pre.w1
-         |  WHERE c >= 2),
+         |  FROM lmw WHERE c >= 2),
          |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          |    CAST(SUM(COALESCE(p, 0)) AS BIGINT) AS sum_p
          |  FROM bg LEFT JOIN lm USING (gram) GROUP BY doc_id)

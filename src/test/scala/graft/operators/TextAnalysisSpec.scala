@@ -446,17 +446,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Set((1L, 3L, 666L), (2L, 2L, 500L), (3L, 0L, 0L), (4L, 0L, 0L)))
   }
 
-  test("bigramLm above the gate: the gram-count table persists — ref corpus explodes once") {
+  test("fused ShinglesAll ≡ HOF ngramsMultiset (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("a", "bb", "ccc", "Ww", "é", "x-y", "", " ", "\t", "1")
+    val genDoc = Gen.choose(0, 10).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val prop = Prop.forAll(Gen.listOfN(20, genDoc), Gen.choose(1, 4)) {
+      (docs: List[String], n: Int) =>
+        val df = docs.zipWithIndex.map(_.swap).toDF("id", "text")
+        val fused = df.select(col("id"),
+          TextAnalysis.ngramStringsMultiset(col("text"), n).as("g"))
+          .as[(Int, Seq[String])].collect().toMap
+        val hof = df.select(col("id"),
+          TextAnalysis.ngramsMultiset(col("text"), n).as("g"))
+          .as[(Int, Seq[String])].collect().toMap
+        fused == hof
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("bigramLm explodes the ref corpus exactly once and plans no join (linear plan)") {
     val docs = (1L to 50L).map(i => (i, s"w${i % 3} w${i % 5} w${i % 3}")).toDF("doc_id", "text")
-    val below = TextAnalysis.bigramLm(docs, col("text")).collect().toSet // default gate: lazy
-    spark.conf.set(TextAnalysis.LmBroadcastGateMinBytesKey, "0")
-    try {
-      val lm = TextAnalysis.bigramLm(docs, col("text"))
-      assert(lm.collect().toSet == below)
-      val plan = lm.queryExecution.executedPlan.toString
-      assert(plan.contains("InMemoryTableScan"),
-        s"above the gate both consumers must read the cached gram counts:\n$plan")
-    } finally spark.conf.unset(TextAnalysis.LmBroadcastGateMinBytesKey)
+    val lm = TextAnalysis.bigramLm(docs, col("text"))
+    lm.collect() // AQE finalizes
+    val plan = lm.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Generate explode".r.findAllIn(plan).length == 1,
+      s"the prefix mass must ride the gram table's own window, not a second corpus pass:\n$plan")
+    assert(!plan.contains("Join"), s"no prefix join:\n$plan")
   }
 
   test("bigramLmScore: above the gate the LM broadcasts; all strategies agree") {
