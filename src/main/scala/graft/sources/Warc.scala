@@ -10,10 +10,11 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -171,9 +172,12 @@ object Warc {
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = Warc.Schema
+  // writes hand the QUERY schema through here (record headers are
+  // optional columns, so the table cannot demand its full read schema)
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new WarcTable(paths(new CaseInsensitiveStringMap(properties)))
+    new WarcTable(paths(new CaseInsensitiveStringMap(properties)), schema)
 
   /** `load(p)` arrives as `path`; `load(p1, p2, …)` as a JSON array in
     * `paths`. */
@@ -191,13 +195,19 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
-class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
+class WarcTable(paths: Seq[String], tableSchema: StructType = Warc.Schema)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"warc(${paths.mkString(",")})"
-  override def schema(): StructType = Warc.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1, s"warc write needs exactly one target directory, got $paths")
+    new WarcWriteBuilder(paths.head, info.schema(), info.options())
+  }
 }
 
 class WarcScanBuilder(paths: Seq[String])
@@ -361,6 +371,142 @@ class WarcMicroBatchStream(paths: Seq[String], required: StructType, typeFilter:
 
 case class WarcStreamOffset(batchId: Long) extends Offset {
   override def json(): String = batchId.toString
+}
+
+/** `df.write.format("warc").mode("append"|"overwrite").save(dir)` — the
+  * export leg: curated corpora ship back out as WET shards, the same
+  * interchange format they arrived in. Each task writes ONE shard
+  * (`part-<task>-<uuid>.warc.wet[.gz]`, per-record gzip members — the
+  * Common Crawl layout the read side walks), so output parallelism =
+  * write parallelism and a re-read gets file-level parallelism back.
+  *
+  * Row → record mapping: `content` (binary or string) is required;
+  * `record_id` / `record_type` / `target_uri` / `warc_date` /
+  * `content_type` are honored when present (defaults: a fresh urn:uuid,
+  * `conversion`, absent, Unix epoch, `text/plain`). Option
+  * `compression=none` writes plain shards.
+  *
+  * Commit protocol: tasks write `_tmp-` files and RENAME on task commit
+  * (the driver-side commit coordinator guarantees one winner per task);
+  * abort deletes the temp. Overwrite records the pre-existing shard set
+  * at build time and deletes it in the driver commit, AFTER every task
+  * succeeded — new shards are uuid-named, so old and new never collide. */
+class WarcWriteBuilder(dir: String, schema: StructType, options: CaseInsensitiveStringMap)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    require(schema.fieldNames.contains("content"),
+      s"warc write needs a content column, got ${schema.fieldNames.mkString(",")}")
+    val unknown = schema.fieldNames.toSet --
+      Set("content", "record_id", "record_type", "target_uri", "warc_date", "content_type")
+    require(unknown.isEmpty, s"warc write: unmapped columns ${unknown.mkString(",")} " +
+      "(writable: content, record_id, record_type, target_uri, warc_date, content_type)")
+    val gzip = Option(options.get("compression")).forall(_ != "none")
+    new WarcWrite(dir, schema, gzip, doTruncate)
+  }
+}
+
+class WarcWrite(dir: String, schema: StructType, gzip: Boolean, truncate: Boolean)
+    extends Write with BatchWrite {
+  private val conf = new Warc.SerializableConf(SparkSession.active.sessionState.newHadoopConf())
+  // overwrite: snapshot the existing shards NOW, delete them on commit
+  private val oldFiles: Seq[String] =
+    if (!truncate) Nil
+    else {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf.conf)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString)
+    }
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"warc-write[$dir${if (truncate) ", overwrite" else ""}]"
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    WarcWriterFactory(dir, schema, gzip, conf)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(conf.conf)
+    oldFiles.foreach(f => fs.delete(new Path(f), false))
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(conf.conf)
+    messages.foreach {
+      case WarcCommitMessage(path) if path != null => fs.delete(new Path(path), false)
+      case _ => ()
+    }
+  }
+}
+
+case class WarcCommitMessage(path: String) extends WriterCommitMessage
+
+case class WarcWriterFactory(dir: String, schema: StructType, gzip: Boolean,
+    conf: Warc.SerializableConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(dir, schema, gzip, conf.conf, partitionId, taskId)
+}
+
+class WarcDataWriter(dir: String, schema: StructType, gzip: Boolean, conf: Configuration,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private val ext = if (gzip) ".warc.wet.gz" else ".warc.wet"
+  private val finalName = f"part-$partitionId%05d-${java.util.UUID.randomUUID()}$ext"
+  private val tmpPath = new Path(dir, s"_tmp-$finalName")
+  private val finalPath = new Path(dir, finalName)
+  private val fs = tmpPath.getFileSystem(conf)
+  private val out = fs.create(tmpPath, true)
+  private var wrote = false
+
+  private val idx: Map[String, Int] =
+    schema.fieldNames.zipWithIndex.toMap
+  private val contentIsString =
+    schema(schema.fieldIndex("content")).dataType.isInstanceOf[StringType]
+
+  private def strCol(row: InternalRow, name: String): String =
+    idx.get(name).filterNot(row.isNullAt).map(row.getUTF8String(_).toString).orNull
+
+  override def write(row: InternalRow): Unit = {
+    val ci = idx("content")
+    val payload: Array[Byte] =
+      if (row.isNullAt(ci)) Array.empty
+      else if (contentIsString) row.getUTF8String(ci).getBytes
+      else row.getBinary(ci)
+    val h = new StringBuilder(256)
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: ${Option(strCol(row, "record_type")).getOrElse("conversion")}\r\n"
+    h ++= s"WARC-Record-ID: ${Option(strCol(row, "record_id"))
+      .getOrElse(s"<urn:uuid:${java.util.UUID.randomUUID()}>")}\r\n"
+    h ++= s"WARC-Date: ${Option(strCol(row, "warc_date")).getOrElse("1970-01-01T00:00:00Z")}\r\n"
+    Option(strCol(row, "target_uri")).foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
+    h ++= s"Content-Type: ${Option(strCol(row, "content_type")).getOrElse("text/plain")}\r\n"
+    h ++= s"Content-Length: ${payload.length}\r\n\r\n"
+    val rec = h.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+    if (gzip) {
+      // one gzip member per record — the Common Crawl layout; finish()
+      // seals the member WITHOUT closing the shard stream, and the
+      // native Deflater is released eagerly (a per-record leak would
+      // otherwise ride on the GC cleaner across millions of records)
+      val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16) {
+        def endDeflater(): Unit = `def`.end()
+      }
+      gz.write(rec); gz.finish(); gz.endDeflater()
+    } else out.write(rec)
+    wrote = true
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (!wrote) { fs.delete(tmpPath, false); return WarcCommitMessage(null) }
+    require(fs.rename(tmpPath, finalPath), s"warc write: rename to $finalPath failed")
+    WarcCommitMessage(finalPath.toString)
+  }
+  override def abort(): Unit = {
+    try out.close() catch { case _: java.io.IOException => () }
+    fs.delete(tmpPath, false)
+  }
+  override def close(): Unit = ()
 }
 
 case class WarcReaderFactory(required: StructType, typeFilter: Set[String],

@@ -179,6 +179,60 @@ class WarcSourceSpec extends SparkSpec {
       "https://new.example.com"))
   }
 
+  test("write path: curated docs export as WET shards and read back byte-exact") {
+    val dir = tempDir().resolve("out").toString
+    val docs = (1L to 200L).map(i =>
+      (s"<urn:uuid:r$i>", "conversion", s"https://w.example.com/$i",
+        "2026-08-14T00:00:00Z", s"doc body $i — unicode ✓"))
+      .toDF("record_id", "record_type", "target_uri", "warc_date", "text")
+      .withColumn("content", col("text").cast("binary")).drop("text")
+      .repartition(3)
+    docs.write.format("warc").mode("append").save(dir)
+    val back = Warc.read(spark, dir)
+    assert(back.select("warc_file").distinct().count() == 3) // shard per task
+    val got = back.select(col("record_id"), col("target_uri"),
+      Warc.wetText(col("content")).as("text"), col("content_type"), col("warc_date"))
+      .as[(String, String, String, String, String)].collect()
+    assert(got.length == 200)
+    assert(got.forall { case (rid, uri, text, ct, date) =>
+      val i = uri.split("/").last.toLong
+      rid == s"<urn:uuid:r$i>" && text == s"doc body $i — unicode ✓" &&
+        ct == "text/plain" && date == "2026-08-14T00:00:00Z"
+    })
+  }
+
+  test("write path: string content, defaulted headers, compression=none") {
+    val dir = tempDir().resolve("out").toString
+    Seq(("only content", 1L)).toDF("content", "ignore").drop("ignore")
+      .write.format("warc").mode("append").option("compression", "none").save(dir)
+    val r = Warc.read(spark, dir)
+      .select(col("record_type"), col("content_type"), col("record_id"),
+        Warc.wetText(col("content")))
+      .as[(String, String, String, String)].head()
+    assert(r._1 == "conversion" && r._2 == "text/plain" &&
+      r._3.startsWith("<urn:uuid:") && r._4 == "only content")
+  }
+
+  test("write path: overwrite replaces prior shards, append accumulates") {
+    val dir = tempDir().resolve("out").toString
+    def one(tag: String) = Seq((tag, s"https://$tag.example.com"))
+      .toDF("content", "target_uri").coalesce(1)
+    one("first").write.format("warc").mode("append").save(dir)
+    one("second").write.format("warc").mode("append").save(dir)
+    assert(Warc.read(spark, dir).count() == 2)
+    one("third").write.format("warc").mode("overwrite").save(dir)
+    val left = Warc.read(spark, dir).select(Warc.wetText(col("content"))).as[String].collect()
+    assert(left.toSeq == Seq("third"))
+  }
+
+  test("write path: unmapped columns are rejected loudly") {
+    val dir = tempDir().resolve("out").toString
+    val ex = intercept[Exception] {
+      Seq(("c", 5L)).toDF("content", "mystery").write.format("warc").mode("append").save(dir)
+    }
+    assert(ex.getMessage.contains("mystery"))
+  }
+
   test("multiple load() paths and glob patterns resolve") {
     val dir = tempDir()
     Files.write(dir.resolve("a.warc.wet"), wetBytes)
