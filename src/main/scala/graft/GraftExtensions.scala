@@ -60,6 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "shingle_hashes_all(str, n) - rolling_hash of word n-grams, duplicates kept", 2) {
       args => ShingleHashesAll(args.head, foldableInt(args(1), "shingle_hashes_all n"))
     }
+    register(ext, "shingles_all",
+      "shingles_all(str, n) - space-joined word n-grams as strings, duplicates kept", 2) {
+      args => graft.functions.ShinglesAll(args.head, foldableInt(args(1), "shingles_all n"))
+    }
     register(ext, "shingle_hashes_wide_all",
       "shingle_hashes_wide_all(str, n) - ~60-bit two-base n-gram hashes, duplicates kept", 2) {
       args => graft.functions.ShingleHashesWideAll(

@@ -45,6 +45,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  size(token_hashes('a b c')) AS nt,
         |  size(shingle_hashes('a b c d', 3)) AS ns,
         |  size(shingle_hashes_all('a b a b', 2)) AS nsa,
+        |  shingles_all('a b a b', 2) AS sall,
         |  simhash(token_hashes('x y z')) AS sh,
         |  lsh_bucket(array(cast(1.0 as float), cast(-1.0 as float)), 4, 0) AS lb,
         |  size(deletion_variants('abc')) AS dv,
@@ -61,16 +62,17 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getInt(2) == 3)
     assert(row.getInt(3) == 2)
     assert(row.getInt(4) == 3) // "a b","b a","a b" — duplicates kept
-    assert(row.getLong(5) >= 0 && row.getLong(5) < (1L << 30))
-    assert(row.getLong(6) >= 0 && row.getLong(6) < 16)
-    assert(row.getInt(7) == 4) // abc + ab/ac/bc
-    assert(row.getString(8) == "ab") // delete the differing position
-    assert(row.getString(9) == "ab") // analytic witness: first mismatch at index 2
-    assert(row.isNullAt(10)) // length gap 2 -> lev >= 2, no witness
-    assert(row.getLong(11) == 1000L * 2000)
-    assert(row.getDouble(12) == 2.0)
-    assert(row.getLong(13) == -6L)
-    assert(row.getString(14) == "a d") // tokens [1,3) cut
+    assert(row.getSeq[String](5) == Seq("a b", "b a", "a b"))
+    assert(row.getLong(6) >= 0 && row.getLong(6) < (1L << 30))
+    assert(row.getLong(7) >= 0 && row.getLong(7) < 16)
+    assert(row.getInt(8) == 4) // abc + ab/ac/bc
+    assert(row.getString(9) == "ab") // delete the differing position
+    assert(row.getString(10) == "ab") // analytic witness: first mismatch at index 2
+    assert(row.isNullAt(11)) // length gap 2 -> lev >= 2, no witness
+    assert(row.getLong(12) == 1000L * 2000)
+    assert(row.getDouble(13) == 2.0)
+    assert(row.getLong(14) == -6L)
+    assert(row.getString(15) == "a d") // tokens [1,3) cut
   }
 
   test("lang_id and minhash_sig are callable from SQL") {
