@@ -50,6 +50,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * records that aren't a `WARC/` version line are skipped; a record whose
   * payload is cut by EOF is dropped (its fields can't be trusted);
   * records missing `Content-Length` end the file (the framing is gone).
+  * Option `mode` (like the CSV source): `permissive` (default) salvages
+  * the decoded prefix of a shard whose BYTE STREAM dies — truncated or
+  * corrupt gzip member, oversized header line — logging the file;
+  * `failfast` propagates the error and fails the job.
   */
 object Warc {
   val Schema: StructType = StructType(Seq(
@@ -202,15 +206,19 @@ class WarcTable(paths: Seq[String], tableSchema: StructType = Warc.Schema)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val mode = Option(options.get("mode")).getOrElse("permissive").toLowerCase(java.util.Locale.ROOT)
+    require(mode == "permissive" || mode == "failfast",
+      s"warc mode must be permissive or failfast, got $mode")
+    new WarcScanBuilder(paths, permissive = mode == "permissive")
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1, s"warc write needs exactly one target directory, got $paths")
     new WarcWriteBuilder(paths.head, info.schema(), info.options())
   }
 }
 
-class WarcScanBuilder(paths: Seq[String])
+class WarcScanBuilder(paths: Seq[String], permissive: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = Warc.Schema
   private var typeFilter: Set[String] = null // null = no filter
@@ -239,10 +247,11 @@ class WarcScanBuilder(paths: Seq[String])
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WarcScan(paths, required, typeFilter)
+  override def build(): Scan = new WarcScan(paths, required, typeFilter, permissive)
 }
 
-class WarcScan(paths: Seq[String], required: StructType, typeFilter: Set[String])
+class WarcScan(paths: Seq[String], required: StructType, typeFilter: Set[String],
+    permissive: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics {
   private lazy val files: Seq[FileStatus] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -267,7 +276,7 @@ class WarcScan(paths: Seq[String], required: StructType, typeFilter: Set[String]
   }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WarcMicroBatchStream(paths, required, typeFilter, checkpointLocation)
+    new WarcMicroBatchStream(paths, required, typeFilter, checkpointLocation, permissive)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
@@ -280,7 +289,7 @@ class WarcScan(paths: Seq[String], required: StructType, typeFilter: Set[String]
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new Warc.SerializableConf(SparkSession.active.sessionState.newHadoopConf())
-    WarcReaderFactory(required, typeFilter, conf)
+    WarcReaderFactory(required, typeFilter, conf, permissive)
   }
 }
 
@@ -300,7 +309,8 @@ case class WarcInputPartition(path: String) extends InputPartition
   * immutable once visible (the crawl-shard contract); a shard REPLACED
   * in-place with new content is not re-read. */
 class WarcMicroBatchStream(paths: Seq[String], required: StructType, typeFilter: Set[String],
-    checkpointLocation: String) extends MicroBatchStream with SupportsTriggerAvailableNow {
+    checkpointLocation: String, permissive: Boolean = true)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val conf = SparkSession.active.sessionState.newHadoopConf()
   private val logDir = new Path(checkpointLocation, "warc-batches")
   private val fs = logDir.getFileSystem(conf)
@@ -363,7 +373,7 @@ class WarcMicroBatchStream(paths: Seq[String], required: StructType, typeFilter:
       .map(f => WarcInputPartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    WarcReaderFactory(required, typeFilter, new Warc.SerializableConf(conf))
+    WarcReaderFactory(required, typeFilter, new Warc.SerializableConf(conf), permissive)
   override def deserializeOffset(json: String): Offset = WarcStreamOffset(json.toLong)
   override def commit(end: Offset): Unit = () // the log IS the seen-set on restart
   override def stop(): Unit = ()
@@ -510,20 +520,32 @@ class WarcDataWriter(dir: String, schema: StructType, gzip: Boolean, conf: Confi
 }
 
 case class WarcReaderFactory(required: StructType, typeFilter: Set[String],
-    conf: Warc.SerializableConf) extends PartitionReaderFactory {
+    conf: Warc.SerializableConf, permissive: Boolean = true) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].path, required, typeFilter, conf.conf)
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].path, required, typeFilter,
+      conf.conf, permissive)
 }
 
 class WarcPartitionReader(path: String, required: StructType, typeFilter: Set[String],
-    conf: Configuration) extends PartitionReader[InternalRow] {
+    conf: Configuration, permissive: Boolean = true) extends PartitionReader[InternalRow] {
   private val hPath = new Path(path)
   private val raw = hPath.getFileSystem(conf).open(hPath)
-  private val in: InputStream = {
-    val buffered = new BufferedInputStream(raw, 1 << 16)
-    if (path.endsWith(".gz")) new GZIPInputStream(buffered, 1 << 16) else buffered
+  // decompressor opens lazily INSIDE next()'s try: a corrupt gzip header
+  // (GZIPInputStream validates on construction) salvages as 0 records in
+  // permissive mode instead of failing the task
+  private var inOpened: InputStream = null
+  private def in: InputStream = {
+    if (inOpened == null) {
+      val buffered = new BufferedInputStream(raw, 1 << 16)
+      inOpened = if (path.endsWith(".gz")) new GZIPInputStream(buffered, 1 << 16) else buffered
+    }
+    inOpened
   }
-  private val parser = new Warc.Parser(in)
+  private var parserOpened: Warc.Parser = null
+  private def parser: Warc.Parser = {
+    if (parserOpened == null) parserOpened = new Warc.Parser(in)
+    parserOpened
+  }
   private val wantContent = required.fieldNames.contains("content")
   private val fileUtf8 = UTF8String.fromString(path)
   private val getters: Array[Warc.Record => Any] = required.fieldNames.map {
@@ -541,7 +563,23 @@ class WarcPartitionReader(path: String, required: StructType, typeFilter: Set[St
 
   private var current: Warc.Record = null
 
-  override def next(): Boolean = {
+  /** `mode=permissive` (default): a shard whose byte stream dies mid-read
+    * — truncated gzip member, corrupt DEFLATE data, a >64 KiB header line
+    * — yields the records decoded so far and ends; the salvage is logged
+    * per file. `mode=failfast` propagates, failing the task (and job).
+    * At crawl scale a handful of damaged shards out of thousands must not
+    * kill a 100 TB pass. */
+  override def next(): Boolean =
+    try nextRecord()
+    catch {
+      case e @ (_: java.io.IOException | _: IllegalArgumentException) if permissive =>
+        WarcPartitionReader.log.warn(
+          s"warc permissive mode: salvaged prefix of $path and stopped (${e.getMessage})")
+        current = null
+        false
+    }
+
+  private def nextRecord(): Boolean = {
     current = null
     while (current == null) {
       val r = parser.next(hs =>
@@ -561,5 +599,10 @@ class WarcPartitionReader(path: String, required: StructType, typeFilter: Set[St
   }
 
   override def close(): Unit =
-    try in.close() catch { case _: EOFException | _: java.io.IOException => () }
+    try { if (inOpened != null) inOpened.close() else raw.close() }
+    catch { case _: EOFException | _: java.io.IOException => () }
+}
+
+object WarcPartitionReader {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[WarcPartitionReader])
 }

@@ -17,11 +17,14 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    val full = args.contains("-full")
+    val rest = args.toSeq.filterNot(_ == "-full")
+    val names = if (rest.nonEmpty) rest else graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(FormattedMode)
       println(s"===== $name =====")
+      if (full) println(plan)
       // scan lines: ReadSchema + PushedFilters
       plan.linesIterator.foreach { l =>
         val t = l.trim

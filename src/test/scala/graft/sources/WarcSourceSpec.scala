@@ -114,6 +114,46 @@ class WarcSourceSpec extends SparkSpec {
     assert(got == Seq(("https://ok.example.com", "good")))
   }
 
+  test("permissive mode salvages a shard whose gzip stream dies mid-file") {
+    val dir = tempDir()
+    val goodMember = gzMember(record("conversion", "https://kept.example.com", "kept".getBytes(UTF_8)))
+    val dying = gzMember(record("conversion", "https://lost.example.com",
+      "never fully decompresses".getBytes(UTF_8)))
+    // truncation inside the second member's DEFLATE data + a corrupt copy
+    Files.write(dir.resolve("truncated.warc.wet.gz"), goodMember ++ dying.dropRight(14))
+    val corrupt = dying.clone()
+    (12 until 18).foreach(i => corrupt(i) = (corrupt(i) ^ 0x5a).toByte)
+    Files.write(dir.resolve("corrupt.warc.wet.gz"), goodMember ++ corrupt)
+    val got = Warc.read(spark, dir.toString)
+      .select(col("target_uri")).as[String].collect().toSeq
+    assert(got == Seq("https://kept.example.com", "https://kept.example.com"),
+      s"each damaged shard must yield its decoded prefix, got $got")
+  }
+
+  test("permissive mode: a shard that is not gzip at all reads as empty, others still read") {
+    val dir = tempDir()
+    Files.write(dir.resolve("bad.warc.wet.gz"), "this is not a gzip file".getBytes(UTF_8))
+    Files.write(dir.resolve("good.warc.wet"), wetBytes)
+    assert(Warc.read(spark, dir.toString).count() == 3) // bad shard contributes 0, job survives
+  }
+
+  test("failfast mode propagates stream corruption and fails the job") {
+    val dir = tempDir()
+    Files.write(dir.resolve("bad.warc.wet.gz"), "this is not a gzip file".getBytes(UTF_8))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").option("mode", "failfast").load(dir.toString).count()
+    }
+    assert(Option(e.getMessage).exists(m => m.contains("GZIP") || m.contains("gzip"))
+      || e.getCause != null)
+    // mode is validated when the scan is BUILT (planning), not at load()
+    val bogus = intercept[Exception] {
+      spark.read.format("warc").option("mode", "bogus").load(dir.toString).count()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(bogus).exists(t => String.valueOf(t.getMessage).contains("permissive or failfast")))
+  }
+
   test("folded header continuations join with a space") {
     val dir = tempDir()
     Files.write(dir.resolve("part0.warc"),
