@@ -54,6 +54,35 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** [[hashSplit]] with an eval-leakage guard: the split key is the row's
+    * NEAR-DUPLICATE CLUSTER representative, so every member of a cluster
+    * lands in the same split and a test document can never have a
+    * near-duplicate twin in train (the classic way a "held-out" set stops
+    * being held out). `clusters` is an `(id, component_id)` map — e.g.
+    * [[Components.connectedComponents]] over verified MinHash-LSH pairs;
+    * rows absent from it split by their own id (singleton cluster).
+    *
+    * Scale shape: one id-keyed equi-join against the cluster map (zero
+    * exchanges under the bucketed corpus layout), then the same pure
+    * map-side bucket assignment as [[hashSplit]]. The cluster map is the
+    * dedup tier's byproduct — a pipeline that already near-dup-deduped
+    * pays only the join. Note the split RATIOS now hold over clusters,
+    * not rows: a giant cluster drags its whole mass into one split, which
+    * is precisely the point. */
+  def leakFreeSplit(
+      df: DataFrame,
+      id: Column,
+      clusters: DataFrame,
+      splitsPermille: Seq[(String, Int)],
+      salt: String = "v1"): DataFrame = {
+    val c = clusters.select(col("id").as("__lfs_id"), col("component_id").as("__lfs_comp"))
+    val compType = c.schema("__lfs_comp").dataType
+    val joined = df.join(c, id === col("__lfs_id"), "left")
+      .withColumn("component_id", coalesce(col("__lfs_comp"), id.cast(compType)))
+      .drop("__lfs_id", "__lfs_comp")
+    hashSplit(joined, col("component_id"), splitsPermille, salt)
+  }
+
   /** Keep each row with per-stratum probability `ratesPermille(stratum)`
     * (fallback `defaultPermille`), decided by the deterministic hash
     * bucket. `key` must be unique per row for an unbiased sample. */

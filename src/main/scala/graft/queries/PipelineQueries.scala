@@ -79,6 +79,22 @@ object PipelineQueries {
         TextAnalysis.bigramLm(docs, col("text"), minCount = 2L))
     }),
 
+    // leakage-free train/val/test split: the split key is the verified
+    // near-dup CLUSTER representative (the q32 DAG), so a test doc can
+    // never have a near-duplicate twin in train — the guard q48's
+    // row-keyed split cannot give
+    "q74_leakfree_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+        n = 3, k = 8, bands = 4, minJaccardPermille = 200)
+      val clusters = Components.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+      Sampling.leakFreeSplit(docs, col("doc_id"), clusters,
+        Seq("train" -> 900, "val" -> 50, "test" -> 50), salt = "v1")
+        .select(col("doc_id"), col("component_id"), col("split"))
+    }),
+
     // token/quality metrics — all integers; ratios in exact per-mille
     "q19_text_stats" -> ((s, d) => {
       val t = col("text")
@@ -760,6 +776,33 @@ object PipelineQueries {
          |  UNION
          |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r)
          |SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id""".stripMargin
+
+    // q32's component closure + q48's hash-bucket assignment, keyed on the
+    // cluster representative instead of the row id — the oracle replays the
+    // whole leakage-free split end to end
+    m += "q74_leakfree_split" ->
+      s"""WITH RECURSIVE ${DuckSql.shingleCtes},
+         |${DuckSql.minhashCte(8)},
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc AS a_id, b.doc AS b_id
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc),
+         |verified AS (SELECT a_id, b_id
+         |  FROM cand JOIN hashed ha ON ha.doc_id = a_id JOIN hashed hb ON hb.doc_id = b_id
+         |  WHERE (len(list_intersect(ha.hs, hb.hs)) * 1000 //
+         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))) >= 200),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+         |          UNION ALL SELECT b_id, a_id FROM verified),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id),
+         |b AS (SELECT doc_id, component_id,
+         |  ${DuckSql.rollingHash("'v1' || ':' || CAST(component_id AS VARCHAR)")} % 1000 AS bk
+         |  FROM comp)
+         |SELECT doc_id, component_id,
+         |  CASE WHEN bk < 900 THEN 'train' WHEN bk < 950 THEN 'val' ELSE 'test' END AS split
+         |FROM b""".stripMargin
 
     m += "q44_vocab" ->
       s"""WITH h AS (SELECT source, unnest(list_transform(${DuckSql.tokens("text")},

@@ -51,6 +51,30 @@ class SamplingSpec extends SparkSpec {
     assert(nullSplit == emptySplit)
   }
 
+  test("leakFreeSplit: cluster members share a split; un-clustered rows split by id") {
+    val df = spark.range(1000).toDF("id").withColumn("payload", col("id") * 10)
+    // 100 clusters of 5 (ids 0..499 -> rep id/5*5), ids 500+ absent from the map
+    val clusters = spark.range(500).toDF("id")
+      .withColumn("component_id", (col("id") / 5).cast("long") * 5)
+    val got = Sampling.leakFreeSplit(df, col("id"), clusters,
+      Seq("train" -> 900, "val" -> 50, "test" -> 50))
+    assert(got.count() == 1000) // left join: nothing dropped or duplicated
+    // every cluster lands in exactly one split
+    val perCluster = got.filter(col("id") < 500)
+      .groupBy("component_id").agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n"))).as[Long].head()
+    assert(perCluster == 1L)
+    // singleton rows coalesce to their own id -> identical to hashSplit
+    val plain = Sampling.hashSplit(df.filter(col("id") >= 500), col("id"),
+      Seq("train" -> 900, "val" -> 50, "test" -> 50))
+      .select(col("id"), col("split")).as[(Long, String)].collect().toMap
+    val lf = got.filter(col("id") >= 500)
+      .select(col("id"), col("split")).as[(Long, String)].collect().toMap
+    assert(lf == plain)
+    // payload columns survive alongside the assignment
+    assert(got.columns.toSet == Set("id", "payload", "component_id", "split"))
+  }
+
   test("hashSplit rejects per-milles that do not sum to 1000") {
     val df = spark.range(10).toDF("id")
     intercept[IllegalArgumentException] {
