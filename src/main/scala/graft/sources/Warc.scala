@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -205,7 +206,7 @@ class WarcTable(paths: Seq[String], tableSchema: StructType = Warc.Schema)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val mode = Option(options.get("mode")).getOrElse("permissive").toLowerCase(java.util.Locale.ROOT)
     require(mode == "permissive" || mode == "failfast",
@@ -447,6 +448,80 @@ class WarcWrite(dir: String, schema: StructType, gzip: Boolean, truncate: Boolea
       case _ => ()
     }
   }
+
+  override def toStreaming: StreamingWrite = {
+    require(!truncate, "warc streaming write is append-only (outputMode append)")
+    new WarcStreamingWrite(dir, schema, gzip, conf)
+  }
+}
+
+/** Continuous WET export — the write twin of the streaming WARC read: a
+  * curation `writeStream` ships each micro-batch out as epoch-stamped
+  * shards (`part-e<epoch>-<partition>-<uuid>`).
+  *
+  * Exactly-once on replay: task commits rename shards into place as in
+  * batch, then the DRIVER commit for epoch N (a) deletes any
+  * `part-e<N>-*` strays a crashed earlier attempt left behind, and
+  * (b) records the committed shard set under `_warc_epochs/<N>`,
+  * created exclusively. If that log entry already exists the epoch was
+  * committed by a previous attempt (driver died between sink commit and
+  * the offset log) — the replay's own shards are the duplicates, and
+  * they are deleted instead. A re-read of the directory therefore sees
+  * each record exactly once, whatever the crash point. The `_`-prefixed
+  * log dir is invisible to the read side's shard listing. */
+class WarcStreamingWrite(dir: String, schema: StructType, gzip: Boolean,
+    conf: Warc.SerializableConf) extends StreamingWrite {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    WarcStreamingWriterFactory(dir, schema, gzip, conf)
+
+  private def epochLog(epochId: Long) = new Path(new Path(dir, "_warc_epochs"), epochId.toString)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.conf)
+    // compare by shard NAME (uuid-unique): listStatus returns qualified
+    // URIs (file:/…) while commit messages carry the writer's raw path
+    val mine = messages.collect {
+      case WarcCommitMessage(p) if p != null => new Path(p).getName
+    }.toSet
+    val log = epochLog(epochId)
+    if (fs.exists(log)) {
+      // replayed epoch: the earlier attempt's shard set is canonical
+      val in = fs.open(log)
+      val committed =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+        finally in.close()
+      (mine -- committed).foreach(n => fs.delete(new Path(dirPath, n), false))
+    } else {
+      // strays of THIS epoch from a crashed attempt that never committed
+      val prefix = f"part-e$epochId%d-"
+      Option(fs.listStatus(dirPath)).getOrElse(Array.empty)
+        .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+        .map(_.getPath.getName).filterNot(mine)
+        .foreach(n => fs.delete(new Path(dirPath, n), false))
+      fs.mkdirs(log.getParent)
+      val out = fs.create(log, false) // exclusive: the atomic commit point
+      try out.write((mine.toSeq.sorted.mkString("\n") + "\n").getBytes(UTF_8))
+      finally out.close()
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(conf.conf)
+    messages.foreach {
+      case WarcCommitMessage(path) if path != null => fs.delete(new Path(path), false)
+      case _ => ()
+    }
+  }
+}
+
+case class WarcStreamingWriterFactory(dir: String, schema: StructType, gzip: Boolean,
+    conf: Warc.SerializableConf) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(dir, schema, gzip, conf.conf, partitionId, taskId,
+      namePrefix = f"part-e$epochId%d-$partitionId%05d")
 }
 
 case class WarcCommitMessage(path: String) extends WriterCommitMessage
@@ -458,11 +533,14 @@ case class WarcWriterFactory(dir: String, schema: StructType, gzip: Boolean,
 }
 
 class WarcDataWriter(dir: String, schema: StructType, gzip: Boolean, conf: Configuration,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, namePrefix: String = null) extends DataWriter[InternalRow] {
   import java.nio.charset.StandardCharsets.UTF_8
 
   private val ext = if (gzip) ".warc.wet.gz" else ".warc.wet"
-  private val finalName = f"part-$partitionId%05d-${java.util.UUID.randomUUID()}$ext"
+  private val finalName = {
+    val prefix = if (namePrefix != null) namePrefix else f"part-$partitionId%05d"
+    s"$prefix-${java.util.UUID.randomUUID()}$ext"
+  }
   private val tmpPath = new Path(dir, s"_tmp-$finalName")
   private val finalPath = new Path(dir, finalName)
   private val fs = tmpPath.getFileSystem(conf)

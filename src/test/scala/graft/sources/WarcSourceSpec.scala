@@ -219,6 +219,66 @@ class WarcSourceSpec extends SparkSpec {
       "https://new.example.com"))
   }
 
+  test("streaming write: warc in, warc out, exactly-once across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tempDir()
+    val ckpt = tempDir()
+    val out = tempDir().resolve("wet-out").toString
+    def runOnce(): Seq[String] = {
+      val q = spark.readStream.format("warc").load(src.toString)
+        .filter(col("record_type") === "conversion")
+        .select(col("record_id"), col("record_type"), col("target_uri"), col("content"))
+        .writeStream.format("warc").option("path", out)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Warc.read(spark, out).select("target_uri").as[String].collect().toSeq.sorted
+    }
+    Files.write(src.resolve("shard0.warc.wet"), wetBytes)
+    assert(runOnce() == Seq("https://a.example.com/1", "https://b.example.org/2"))
+    Files.write(src.resolve("shard1.warc.wet.gz"),
+      gzMember(record("conversion", "https://s.example.com", "streamed".getBytes(UTF_8))))
+    assert(runOnce() == Seq("https://a.example.com/1", "https://b.example.org/2",
+      "https://s.example.com"))
+    // restart with nothing new: no duplicates, no loss
+    assert(runOnce() == Seq("https://a.example.com/1", "https://b.example.org/2",
+      "https://s.example.com"))
+    // payload round-trips byte-exact through the full warc->warc loop
+    val texts = Warc.read(spark, out).select(Warc.wetText(col("content")).as("t"))
+      .as[String].collect().toSet
+    assert(texts == Set("hello wet world", "héllo — unicode ✓", "streamed"))
+  }
+
+  test("streaming write: a replayed epoch commit deletes its duplicate shards") {
+    import org.apache.spark.sql.types._
+    val dir = tempDir().resolve("out").toString
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    val schema = StructType(Seq(StructField("content", BinaryType)))
+    val conf = new Warc.SerializableConf(spark.sessionState.newHadoopConf())
+    val sw = new WarcStreamingWrite(dir, schema, gzip = false, conf)
+    def shard(name: String): WarcCommitMessage = {
+      val p = java.nio.file.Paths.get(dir, name)
+      Files.write(p, record("conversion", "https://x.example.com", "x".getBytes(UTF_8)))
+      WarcCommitMessage(p.toString)
+    }
+    // crashed attempt left a stray for epoch 7 that no commit message covers
+    val stray = shard("part-e7-00000-stray.warc.wet")
+    val a = shard("part-e7-00000-attempt-a.warc.wet")
+    sw.commit(7L, Array(a))
+    assert(!Files.exists(java.nio.file.Paths.get(stray.path)), "stray of the epoch must be swept")
+    assert(Files.exists(java.nio.file.Paths.get(a.path)))
+    // driver died between sink commit and offset log -> the epoch replays
+    val b = shard("part-e7-00001-attempt-b.warc.wet")
+    sw.commit(7L, Array(b))
+    assert(!Files.exists(java.nio.file.Paths.get(b.path)), "replay shards are the duplicates")
+    assert(Files.exists(java.nio.file.Paths.get(a.path)), "the committed set is canonical")
+    // an e17 shard is NOT an e7 stray (prefix match must not cross epochs)
+    val e17 = shard("part-e17-00000-z.warc.wet")
+    val a8 = shard("part-e8-00000-a.warc.wet")
+    sw.commit(8L, Array(a8))
+    assert(Files.exists(java.nio.file.Paths.get(e17.path)))
+  }
+
   test("write path: curated docs export as WET shards and read back byte-exact") {
     val dir = tempDir().resolve("out").toString
     val docs = (1L to 200L).map(i =>
