@@ -385,4 +385,38 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(Multimodal.resize(media, constant, 1, 2).head().content.toSeq == Seq(9.toByte, 9.toByte))
   }
+
+  test("decoder fuzz (property): arbitrary bytes never throw from ANY decode entry point") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // crawl media is routinely corrupt: every decoder must absorb garbage
+    // as a zero result, not a task-killing exception. Magic-prefixed
+    // payloads get past the cheap guards into the deep parse paths.
+    val magics: Seq[Array[Byte]] = Seq(
+      "fLaC", "RIFF", "OggS", "ID3", "GIF89a", "BM", "FORM", ".snd"
+    ).map(_.getBytes("ISO-8859-1")) ++ Seq(
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte), // JPEG + APP1
+      Array(0xFF.toByte, 0xFB.toByte), // MP3 frame sync
+      Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p')) // MP4 box
+    val junk = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    val payload: Gen[Array[Byte]] = Gen.oneOf(
+      junk,
+      for { m <- Gen.oneOf(magics); j <- junk } yield m ++ j,
+      Gen.const(Array.empty[Byte]))
+    val prop = Prop.forAll(payload) { (b: Array[Byte]) =>
+      val dims = Seq(Multimodal.ImageIoDecoder, Multimodal.Mp4Decoder, Multimodal.StubDecoder)
+        .map(_.dimensions(b))
+      val metas = Seq(Multimodal.WavDecoder, Multimodal.OggVorbisDecoder, Multimodal.FlacDecoder,
+        Multimodal.Mp3Decoder, Multimodal.AutoAudioDecoder).map(_.audioMeta(b))
+      val pcms = Seq(Multimodal.FlacPcmDecoder, Multimodal.WavPcmDecoder, Multimodal.AutoPcmDecoder)
+        .map(_.decodePcm(b))
+      val ori = Multimodal.JpegExif.orientation(b)
+      dims.forall(d => d._1 >= 0 && d._2 >= 0) &&
+        metas.forall(m => m._1 >= 0 && m._2 >= 0 && m._3 >= 0L) &&
+        pcms.forall(p => p._1 >= 0 && p._2 >= 0 && p._3 != null) &&
+        ori >= 0 && ori <= 8
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
