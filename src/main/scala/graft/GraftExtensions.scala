@@ -140,9 +140,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     require(e.foldable, s"$what must be a literal array of strings")
     e.eval(null) match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        a.toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
-          .toIndexedSeq
+        a.toObjectArray(org.apache.spark.sql.types.StringType).toIndexedSeq.map {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case null => throw new IllegalArgumentException(
+            s"$what must be an array of non-null strings, got a NULL element")
+          case other => throw new IllegalArgumentException(
+            s"$what must be an array of strings, got element $other")
+        }
       case other => throw new IllegalArgumentException(
         s"$what must be an array of strings, got $other")
     }

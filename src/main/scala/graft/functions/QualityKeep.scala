@@ -36,7 +36,12 @@ final class QualityKeepKernel(
   private val gate = new GateStatsKernel(stopwords)
 
   def eval(u: UTF8String): Boolean = {
-    val gs = gate.eval(u)
+    // ONE toString + tokenBounds pass shared by the stats and repetition
+    // kernels (the lowercase stopword pass inside evalWith is separate by
+    // contract — lowercasing can change char counts)
+    val s = u.toString
+    val bounds = TextHashes.tokenBounds(s)
+    val gs = gate.evalWith(u, s, bounds)
     val nTokens = gs.getLong(0)
     if (nTokens < minTokens || nTokens > maxTokens) return false
     // perMille semantics: ⌊1000·num / den⌋, 0 when the denominator is 0
@@ -44,7 +49,7 @@ final class QualityKeepKernel(
     if (meanLen < minMeanTokLenPermille || meanLen > maxMeanTokLenPermille) return false
     val swPermille = if (nTokens == 0) 0L else 1000L * gs.getLong(2) / nTokens
     if (swPermille < minStopwordPermille) return false
-    val rep = TextHashes.gramRepetition(u, n)
+    val rep = TextHashes.gramRepetition(s, bounds, n)
     val topGram =
       if (rep == null) 0L
       else {

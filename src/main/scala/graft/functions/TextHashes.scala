@@ -342,7 +342,13 @@ object TextHashes {
     * local array, no per-row hash map. */
   def gramRepetition(u: UTF8String, n: Int): InternalRow = {
     val s = u.toString
-    val bounds = tokenBounds(s)
+    gramRepetition(s, tokenBounds(s), n)
+  }
+
+  /** [[gramRepetition]] over a caller-tokenized document — the fused-gate
+    * path ([[QualityKeepKernel]]) shares ONE toString + tokenBounds pass
+    * across the stats and repetition kernels. */
+  def gramRepetition(s: String, bounds: Array[Long], n: Int): InternalRow = {
     if (bounds.length < n) return null
     val (p, m) = tokenPolys(s, bounds, 31)
     val maxG = bounds.length - n + 1
@@ -391,7 +397,14 @@ final class GateStatsKernel(stopwords: Array[String]) extends Serializable {
 
   def eval(u: UTF8String): InternalRow = {
     val s = u.toString
-    val bounds = TextHashes.tokenBounds(s)
+    evalWith(u, s, TextHashes.tokenBounds(s))
+  }
+
+  /** [[eval]] over a caller-tokenized document (shared-pass form — see
+    * [[TextHashes.gramRepetition]]'s overload). The lowercase pass stays
+    * separate by contract: a lowercase mapping can change char counts,
+    * so its bounds are NOT the original's. */
+  def evalWith(u: UTF8String, s: String, bounds: Array[Long]): InternalRow = {
     var chars = 0L
     var t = 0
     while (t < bounds.length) {

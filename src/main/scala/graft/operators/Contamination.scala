@@ -48,9 +48,16 @@ object Contamination {
     * genuinely large bench side (millions of docs) must fall back to
     * shuffle-hash builds instead of materializing its posting table on
     * the driver and every executor. Both paths are output-identical
-    * (spec-pinned). */
+    * (spec-pinned).
+    *
+    * The ceiling is deliberately measured on the INPUT estimate but what
+    * actually broadcasts is the EXPLODED posting table — one ~24-byte
+    * (id, size, hash) row per token vs ~6 text bytes per token, call it
+    * 8× — so the default input ceiling of 128 MB keeps the materialized
+    * build near 1 GB. Raise the dial only with driver/executor memory to
+    * match. */
   val BenchBroadcastMaxBytesKey = "spark.graft.contamination.benchBroadcastMaxBytes"
-  val BenchBroadcastMaxBytesDefault: Long = 1L * 1024 * 1024 * 1024
+  val BenchBroadcastMaxBytesDefault: Long = 128L * 1024 * 1024
 
   /** The bench-side build strategy: `broadcast` below the ceiling,
     * `shuffle_hash` hint above it. */

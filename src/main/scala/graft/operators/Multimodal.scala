@@ -336,22 +336,32 @@ object Multimodal {
           if (layer == 3) (12 * kbps * 1000 / rate + pad) * 4 // Layer I pads in slots of 4
           else samplesPerFrame / 8 * kbps * 1000 / rate + pad
         }
-        // Xing/Info VBR header: after the side info of the FIRST frame
+        // Xing/Info VBR header: after the side info of the FIRST frame.
+        // protection bit 0 = a 16-bit CRC sits between header and side
+        // info (LAME writes these when asked) — without the skip the tag
+        // probe lands 2 bytes early and a VBR file miscounts silently
+        val crcSkip = if ((b(off + 1) & 0x1) == 0) 2 else 0
         val sideInfo =
           if (layer == 1) (if (mpeg1) { if (mono) 17 else 32 } else { if (mono) 9 else 17 })
           else 0 // Xing only appears in Layer III streams in practice
-        val x = off + 4 + sideInfo
-        if (layer == 1 && x + 12 <= b.length &&
+        val x = off + 4 + crcSkip + sideInfo
+        val hasTag = layer == 1 && x + 4 <= b.length &&
           ((b(x) == 'X' && b(x + 1) == 'i' && b(x + 2) == 'n' && b(x + 3) == 'g') ||
-            (b(x) == 'I' && b(x + 1) == 'n' && b(x + 2) == 'f' && b(x + 3) == 'o')) &&
-          ((b(x + 7) & 0x1) == 1)) {
+            (b(x) == 'I' && b(x + 1) == 'n' && b(x + 2) == 'f' && b(x + 3) == 'o'))
+        if (hasTag && x + 12 <= b.length && ((b(x + 7) & 0x1) == 1)) {
           val frames = ((b(x + 8) & 0xffL) << 24) | ((b(x + 9) & 0xffL) << 16) |
             ((b(x + 10) & 0xffL) << 8) | (b(x + 11) & 0xffL)
           return (rate, channels, frames * samplesPerFrame)
         }
-        // CBR/headerless: hop frame headers
+        // CBR/headerless: hop frame headers. A Xing/Info frame with no
+        // usable frame count is metadata, not audio — skip it in the hop
         var frames = 0L
         var o = off
+        if (hasTag) {
+          val len = frameLen(off)
+          if (len <= 0) return (rate, channels, 0L)
+          o = off + len
+        }
         while (o + 4 <= b.length && (b(o) & 0xff) == 0xff && (b(o + 1) & 0xe0) == 0xe0) {
           val len = frameLen(o)
           if (len <= 0) return (rate, channels, 0L)
@@ -649,11 +659,16 @@ object Multimodal {
             var sum = 0L
             var minL = 255
             var maxL = 0
+            // bulk row fetch: per-pixel getRGB(x, y) pays a ColorModel
+            // conversion + bounds check PER CALL — an order of magnitude
+            // of accessor overhead on top of the actual luma math
+            val rowBuf = new Array[Int](w)
             var y = 0
             while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
               var x = 0
               while (x < w) {
-                val rgb = img.getRGB(x, y)
+                val rgb = rowBuf(x)
                 val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
                 sum += luma
                 if (luma < minL) minL = luma

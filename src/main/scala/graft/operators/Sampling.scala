@@ -75,6 +75,10 @@ object Sampling {
       clusters: DataFrame,
       splitsPermille: Seq[(String, Int)],
       salt: String = "v1"): DataFrame = {
+    require(!df.columns.contains("component_id"),
+      "leakFreeSplit emits a component_id column, and df already has one — " +
+        "it may come from a DIFFERENT clustering run; rename or drop it first " +
+        "so the split key's provenance stays unambiguous")
     val c = clusters.select(col("id").as("__lfs_id"), col("component_id").as("__lfs_comp"))
     val compType = c.schema("__lfs_comp").dataType
     val joined = df.join(c, id === col("__lfs_id"), "left")

@@ -163,6 +163,149 @@ object Warc {
     }
   }
 
+  /** Multi-member gzip stream that REPORTS corruption the JDK swallows:
+    * `GZIPInputStream` treats an unreadable NEXT-member header as clean
+    * end-of-stream, so a bit-flip at a member boundary silently truncates
+    * the shard in both permissive and failfast modes. This walk parses
+    * member headers itself (magic/CM/FLG + the FEXTRA/FNAME/FCOMMENT/
+    * FHCRC optional fields), inflates with one reused `Inflater`, and
+    * verifies each member's CRC32 + ISIZE trailer — a bad header, a
+    * truncated member, or a trailer mismatch throws `IOException`, which
+    * failfast propagates and permissive turns into a LOGGED salvage
+    * instead of a silent one. Bytes after the last valid member that are
+    * not a member header are corruption, not padding. */
+  final class MultiMemberGzipInputStream(raw: InputStream) extends InputStream {
+    private val buf = new Array[Byte](1 << 16)
+    private var pos = 0
+    private var limit = 0
+    private val inflater = new java.util.zip.Inflater(true)
+    private val crc = new java.util.zip.CRC32
+    private var inMember = false
+    private var done = false
+
+    /** ≥1 unconsumed byte in buf, or -1 at raw EOF. */
+    private def fill(): Int = {
+      if (pos < limit) return limit - pos
+      pos = 0
+      limit = 0
+      val n = raw.read(buf, 0, buf.length)
+      if (n < 0) -1 else { limit = n; limit }
+    }
+    private def readByte(): Int =
+      if (fill() < 0) -1 else { val b = buf(pos) & 0xff; pos += 1; b }
+    private def readByteOrThrow(what: String): Int = {
+      val b = readByte()
+      if (b < 0) throw new EOFException(s"EOF inside gzip $what")
+      b
+    }
+    private def skipBytes(n: Int, what: String): Unit =
+      (0 until n).foreach(_ => readByteOrThrow(what))
+    private def readLeU32(what: String): Long = {
+      val a = readByteOrThrow(what); val b = readByteOrThrow(what)
+      val c = readByteOrThrow(what); val d = readByteOrThrow(what)
+      (a.toLong) | (b.toLong << 8) | (c.toLong << 16) | (d.toLong << 24)
+    }
+
+    /** false = clean end of stream; throws on a malformed header. */
+    private def startMember(): Boolean = {
+      val b0 = readByte()
+      if (b0 < 0) { done = true; return false }
+      val b1 = readByte()
+      if (b0 != 0x1f || b1 != 0x8b)
+        throw new java.io.IOException(
+          f"corrupt gzip member header: magic $b0%02x${if (b1 < 0) "" else f"$b1%02x"}")
+      val cm = readByteOrThrow("header")
+      if (cm != 8) throw new java.io.IOException(s"unsupported gzip compression method $cm")
+      val flg = readByteOrThrow("header")
+      skipBytes(6, "header") // MTIME + XFL + OS
+      if ((flg & 0x04) != 0) { // FEXTRA
+        val xlen = readByteOrThrow("FEXTRA") | (readByteOrThrow("FEXTRA") << 8)
+        skipBytes(xlen, "FEXTRA")
+      }
+      if ((flg & 0x08) != 0) while (readByteOrThrow("FNAME") != 0) () // FNAME
+      if ((flg & 0x10) != 0) while (readByteOrThrow("FCOMMENT") != 0) () // FCOMMENT
+      if ((flg & 0x02) != 0) skipBytes(2, "FHCRC")
+      inflater.reset()
+      crc.reset()
+      inMember = true
+      true
+    }
+
+    private def finishMember(): Unit = {
+      pos = limit - inflater.getRemaining // hand unconsumed bytes back
+      val wantCrc = readLeU32("trailer")
+      val wantSize = readLeU32("trailer")
+      if (wantCrc != crc.getValue)
+        throw new java.io.IOException(
+          f"gzip member CRC mismatch: stored $wantCrc%08x, computed ${crc.getValue}%08x")
+      if (wantSize != (inflater.getBytesWritten & 0xffffffffL))
+        throw new java.io.IOException("gzip member ISIZE mismatch")
+      inMember = false
+    }
+
+    override def read(): Int = {
+      val one = new Array[Byte](1)
+      val n = read(one, 0, 1)
+      if (n < 0) -1 else one(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (true) {
+        if (done) return -1
+        if (!inMember && !startMember()) return -1
+        if (inflater.needsInput) {
+          if (fill() < 0) throw new EOFException("EOF inside gzip member")
+          inflater.setInput(buf, pos, limit - pos)
+          pos = limit
+        }
+        val n =
+          try inflater.inflate(b, off, len)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new java.io.IOException(s"corrupt DEFLATE data: ${e.getMessage}")
+          }
+        if (n > 0) { crc.update(b, off, n); return n }
+        if (inflater.finished()) finishMember()
+        else if (inflater.needsDictionary())
+          throw new java.io.IOException("gzip member demands a preset dictionary")
+      }
+      -1 // unreachable
+    }
+
+    override def close(): Unit = {
+      inflater.end()
+      raw.close()
+    }
+  }
+
+  /** Short stable tag of a streaming query id for shard names: 8 hex
+    * chars of the id's hash, `q0` for an absent id. */
+  def queryTag(queryId: String): String =
+    if (queryId == null || queryId.isEmpty) "q0"
+    else f"q${queryId.hashCode & 0xffffffffL}%08x"
+
+  /** THE shard-listing policy, shared by batch scan and the streaming
+    * reader so the two can never diverge on what counts as a shard: glob
+    * each path, expand directories one level, keep plain files that are
+    * not `_`/`.`-prefixed. `requireNonEmpty` is the batch contract (a
+    * path matching nothing is a user error); streaming polls empty dirs
+    * as a matter of course. */
+  def listShards(conf: Configuration, paths: Seq[String],
+      requireNonEmpty: Boolean): Seq[FileStatus] =
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+      if (requireNonEmpty) require(matched.nonEmpty, s"warc path matches nothing: $p")
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(f =>
+            f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        else Seq(st)
+      }
+    }
+
   /** Hadoop Configuration that survives Java serialization (the public
     * Writable round-trip — no Spark-internal wrapper). */
   final class SerializableConf(@transient var conf: Configuration) extends Serializable {
@@ -215,7 +358,7 @@ class WarcTable(paths: Seq[String], tableSchema: StructType = Warc.Schema)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1, s"warc write needs exactly one target directory, got $paths")
-    new WarcWriteBuilder(paths.head, info.schema(), info.options())
+    new WarcWriteBuilder(paths.head, info.schema(), info.options(), info.queryId())
   }
 }
 
@@ -254,21 +397,9 @@ class WarcScanBuilder(paths: Seq[String], permissive: Boolean = true)
 class WarcScan(paths: Seq[String], required: StructType, typeFilter: Set[String],
     permissive: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics {
-  private lazy val files: Seq[FileStatus] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    paths.flatMap { p =>
-      val hp = new Path(p)
-      val fs = hp.getFileSystem(conf)
-      val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
-      require(matched.nonEmpty, s"warc path matches nothing: $p")
-      matched.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(f =>
-            f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-        else Seq(st)
-      }
-    }
-  }
+  private lazy val files: Seq[FileStatus] =
+    Warc.listShards(SparkSession.active.sessionState.newHadoopConf(), paths,
+      requireNonEmpty = true)
 
   override def readSchema(): StructType = required
   override def description(): String = {
@@ -333,16 +464,8 @@ class WarcMicroBatchStream(paths: Seq[String], required: StructType, typeFilter:
   private def lastId: Long = if (batches.isEmpty) -1L else batches.lastKey
   private var availableNowTarget: Long = -2L // -2 = not in AvailableNow mode
 
-  private def listFiles(): Seq[String] = paths.flatMap { p =>
-    val hp = new Path(p)
-    val hfs = hp.getFileSystem(conf)
-    Option(hfs.globStatus(hp)).map(_.toSeq).getOrElse(Nil).flatMap { st =>
-      if (st.isDirectory)
-        hfs.listStatus(st.getPath).toSeq.filter(f =>
-          f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-      else Seq(st)
-    }.map(_.getPath.toString)
-  }
+  private def listFiles(): Seq[String] =
+    Warc.listShards(conf, paths, requireNonEmpty = false).map(_.getPath.toString)
 
   /** Discover new files; persist the batch BEFORE exposing its offset. */
   private def discover(): Long = synchronized {
@@ -402,8 +525,8 @@ case class WarcStreamOffset(batchId: Long) extends Offset {
   * abort deletes the temp. Overwrite records the pre-existing shard set
   * at build time and deletes it in the driver commit, AFTER every task
   * succeeded — new shards are uuid-named, so old and new never collide. */
-class WarcWriteBuilder(dir: String, schema: StructType, options: CaseInsensitiveStringMap)
-    extends WriteBuilder with SupportsTruncate {
+class WarcWriteBuilder(dir: String, schema: StructType, options: CaseInsensitiveStringMap,
+    queryId: String) extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
@@ -415,12 +538,12 @@ class WarcWriteBuilder(dir: String, schema: StructType, options: CaseInsensitive
     require(unknown.isEmpty, s"warc write: unmapped columns ${unknown.mkString(",")} " +
       "(writable: content, record_id, record_type, target_uri, warc_date, content_type)")
     val gzip = Option(options.get("compression")).forall(_ != "none")
-    new WarcWrite(dir, schema, gzip, doTruncate)
+    new WarcWrite(dir, schema, gzip, doTruncate, queryId)
   }
 }
 
-class WarcWrite(dir: String, schema: StructType, gzip: Boolean, truncate: Boolean)
-    extends Write with BatchWrite {
+class WarcWrite(dir: String, schema: StructType, gzip: Boolean, truncate: Boolean,
+    queryId: String = "") extends Write with BatchWrite {
   private val conf = new Warc.SerializableConf(SparkSession.active.sessionState.newHadoopConf())
   // overwrite: snapshot the existing shards NOW, delete them on commit
   private val oldFiles: Seq[String] =
@@ -440,6 +563,9 @@ class WarcWrite(dir: String, schema: StructType, gzip: Boolean, truncate: Boolea
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(conf.conf)
     oldFiles.foreach(f => fs.delete(new Path(f), false))
+    // a truncated table's history is gone: stale streaming epoch logs
+    // must not outlive the shards they describe
+    if (truncate) fs.delete(new Path(dir, "_warc_epochs"), true)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(conf.conf)
@@ -451,7 +577,7 @@ class WarcWrite(dir: String, schema: StructType, gzip: Boolean, truncate: Boolea
 
   override def toStreaming: StreamingWrite = {
     require(!truncate, "warc streaming write is append-only (outputMode append)")
-    new WarcStreamingWrite(dir, schema, gzip, conf)
+    new WarcStreamingWrite(dir, schema, gzip, conf, queryId)
   }
 }
 
@@ -468,15 +594,31 @@ class WarcWrite(dir: String, schema: StructType, gzip: Boolean, truncate: Boolea
   * the offset log) — the replay's own shards are the duplicates, and
   * they are deleted instead. A re-read of the directory therefore sees
   * each record exactly once, whatever the crash point. The `_`-prefixed
-  * log dir is invisible to the read side's shard listing. */
+  * log dir is invisible to the read side's shard listing.
+  *
+  * The log is namespaced per QUERY (`_warc_epochs/<queryId>/<epoch>` —
+  * Spark's queryId is the checkpoint-persistent stream id, stable across
+  * restarts of the same query): a NEW query appending to a directory a
+  * previous query once wrote restarts its epochs at 0, and without the
+  * namespace its first commits would find the old query's log entries
+  * and misread themselves as replays — silently deleting every shard
+  * they just wrote. */
 class WarcStreamingWrite(dir: String, schema: StructType, gzip: Boolean,
-    conf: Warc.SerializableConf) extends StreamingWrite {
+    conf: Warc.SerializableConf, queryId: String) extends StreamingWrite {
   import java.nio.charset.StandardCharsets.UTF_8
 
-  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    WarcStreamingWriterFactory(dir, schema, gzip, conf)
+  // short stable query tag, embedded in shard names: the stray sweep for
+  // (query, epoch) must never match ANOTHER query's committed epoch-N
+  // shards sharing the directory
+  private val qtag = Warc.queryTag(queryId)
 
-  private def epochLog(epochId: Long) = new Path(new Path(dir, "_warc_epochs"), epochId.toString)
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    WarcStreamingWriterFactory(dir, schema, gzip, conf, qtag)
+
+  private def epochLog(epochId: Long) = {
+    val ns = if (queryId == null || queryId.isEmpty) "default" else queryId
+    new Path(new Path(new Path(dir, "_warc_epochs"), ns), epochId.toString)
+  }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dirPath = new Path(dir)
@@ -495,8 +637,9 @@ class WarcStreamingWrite(dir: String, schema: StructType, gzip: Boolean,
         finally in.close()
       (mine -- committed).foreach(n => fs.delete(new Path(dirPath, n), false))
     } else {
-      // strays of THIS epoch from a crashed attempt that never committed
-      val prefix = f"part-e$epochId%d-"
+      // strays of THIS query's epoch from a crashed attempt that never
+      // committed (the qtag keeps other queries' epoch-N shards out)
+      val prefix = f"part-$qtag-e$epochId%d-"
       Option(fs.listStatus(dirPath)).getOrElse(Array.empty)
         .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
         .map(_.getPath.getName).filterNot(mine)
@@ -518,10 +661,10 @@ class WarcStreamingWrite(dir: String, schema: StructType, gzip: Boolean,
 }
 
 case class WarcStreamingWriterFactory(dir: String, schema: StructType, gzip: Boolean,
-    conf: Warc.SerializableConf) extends StreamingDataWriterFactory {
+    conf: Warc.SerializableConf, qtag: String) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new WarcDataWriter(dir, schema, gzip, conf.conf, partitionId, taskId,
-      namePrefix = f"part-e$epochId%d-$partitionId%05d")
+      namePrefix = f"part-$qtag-e$epochId%d-$partitionId%05d")
 }
 
 case class WarcCommitMessage(path: String) extends WriterCommitMessage
@@ -640,7 +783,10 @@ class WarcPartitionReader(path: String, required: StructType, typeFilter: Set[St
   private def in: InputStream = {
     if (inOpened == null) {
       val buffered = new BufferedInputStream(raw, 1 << 16)
-      inOpened = if (path.endsWith(".gz")) new GZIPInputStream(buffered, 1 << 16) else buffered
+      // NOT the JDK GZIPInputStream: that one swallows a corrupt
+      // next-member header as clean EOF (silent shard truncation)
+      inOpened =
+        if (path.endsWith(".gz")) new Warc.MultiMemberGzipInputStream(buffered) else buffered
     }
     inOpened
   }

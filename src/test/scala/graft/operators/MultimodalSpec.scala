@@ -297,6 +297,22 @@ class MultimodalSpec extends SparkSpec {
       (3L, 44100, 2, 100 * 1152L), (4L, 0, 0, 0L), (5L, 0, 0, 0L)))
   }
 
+  test("Mp3Decoder: CRC-protected Xing offset; tag frame without a count is not audio") {
+    // CRC-protected (protection bit 0): 2 CRC bytes sit before the side
+    // info, so the Xing tag lands 2 bytes later
+    val crcXing = mp3Cbr(1)
+    crcXing(1) = 0xfa.toByte // MPEG1 L3, protection bit 0
+    "Xing".getBytes("ISO-8859-1").copyToArray(crcXing, 4 + 2 + 32)
+    crcXing(4 + 2 + 32 + 7) = 0x01
+    crcXing(4 + 2 + 32 + 11) = 100.toByte
+    assert(Multimodal.Mp3Decoder.audioMeta(crcXing) == ((44100, 2, 100 * 1152L)))
+    // an Info tag with NO frames-field flag: the hop must not count the
+    // metadata frame as audio (2 audio frames follow it)
+    val infoNoCount = mp3Cbr(3)
+    "Info".getBytes("ISO-8859-1").copyToArray(infoNoCount, 4 + 32)
+    assert(Multimodal.Mp3Decoder.audioMeta(infoNoCount) == ((44100, 2, 2 * 1152L)))
+  }
+
   test("Mp3Decoder: ID3v2.4 footer flag shifts the sync probe past the footer") {
     val body = new Array[Byte](20)
     val header = Array[Byte]('I', 'D', '3', 4, 0, 0x10.toByte, 0, 0, 0, 20)

@@ -255,28 +255,82 @@ class WarcSourceSpec extends SparkSpec {
     Files.createDirectories(java.nio.file.Paths.get(dir))
     val schema = StructType(Seq(StructField("content", BinaryType)))
     val conf = new Warc.SerializableConf(spark.sessionState.newHadoopConf())
-    val sw = new WarcStreamingWrite(dir, schema, gzip = false, conf)
+    val sw = new WarcStreamingWrite(dir, schema, gzip = false, conf, queryId = "queryA")
+    val t = Warc.queryTag("queryA")
     def shard(name: String): WarcCommitMessage = {
       val p = java.nio.file.Paths.get(dir, name)
       Files.write(p, record("conversion", "https://x.example.com", "x".getBytes(UTF_8)))
       WarcCommitMessage(p.toString)
     }
     // crashed attempt left a stray for epoch 7 that no commit message covers
-    val stray = shard("part-e7-00000-stray.warc.wet")
-    val a = shard("part-e7-00000-attempt-a.warc.wet")
+    val stray = shard(s"part-$t-e7-00000-stray.warc.wet")
+    val a = shard(s"part-$t-e7-00000-attempt-a.warc.wet")
+    // ANOTHER query's committed epoch-7 shard shares the directory: the
+    // sweep must never touch it
+    val otherQ = shard(s"part-${Warc.queryTag("queryB")}-e7-00000-b.warc.wet")
     sw.commit(7L, Array(a))
     assert(!Files.exists(java.nio.file.Paths.get(stray.path)), "stray of the epoch must be swept")
     assert(Files.exists(java.nio.file.Paths.get(a.path)))
+    assert(Files.exists(java.nio.file.Paths.get(otherQ.path)),
+      "another query's epoch-7 shards are NOT this query's strays")
     // driver died between sink commit and offset log -> the epoch replays
-    val b = shard("part-e7-00001-attempt-b.warc.wet")
+    val b = shard(s"part-$t-e7-00001-attempt-b.warc.wet")
     sw.commit(7L, Array(b))
     assert(!Files.exists(java.nio.file.Paths.get(b.path)), "replay shards are the duplicates")
     assert(Files.exists(java.nio.file.Paths.get(a.path)), "the committed set is canonical")
     // an e17 shard is NOT an e7 stray (prefix match must not cross epochs)
-    val e17 = shard("part-e17-00000-z.warc.wet")
-    val a8 = shard("part-e8-00000-a.warc.wet")
+    val e17 = shard(s"part-$t-e17-00000-z.warc.wet")
+    val a8 = shard(s"part-$t-e8-00000-a.warc.wet")
     sw.commit(8L, Array(a8))
     assert(Files.exists(java.nio.file.Paths.get(e17.path)))
+  }
+
+  test("streaming write: a fresh query appending to a previously-written dir loses nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tempDir()
+    val out = tempDir().resolve("out").toString
+    Files.createDirectories(java.nio.file.Paths.get(out))
+    // residue of an EARLIER streaming query: a committed shard and its
+    // epoch-0 log entry (old queries restart epoch numbering at 0)
+    val oldShard = java.nio.file.Paths.get(out, "part-qdeadbeef-e0-00000-old.warc.wet")
+    Files.write(oldShard, record("conversion", "https://old.example.com", "old".getBytes(UTF_8)))
+    val oldLog = java.nio.file.Paths.get(out, "_warc_epochs", "dead-query")
+    Files.createDirectories(oldLog)
+    Files.write(oldLog.resolve("0"), "part-qdeadbeef-e0-00000-old.warc.wet\n".getBytes(UTF_8))
+    // ALSO a legacy un-namespaced entry right under _warc_epochs
+    Files.write(java.nio.file.Paths.get(out, "_warc_epochs", "0"),
+      "part-qdeadbeef-e0-00000-old.warc.wet\n".getBytes(UTF_8))
+
+    Files.write(src.resolve("shard0.warc.wet"), wetBytes)
+    val q = spark.readStream.format("warc").load(src.toString)
+      .filter(col("record_type") === "conversion")
+      .select(col("record_type"), col("target_uri"), col("content"))
+      .writeStream.format("warc").option("path", out)
+      .option("checkpointLocation", tempDir().toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = Warc.read(spark, out).select("target_uri").as[String].collect().toSeq.sorted
+    // the new query's epoch 0 must NOT misread the stale logs as its own
+    // replay (which would silently delete the micro-batch it just wrote),
+    // and the old query's data survives
+    assert(got == Seq("https://a.example.com/1", "https://b.example.org/2",
+      "https://old.example.com"))
+  }
+
+  test("corrupt gzip member BOUNDARY: failfast fails, permissive salvages with detection") {
+    val dir = tempDir()
+    val good = gzMember(record("conversion", "https://kept.example.com", "kept".getBytes(UTF_8)))
+    // bytes after member 1 that are not a member header: the JDK
+    // GZIPInputStream would report clean EOF here — silent truncation
+    Files.write(dir.resolve("boundary.warc.wet.gz"), good ++ "JUNK-NOT-GZIP".getBytes(UTF_8))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").option("mode", "failfast").load(dir.toString).count()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(t => String.valueOf(t.getMessage).contains("corrupt gzip member")))
+    val got = Warc.read(spark, dir.toString).select("target_uri").as[String].collect().toSeq
+    assert(got == Seq("https://kept.example.com"))
   }
 
   test("write path: curated docs export as WET shards and read back byte-exact") {
