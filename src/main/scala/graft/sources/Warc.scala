@@ -243,8 +243,11 @@ object Warc {
       inMember = false
     }
 
+    // reusable: the header parser reads PER BYTE, and a per-call 1-byte
+    // allocation measurably drags the whole-shard read (stream is
+    // single-reader by contract)
+    private val one = new Array[Byte](1)
     override def read(): Int = {
-      val one = new Array[Byte](1)
       val n = read(one, 0, 1)
       if (n < 0) -1 else one(0) & 0xff
     }
@@ -784,9 +787,13 @@ class WarcPartitionReader(path: String, required: StructType, typeFilter: Set[St
     if (inOpened == null) {
       val buffered = new BufferedInputStream(raw, 1 << 16)
       // NOT the JDK GZIPInputStream: that one swallows a corrupt
-      // next-member header as clean EOF (silent shard truncation)
+      // next-member header as clean EOF (silent shard truncation). The
+      // outer buffer batches the parser's per-byte header reads into
+      // bulk inflate calls.
       inOpened =
-        if (path.endsWith(".gz")) new Warc.MultiMemberGzipInputStream(buffered) else buffered
+        if (path.endsWith(".gz"))
+          new BufferedInputStream(new Warc.MultiMemberGzipInputStream(buffered), 1 << 16)
+        else buffered
     }
     inOpened
   }
