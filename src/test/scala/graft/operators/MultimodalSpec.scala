@@ -402,13 +402,67 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resize(media, constant, 1, 2).head().content.toSeq == Seq(9.toByte, 9.toByte))
   }
 
+  /** A genuine MJPEG AVI: real ImageIO-encoded JPEG frames inside a
+    * hand-assembled RIFF/AVI container. */
+  private def mjpegAvi(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+    def u32le(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] =
+      cc.getBytes("ISO-8859-1") ++ u32le(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(tpe: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", tpe.getBytes("ISO-8859-1") ++ inner)
+    def jpeg(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avih = new Array[Byte](56)
+    u32le(grays.length).copyToArray(avih, 16) // dwTotalFrames
+    u32le(w).copyToArray(avih, 32) // dwWidth
+    u32le(h).copyToArray(avih, 36) // dwHeight
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", grays.map(g => chunk("00dc", jpeg(g))).reduce(_ ++ _))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ u32le(body.length) ++ body
+  }
+
+  test("AVI/MJPEG: real container walk + real JPEG frame pixel decode") {
+    val avi = mjpegAvi(16, 8, Seq(30, 128, 220, 60, 200)) // 5 frames
+    assert(Multimodal.AviDecoder.dimensions(avi) == ((16, 8)))
+    assert(AviMjpeg.videoMeta(avi) == ((16, 8, 5L)))
+    assert(AviMjpeg.frameChunks(avi).length == 5)
+    val media = Seq(
+      Multimodal.MediaRow(1L, avi, "avi"),
+      Multimodal.MediaRow(2L, "not a riff container at all".getBytes, "avi"),
+      Multimodal.MediaRow(3L, null, "avi")).toDS()
+    // k=3 over 5 actual frames: indices 0, 1, 3 (uniform over the list)
+    val got = Multimodal.sampleFrameStats(media, k = 3).collect()
+      .map(f => (f.id, f.frame_index, f.width, f.height, f.mean_luma_permille)).sortBy(_._2)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      Seq((1L, 0, 16, 8), (1L, 1, 16, 8), (1L, 3, 16, 8))) // corrupt/null: zero rows
+    // JPEG is lossy: each sampled frame's mean luma lands near its
+    // planted uniform gray (permille of 255)
+    val want = Seq(30, 128, 60).map(g => g * 1000L / 255)
+    got.map(_._5).zip(want).foreach { case (m, e) =>
+      assert(math.abs(m - e) <= 25, s"mean luma $m vs expected ~$e")
+    }
+    // all frames when k exceeds the frame count
+    assert(Multimodal.sampleFrameStats(media, k = 99).count() == 5)
+  }
+
   test("decoder fuzz (property): arbitrary bytes never throw from ANY decode entry point") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // crawl media is routinely corrupt: every decoder must absorb garbage
     // as a zero result, not a task-killing exception. Magic-prefixed
     // payloads get past the cheap guards into the deep parse paths.
     val magics: Seq[Array[Byte]] = Seq(
-      "fLaC", "RIFF", "OggS", "ID3", "GIF89a", "BM", "FORM", ".snd"
+      "fLaC", "RIFF", "OggS", "ID3", "GIF89a", "BM", "FORM", ".snd",
+      "RIFF   AVI LIST", "RIFFÿÿÿÿAVI "
     ).map(_.getBytes("ISO-8859-1")) ++ Seq(
       Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
       Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte), // JPEG + APP1
@@ -420,14 +474,15 @@ class MultimodalSpec extends SparkSpec {
       for { m <- Gen.oneOf(magics); j <- junk } yield m ++ j,
       Gen.const(Array.empty[Byte]))
     val prop = Prop.forAll(payload) { (b: Array[Byte]) =>
-      val dims = Seq(Multimodal.ImageIoDecoder, Multimodal.Mp4Decoder, Multimodal.StubDecoder)
-        .map(_.dimensions(b))
+      val dims = Seq(Multimodal.ImageIoDecoder, Multimodal.Mp4Decoder, Multimodal.StubDecoder,
+        Multimodal.AviDecoder).map(_.dimensions(b))
+      val fc = AviMjpeg.frameChunks(b)
       val metas = Seq(Multimodal.WavDecoder, Multimodal.OggVorbisDecoder, Multimodal.FlacDecoder,
         Multimodal.Mp3Decoder, Multimodal.AutoAudioDecoder).map(_.audioMeta(b))
       val pcms = Seq(Multimodal.FlacPcmDecoder, Multimodal.WavPcmDecoder, Multimodal.AutoPcmDecoder)
         .map(_.decodePcm(b))
       val ori = Multimodal.JpegExif.orientation(b)
-      dims.forall(d => d._1 >= 0 && d._2 >= 0) &&
+      dims.forall(d => d._1 >= 0 && d._2 >= 0) && fc != null &&
         metas.forall(m => m._1 >= 0 && m._2 >= 0 && m._3 >= 0L) &&
         pcms.forall(p => p._1 >= 0 && p._2 >= 0 && p._3 != null) &&
         ori >= 0 && ori <= 8
