@@ -84,6 +84,16 @@ class BpeSpec extends SparkSpec {
     assert(plan.contains("bpe_token_count"))
   }
 
+  test("save/load round-trips the model through parquet") {
+    val hist = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val model = Bpe.trainOnHistogram(hist, numMerges = 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpespec").resolve("model").toString
+    Bpe.save(model, spark, dir)
+    val back = Bpe.load(spark, dir)
+    assert(back.merges.toSeq == model.merges.toSeq)
+    assert(back.tokenize("lowest").toSeq == model.tokenize("lowest").toSeq)
+  }
+
   test("maxWords truncates the histogram head deterministically") {
     val docs = Seq.tabulate(50)(i => s"common rare$i").toDF("text")
     val hist = Bpe.wordHistogram(docs.toDF(), col("text"), maxWords = 3)
