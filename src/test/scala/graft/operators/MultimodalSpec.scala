@@ -462,7 +462,7 @@ class MultimodalSpec extends SparkSpec {
     // payloads get past the cheap guards into the deep parse paths.
     val magics: Seq[Array[Byte]] = Seq(
       "fLaC", "RIFF", "OggS", "ID3", "GIF89a", "BM", "FORM", ".snd",
-      "RIFF   AVI LIST", "RIFFÿÿÿÿAVI "
+      "RIFF\u0010\u0000\u0000\u0000AVI LIST", "RIFFÿÿÿÿAVI "
     ).map(_.getBytes("ISO-8859-1")) ++ Seq(
       Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
       Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte), // JPEG + APP1

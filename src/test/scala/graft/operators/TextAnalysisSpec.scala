@@ -159,7 +159,7 @@ class TextAnalysisSpec extends SparkSpec {
     // dot), a supplementary-plane token (code-point counting), junk
     val word = Gen.oneOf("the", "and", "la", "pour", "THE", "Le", "DANS",
       "İstanbul", "ß", "𝒜𝒷𝒸", "interblag", "a", "1,2", "...")
-    val sep = Gen.oneOf(" ", "  ", "\t", "\n ", "  ")
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n ", " \u000b ")
     val genDoc = Gen.choose(0, 25).flatMap { k =>
       for { ws <- Gen.listOfN(k, word); ss <- Gen.listOfN(k, sep) }
         yield ws.zip(ss).map { case (w, s) => w + s }.mkString
