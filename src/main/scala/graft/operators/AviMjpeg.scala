@@ -56,8 +56,7 @@ object AviMjpeg {
         val inner = findChunk(b, o + 12, math.min(until, o + 8 + size), target, into)
         if (inner >= 0) return inner
       }
-      o += 8 + size + (size & 1) // chunks pad to even
-      if (size < 0) return -1
+      o += 8 + size + (size & 1) // chunks pad to even; u32 size keeps o monotone
     }
     -1
   }
@@ -72,14 +71,14 @@ object AviMjpeg {
       val end = math.min(b.length.toLong, 8 + u32(b, 4))
       var o = 12L
       while (o + 8 <= end && o + 8 <= b.length) {
-        val size = u32(b, o.toInt + 4)
-        if (size < 0 || o + 8 + size > b.length) return out.result()
+        val size = u32(b, o.toInt + 4) // unsigned: in [0, 2^32)
+        if (o + 8 + size > b.length) return out.result() // truncated/corrupt size
         if (fourcc(b, o.toInt, "LIST") && o + 12 <= b.length && fourcc(b, o.toInt + 8, "movi")) {
           var m = o + 12
           val mEnd = math.min(end, o + 8 + size)
           while (m + 8 <= mEnd) {
             val ms = u32(b, m.toInt + 4)
-            if (ms < 0 || m + 8 + ms > b.length) return out.result()
+            if (m + 8 + ms > b.length) return out.result() // truncated/corrupt size
             val isFrame = Character.isDigit(b(m.toInt).toChar) &&
               Character.isDigit(b(m.toInt + 1).toChar) &&
               (b(m.toInt + 2) == 'd'.toByte) &&

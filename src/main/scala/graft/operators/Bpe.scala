@@ -50,11 +50,16 @@ object Bpe {
   /** A trained model: `merges` in rank order (lowest rank merges first
     * at apply time — the training order). */
   final case class Model(merges: Array[(String, String)]) extends Serializable {
-    @transient lazy val ranks: java.util.HashMap[String, Integer] = {
-      val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    // EXACT tuple keys, same as training: a string-concatenation key with
+    // any separator can collide when symbols themselves contain the
+    // separator (crawl text legally carries NUL and every other
+    // non-whitespace code point), silently merging pairs the model never
+    // trained
+    @transient lazy val ranks: java.util.HashMap[(String, String), Integer] = {
+      val m = new java.util.HashMap[(String, String), Integer](merges.length * 2)
       var i = 0
       while (i < merges.length) {
-        m.put(merges(i)._1 + "\u0000" + merges(i)._2, i)
+        m.put(merges(i), i)
         i += 1
       }
       m
@@ -82,7 +87,7 @@ object Bpe {
         var bestAt = -1
         var i = 0
         while (i < syms.length - 1) {
-          val r = ranks.get(syms(i) + "\u0000" + syms(i + 1))
+          val r = ranks.get((syms(i), syms(i + 1)))
           if (r != null && r < bestRank) { bestRank = r; bestAt = i }
           i += 1
         }

@@ -44,6 +44,23 @@ object Dedup {
   private[operators] def bandKey(values: Seq[Column]): Column =
     concat_ws("_", values: _*)
 
+  /** THE banded-signature derivation (band b = minhash slots
+    * [b·r, (b+1)·r), r = k/bands, keyed by [[bandKey]]) — one definition
+    * shared by every LSH path; the two forms cover the array-column and
+    * persisted per-column `mh_i` signature layouts. A drifted copy
+    * silently breaks the spec-pinned incremental ≡ batch equivalence. */
+  private[operators] def bandSignatures(mh: Column, k: Int, bands: Int): Seq[Column] = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    (0 until bands).map(b => bandKey((0 until r).map(i => mh(b * r + i))))
+  }
+
+  private[operators] def bandSignaturesFromCols(k: Int, bands: Int): Seq[Column] = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    (0 until bands).map(b => bandKey((0 until r).map(i => col(s"mh_${b * r + i}"))))
+  }
+
   /** THE Jaccard per-mille formula: ⌊common·1000 / (|a|+|b|−common)⌋.
     * Long integer division (no double round-trip): exact past 2^53, same
     * [[org.apache.spark.sql.catalyst.expressions.IntegralDivide]] ↔
@@ -260,11 +277,7 @@ object Dedup {
     * [[bucketedPairs]]. → (a_id, b_id), a < b. */
   def lshCandidates(sig: DataFrame, k: Int, bands: Int,
       maxBucketSize: Int = 10000): DataFrame = {
-    require(k % bands == 0, s"bands=$bands must divide k=$k")
-    val r = k / bands
-    val bandSig = (b: Int) =>
-      bandKey((0 until r).map(i => col(s"mh_${b * r + i}")))
-    val withB = sig.select(col("doc"), array((0 until bands).map(bandSig): _*).as("bs"))
+    val withB = sig.select(col("doc"), array(bandSignaturesFromCols(k, bands): _*).as("bs"))
     bucketedPairs(withB, maxBucketSize)
   }
 
@@ -345,13 +358,9 @@ object Dedup {
   def cappedLshBuckets(
       df: DataFrame, id: Column, text: Column,
       n: Int, k: Int, bands: Int, maxBucketSize: Int = 10000): DataFrame = {
-    require(k % bands == 0, s"bands=$bands must divide k=$k")
-    val r = k / bands
     val base = df.select(id.as("doc"), minhashSigArray(text, n, k).as("__sig"))
       .filter(col("__sig").isNotNull)
-    val bandSig = (b: Int) =>
-      bandKey((0 until r).map(i => col("__sig")(b * r + i)))
-    base.select(posexplode(array((0 until bands).map(bandSig): _*)).as(Seq("band", "sig")))
+    base.select(posexplode(array(bandSignatures(col("__sig"), k, bands): _*)).as(Seq("band", "sig")))
       .groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucketSize)
@@ -386,15 +395,11 @@ object Dedup {
       df: DataFrame, id: Column, text: Column,
       n: Int, k: Int, bands: Int, minJaccardPermille: Int,
       maxBucketSize: Int = 10000): DataFrame = {
-    require(k % bands == 0, s"bands=$bands must divide k=$k")
-    val r = k / bands
     val base = df.select(id.as("doc"),
       minhashSigArray(text, n, k).as("__sig"))
       .filter(col("__sig").isNotNull)
-    val bandSig = (b: Int) =>
-      bandKey((0 until r).map(i => col("__sig")(b * r + i)))
     val withB = base.select(col("doc"),
-      array((0 until bands).map(bandSig): _*).as("bs"))
+      array(bandSignatures(col("__sig"), k, bands): _*).as("bs"))
     val cand = bucketedPairs(withB, maxBucketSize)
     val candIds = cand.select(col("a_id").as("doc"))
       .unionByName(cand.select(col("b_id").as("doc")))
@@ -420,8 +425,14 @@ object Dedup {
     *
     *  - the old corpus is never re-shingled — candidate generation probes
     *    its k-longs-per-doc signature table with the increment's
-    *    signatures via the same (band, band-signature) equi-join as the
-    *    batch operator, exactly-once on the first shared band;
+    *    signatures via the same SLIM (band, band-signature) equi-join as
+    *    the batch operator: 3-column rows through the exchange, the same
+    *    `maxBucketSize` hot-bucket cap (counted over the old∪new bucket
+    *    population — exactly the bucket a merged-corpus batch run would
+    *    see), and the same exactly-once pair aggregate, so a boilerplate
+    *    bucket in the PERSISTED index cannot detonate the probe join
+    *    (the 10⁵-docs-in-one-bucket ⇒ 10¹⁰ pairs-in-one-task pathology
+    *    the batch cap exists for);
     *  - exact-Jaccard verification re-shingles only the CANDIDATE old
     *    docs (a semi-join-sized subset), never the corpus;
     *  - increment-internal duplicates come from the batch operator over
@@ -436,9 +447,8 @@ object Dedup {
       newDocs: DataFrame, newId: Column, newText: Column,
       oldSig: DataFrame,
       oldDocs: DataFrame, oldId: Column, oldText: Column,
-      n: Int, k: Int, bands: Int, minJaccardPermille: Int): DataFrame = {
-    require(k % bands == 0, s"bands=$bands must divide k=$k")
-    val r = k / bands
+      n: Int, k: Int, bands: Int, minJaccardPermille: Int,
+      maxBucketSize: Int = 10000): DataFrame = {
     // increment side: per-row signature + shingles (kept for the verify)
     val newSide = newDocs.select(newId.as("new_id"), shingleHashes(newText, n).as("new_hs"))
       .withColumn("__sig", Bridge.column(MinHashSig(Bridge.expression(col("new_hs")), k)))
@@ -447,23 +457,40 @@ object Dedup {
     // stored-index side: band signatures from the persisted mh_i columns
     val oldSide = oldSig.select(col("doc").as("old_id"),
       array((0 until k).map(i => col(s"mh_$i")): _*).as("old_mh"))
-    def bandOf(mh: Column, b: Int) =
-      bandKey((0 until r).map(i => mh(b * r + i)))
-    val newB = newSide.select(col("new_id"), col("new_hs"), col("new_mh"),
-      posexplode(array((0 until bands).map(b => bandOf(col("new_mh"), b)): _*))
-        .as(Seq("nband", "nsig")))
-    val oldB = oldSide.select(col("old_id"), col("old_mh"),
-      posexplode(array((0 until bands).map(b => bandOf(col("old_mh"), b)): _*))
-        .as(Seq("oband", "osig")))
-    // first-shared-band keeps each (new, old) candidate exactly once —
-    // both signature arrays are in the row, no distinct() shuffle
-    val firstShared = (0 until bands - 1).foldRight(lit(bands - 1): Column) { (b, rest) =>
-      when(bandOf(col("new_mh"), b) === bandOf(col("old_mh"), b), lit(b)).otherwise(rest)
-    }
-    val candidates = newB.hint("shuffle_hash")
-      .join(oldB, col("nband") === col("oband") && col("nsig") === col("osig"))
-      .filter(col("nband") === firstShared)
-      .select(col("new_id"), col("new_hs"), col("old_id"))
+    // SLIM 3-column band rows — never the signature/shingle arrays — and
+    // both sides through ONE union so the bucket count sees the full
+    // old∪new population (the bucket a merged-corpus batch run counts)
+    val newB = newSide.select(col("new_id").as("id"),
+      posexplode(array(bandSignatures(col("new_mh"), k, bands): _*))
+        .as(Seq("band", "sig")))
+      .withColumn("__new", lit(true))
+    val oldB = oldSide.select(col("old_id").as("id"),
+      posexplode(array(bandSignatures(col("old_mh"), k, bands): _*))
+        .as(Seq("band", "sig")))
+      .withColumn("__new", lit(false))
+    val all = newB.unionByName(oldB)
+    val capped =
+      if (maxBucketSize == Int.MaxValue) all
+      else {
+        val wBucket = Window.partitionBy(col("band"), col("sig"))
+        all.withColumn("__bsz", count(lit(1)).over(wBucket))
+          .filter(col("__bsz") <= maxBucketSize)
+          .drop("__bsz")
+      }
+    // exactly-once under capping: emit per SURVIVING shared band, dedup
+    // with a slim pair-keyed aggregate (the batch operator's contract —
+    // a first-shared-band filter would lose a pair whose first shared
+    // bucket was capped even when a later shared bucket is tiny)
+    val nSide = capped.filter(col("__new"))
+      .select(col("id").as("new_id"), col("band").as("nband"), col("sig").as("nsig"))
+    val oSide = capped.filter(!col("__new"))
+      .select(col("id").as("old_id"), col("band").as("oband"), col("sig").as("osig"))
+    val candidates = nSide.hint("shuffle_hash")
+      .join(oSide, col("nband") === col("oband") && col("nsig") === col("osig"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("__nb"))
+      .drop("__nb")
+      .join(newSide.select(col("new_id"), col("new_hs")), Seq("new_id"))
     // verify: the shingle expression sits ABOVE the candidate join, so
     // only matching old docs are re-shingled (a projection below the join
     // would re-shingle the whole corpus); the candidate side is tiny, so
@@ -479,7 +506,8 @@ object Dedup {
       .select(col("new_id"), col("old_id").as("dup_of_id"),
         col("jaccard_permille"), lit(false).as("dup_in_increment"))
     // increment-internal pairs: the batch operator on the (small) increment
-    val vsNew = minhashNearDupPairs(newDocs, newId, newText, n, k, bands, minJaccardPermille)
+    val vsNew = minhashNearDupPairs(newDocs, newId, newText, n, k, bands, minJaccardPermille,
+      maxBucketSize)
       .select(col("b_id").as("new_id"), col("a_id").as("dup_of_id"),
         col("jaccard_permille"), lit(true).as("dup_in_increment"))
     vsOld.unionByName(vsNew)

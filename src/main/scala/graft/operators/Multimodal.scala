@@ -852,6 +852,7 @@ object Multimodal {
     * column expressions — the explode happens before any codec touches
     * the payload, so partitioning stays by row id. */
   def sampleFrames(df: DataFrame, id: String, content: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k") // k=0 would make sequence() DESCEND to -1
     val len = length(col(content)).cast("long")
     df.select(
       col(id).as("id"), len.as("byte_len"),

@@ -80,7 +80,7 @@ object Similarity {
     * native [[graft.functions.LshBucket]] expression (the unrolled Column
     * form takes minutes of Janino compilation at multi-table widths).
     * `table` selects an independent plane family. */
-  def lshBucket(emb: Column, planes: Int, dim: Int, table: Int = 0): Column =
+  def lshBucket(emb: Column, planes: Int, table: Int = 0): Column =
     org.apache.spark.sql.graft.Bridge.column(
       graft.functions.LshBucket(
         org.apache.spark.sql.graft.Bridge.expression(emb), planes, table))
@@ -217,9 +217,9 @@ object Similarity {
     * is property-tested, not assumed.
     */
   def lshTopK(
-      queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int,
+      queries: DataFrame, corpus: DataFrame, k: Int, planes: Int,
       score: (Column, Column) => Column, probeBits: Int = 1, tables: Int = 4): DataFrame = {
-    val candidateIds = lshCandidateIds(queries, corpus, planes, dim, probeBits, tables)
+    val candidateIds = lshCandidateIds(queries, corpus, planes, probeBits, tables)
     val scored = candidateIds
       .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "query_id")
       .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")), "neighbor_id")
@@ -233,20 +233,38 @@ object Similarity {
     * (table, probe) pairs, and distinct over wide float-array rows costs
     * far more than over two longs. */
   private def lshCandidateIds(
-      queries: DataFrame, corpus: DataFrame, planes: Int, dim: Int,
+      queries: DataFrame, corpus: DataFrame, planes: Int,
       probeBits: Int, tables: Int): DataFrame = {
+    require(planes >= 1 && planes < 63, s"planes must be in [1, 62], got $planes")
     val cBuckets = (0 until tables).map(t =>
-      struct(lit(t).as("t"), lshBucket(col("embedding"), planes, dim, t).as("b")))
+      struct(lit(t).as("t"), lshBucket(col("embedding"), planes, t).as("b")))
     val c = corpus
       .select(col("vec_id").as("neighbor_id"), explode(array(cBuckets: _*)).as("tb"))
       .select(col("neighbor_id"), col("tb.t").as("c_table"), col("tb.b").as("c_bucket"))
-    val masks = (0L until (1L << planes)).filter(m => java.lang.Long.bitCount(m) <= probeBits)
+    // masks with <= probeBits set bits, enumerated DIRECTLY (sum of
+    // C(planes, i)): filtering 0..2^planes burned minutes of driver CPU
+    // at planes ~30 and silently produced an EMPTY mask list at planes
+    // >= 63 (the shifted range went negative) -- zero candidates, no error
+    val masks: Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer(0L)
+      def choose(start: Int, remaining: Int, acc: Long): Unit =
+        if (remaining > 0) {
+          var i = start
+          while (i < planes) {
+            out += (acc | (1L << i))
+            choose(i + 1, remaining - 1, acc | (1L << i))
+            i += 1
+          }
+        }
+      choose(0, probeBits, 0L)
+      out.toSeq
+    }
     // compute each table's bucket once as a column, then explode the
     // (table, bucket ^ mask) probe list — keeps the plan tree linear in
     // tables, not tables × masks
     val qb = (0 until tables).foldLeft(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))) {
-      (df, t) => df.withColumn(s"__qb_$t", lshBucket(col("q_emb"), planes, dim, t))
+      (df, t) => df.withColumn(s"__qb_$t", lshBucket(col("q_emb"), planes, t))
     }
     val qProbes = for (t <- 0 until tables; m <- masks)
       yield struct(lit(t).as("t"), col(s"__qb_$t").bitwiseXOR(lit(m)).as("b"))
@@ -306,9 +324,9 @@ object Similarity {
     * memory-bandwidth-bound. Recall vs the exact float scorer is
     * property-tested, not assumed. */
   def lshTopKInt8(
-      queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int,
+      queries: DataFrame, corpus: DataFrame, k: Int, planes: Int,
       probeBits: Int = 1, tables: Int = 4): DataFrame = {
-    val candidateIds = lshCandidateIds(queries, corpus, planes, dim, probeBits, tables)
+    val candidateIds = lshCandidateIds(queries, corpus, planes, probeBits, tables)
     val cIdx = int8Quantize(corpus.select(col("vec_id"), col("embedding")))
       .select(col("vec_id").as("neighbor_id"),
         col("code8").as("c_code"), col("scale8").as("c_scale"))

@@ -254,11 +254,9 @@ object TextAnalysis {
       df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
       target: org.apache.spark.sql.DataFrame, targetText: Column, n: Int)
       : org.apache.spark.sql.DataFrame = {
-    val postings = df
-      .select(id.as("doc_id"), Dedup.shingleHashes(text, n).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
-        explode(col("hs")).as("h"))
+    // THE inverted-index posting shape (one source of truth — a drifted
+    // copy of the empty-doc guard or size column would break silently)
+    val postings = Contamination.postings(df, id, text, n, "doc_id", "n_grams")
     val tset = broadcast(
       target.select(explode(Dedup.shingleHashes(targetText, n)).as("h"))
         .distinct()
@@ -341,10 +339,18 @@ object TextAnalysis {
       if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(gate))
         bg.join(slim.hint("shuffle_hash"), Seq("gram"), "left")
       else {
-        val cached = slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the cache entry deliberately OUTLIVES this call (the returned
+        // lazy frame still reads it — same contract as duplicateSpans'
+        // and Contamination's persist gates): callers scoring against the
+        // same LM repeatedly amortize one corpus pass. The persist is on
+        // the caller's OWN `lm` handle, so `lm.unpersist()` genuinely
+        // releases it when they are done — persisting the derived
+        // projection would strand a cache entry no caller handle reaches
+        val cached = lm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val slimCached = cached.select(col("gram"), col("p_permille"))
         val nKeys = cached.count() // sizing job — also warms the cache
-        if (nKeys <= maxBroadcastKeys) bg.join(broadcast(cached), Seq("gram"), "left")
-        else bg.join(cached.hint("shuffle_hash"), Seq("gram"), "left")
+        if (nKeys <= maxBroadcastKeys) bg.join(broadcast(slimCached), Seq("gram"), "left")
+        else bg.join(slimCached.hint("shuffle_hash"), Seq("gram"), "left")
       }
     probe.groupBy(col("doc_id"))
       .agg(count(col("gram")).as("n_bigrams"),

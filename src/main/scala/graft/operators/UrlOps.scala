@@ -18,12 +18,15 @@ object UrlOps {
     * any `:port`, and any trailing root-dot stripped (`example.com.` is
     * the same fully-qualified name as `example.com` — leaving the dot
     * would let a blocklisted domain evade [[domainBlocklistFilter]] by
-    * appending one). Null (never "") when the value has no
-    * scheme://host shape — a relative link or junk is filterable, not a
-    * phantom empty host. */
+    * appending one). A bracketed IPv6 literal is matched as a unit
+    * (brackets kept — the WHATWG serialization — so its colons are not
+    * mistaken for a port separator). Null (never "") when the value has
+    * no scheme://host shape — a relative link or junk is filterable, not
+    * a phantom empty host. */
   def host(url: Column): Column =
     nullif(regexp_replace(lower(regexp_extract(url,
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)), "\\.+$", ""), lit(""))
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]+)", 1)),
+      "\\.+$", ""), lit(""))
 
   /** Second-level labels that act as public suffixes under 2-letter
     * country TLDs (`co.uk`, `com.au`, …) — the tiny fixed heuristic tier
@@ -36,8 +39,10 @@ object UrlOps {
     * THREE when the TLD is 2 letters and the second-level label is a
     * well-known public-suffix second level ([[CcSecondLevels]]), so
     * `shop.example.co.uk` → `example.co.uk` while `a.b.example.com` →
-    * `example.com`. A bare single-label host maps to itself; null host →
-    * null. */
+    * `example.com`. An IP literal (bracketed IPv6 or dotted IPv4) has no
+    * registrable domain and maps to ITSELF — label-suffix logic on
+    * `192.0.2.1` would fabricate a nonsense domain "2.1". A bare
+    * single-label host maps to itself; null host → null. */
   def registrableDomain(hostCol: Column): Column = {
     val labels = split(hostCol, "\\.")
     val n = size(labels)
@@ -46,6 +51,7 @@ object UrlOps {
     val ccSuffix = array(CcSecondLevels.map(lit): _*)
     val lastK = (k: Int) => array_join(slice(labels, n - lit(k - 1), lit(k)), ".")
     when(hostCol.isNull, lit(null).cast("string"))
+      .when(hostCol.rlike("^\\[") || hostCol.rlike("^[0-9.]+$"), hostCol)
       .when(n <= 1, hostCol)
       .when(n >= 3 && length(tld) === 2 && array_contains(ccSuffix, second), lastK(3))
       .otherwise(lastK(2))

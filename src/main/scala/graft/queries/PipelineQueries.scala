@@ -46,12 +46,16 @@ object PipelineQueries {
     // (www., cc-TLD suffix, userinfo, port, junk) appears
     "q71_url_domains" -> ((s, d) => {
       val urls = Tables.documents(s, d).withColumn("url",
-        when(pmod(col("doc_id"), lit(4)) === 0,
+        when(pmod(col("doc_id"), lit(6)) === 0,
           concat(lit("https://www."), col("source"), lit(".example.com/a/"), col("doc_id")))
-        .when(pmod(col("doc_id"), lit(4)) === 1,
+        .when(pmod(col("doc_id"), lit(6)) === 1,
           concat(lit("http://"), col("source"), lit(".shop.example.co.uk:8080/b?q="), col("doc_id")))
-        .when(pmod(col("doc_id"), lit(4)) === 2,
+        .when(pmod(col("doc_id"), lit(6)) === 2,
           concat(lit("https://user@"), col("source"), lit(".org/c#frag")))
+        .when(pmod(col("doc_id"), lit(6)) === 3,
+          concat(lit("http://[2001:DB8::"), pmod(col("doc_id"), lit(100)), lit("]:8080/x")))
+        .when(pmod(col("doc_id"), lit(6)) === 4,
+          concat(lit("https://192.0.2."), pmod(col("doc_id"), lit(250)), lit("/p")))
         .otherwise(concat(lit("not a url "), col("doc_id"))))
       val h = UrlOps.host(col("url"))
       val dom = UrlOps.registrableDomain(h)
@@ -250,7 +254,7 @@ object PipelineQueries {
     "q27_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(
-        emb.filter(col("vec_id") < 64), emb, k = 5, planes = 6, dim = 64,
+        emb.filter(col("vec_id") < 64), emb, k = 5, planes = 6,
         Similarity.quantizedDot, probeBits = 2, tables = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           col("score"))
@@ -383,7 +387,7 @@ object PipelineQueries {
     "q52_ann_int8" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopKInt8(
-        emb.filter(col("vec_id") < 64), emb, k = 5, planes = 6, dim = 64,
+        emb.filter(col("vec_id") < 64), emb, k = 5, planes = 6,
         probeBits = 2, tables = 8)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
@@ -954,17 +958,20 @@ object PipelineQueries {
     // 1-based inclusive, mirroring Spark's slice(start, length)
     m += "q71_url_domains" ->
       """WITH u AS (SELECT doc_id, CASE
-        |    WHEN doc_id % 4 = 0 THEN 'https://www.' || source || '.example.com/a/' || CAST(doc_id AS VARCHAR)
-        |    WHEN doc_id % 4 = 1 THEN 'http://' || source || '.shop.example.co.uk:8080/b?q=' || CAST(doc_id AS VARCHAR)
-        |    WHEN doc_id % 4 = 2 THEN 'https://user@' || source || '.org/c#frag'
+        |    WHEN doc_id % 6 = 0 THEN 'https://www.' || source || '.example.com/a/' || CAST(doc_id AS VARCHAR)
+        |    WHEN doc_id % 6 = 1 THEN 'http://' || source || '.shop.example.co.uk:8080/b?q=' || CAST(doc_id AS VARCHAR)
+        |    WHEN doc_id % 6 = 2 THEN 'https://user@' || source || '.org/c#frag'
+        |    WHEN doc_id % 6 = 3 THEN 'http://[2001:DB8::' || CAST(doc_id % 100 AS VARCHAR) || ']:8080/x'
+        |    WHEN doc_id % 6 = 4 THEN 'https://192.0.2.' || CAST(doc_id % 250 AS VARCHAR) || '/p'
         |    ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
         |  FROM documents),
         |h AS (SELECT doc_id,
-        |  nullif(regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '\.+$', ''), '') AS host
+        |  nullif(regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]/?#]*\]|[^/?#:]+)', 1)), '\.+$', ''), '') AS host
         |  FROM u),
         |l AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
         |r AS (SELECT doc_id, host, CASE
         |    WHEN host IS NULL THEN NULL
+        |    WHEN regexp_matches(host, '^\[') OR regexp_matches(host, '^[0-9.]+$') THEN host
         |    WHEN len(ls) <= 1 THEN host
         |    WHEN len(ls) >= 3 AND length(ls[len(ls)]) = 2
         |         AND ls[len(ls) - 1] IN ('co','com','net','org','gov','edu','ac')

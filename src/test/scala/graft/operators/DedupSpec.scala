@@ -274,6 +274,36 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == 12L)) // fresh doc matches nothing
   }
 
+  test("incremental ≡ batch under an ACTIVE hot-bucket cap; boilerplate pruned, real pair kept") {
+    // six identical boilerplate old docs put >cap members in every band
+    // bucket of the PERSISTED index; one real near-dup pair stays in
+    // small buckets throughout
+    val oldDocs = ((1L to 6L).map(i =>
+      (i, "shared boilerplate header exactly the same for all docs")) :+
+      (7L, "unique snowflake content alpha beta gamma delta")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "shared boilerplate header exactly the same for all docs"),
+      (11L, "unique snowflake content alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val (n, k, bands, tau, cap) = (3, 8, 4, 300, 4)
+    val oldSig = Dedup.minhashSignatures(oldDocs, col("doc_id"), col("text"), n, k)
+    val inc = Dedup.incrementalNearDupPairs(
+      newDocs, col("doc_id"), col("text"), oldSig,
+      oldDocs, col("doc_id"), col("text"), n, k, bands, tau, maxBucketSize = cap)
+      .select("new_id", "dup_of_id", "jaccard_permille", "dup_in_increment")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    // the merged-corpus batch run with the SAME cap is the contract
+    val batch = Dedup.minhashNearDupPairs(
+      oldDocs.unionByName(newDocs), col("doc_id"), col("text"), n, k, bands, tau,
+      maxBucketSize = cap)
+      .filter(col("b_id") >= 10L)
+      .select(col("b_id"), col("a_id"), col("jaccard_permille"),
+        (col("a_id") >= 10L).as("in_inc"))
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(inc == batch)
+    assert(!inc.exists(_._1 == 10L), "the capped boilerplate cluster must be pruned as a whole")
+    assert(inc.exists(r => r._1 == 11L && r._2 == 7L), "uncapped buckets keep their pairs")
+  }
+
   test("duplicateSpans: cross-doc span, island merge, within-doc repeat") {
     val docs = Seq(
       // docs 1+2 share the 5-token run "one two three four five" →

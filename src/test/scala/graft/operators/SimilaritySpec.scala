@@ -48,7 +48,7 @@ class SimilaritySpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, 5, Similarity.quantizedDot)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.lshTopK(queries, emb, 5, planes = 6, dim = 64,
+    val approx = Similarity.lshTopK(queries, emb, 5, planes = 6,
       Similarity.quantizedDot, probeBits = 2, tables = 8)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
@@ -91,7 +91,7 @@ class SimilaritySpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, 5, Similarity.quantizedDot)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val int8 = Similarity.lshTopKInt8(queries, emb, 5, planes = 6, dim = 64,
+    val int8 = Similarity.lshTopKInt8(queries, emb, 5, planes = 6,
       probeBits = 2, tables = 8)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(int8).size.toDouble / exact.size
@@ -113,8 +113,8 @@ class SimilaritySpec extends SparkSpec {
 
   test("lshBucket is deterministic and within [0, 2^planes)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
-    val b1 = emb.select(Similarity.lshBucket(col("embedding"), 8, 64)).as[Long].collect().toSeq
-    val b2 = emb.select(Similarity.lshBucket(col("embedding"), 8, 64)).as[Long].collect().toSeq
+    val b1 = emb.select(Similarity.lshBucket(col("embedding"), 8)).as[Long].collect().toSeq
+    val b2 = emb.select(Similarity.lshBucket(col("embedding"), 8)).as[Long].collect().toSeq
     assert(b1 == b2)
     assert(b1.forall(b => b >= 0 && b < 256))
   }

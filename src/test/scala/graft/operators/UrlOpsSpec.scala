@@ -42,6 +42,22 @@ class UrlOpsSpec extends SparkSpec {
       "localhost", "example.ac.jp"))
   }
 
+  test("IP-literal hosts: bracketed IPv6 parses as a unit, IPs have no registrable domain") {
+    assert(hosts(
+      "http://[2001:DB8::1]/page",
+      "https://[::1]:8443/x?y",
+      "https://192.0.2.1:80/p") == Seq(
+      Some("[2001:db8::1]"), // colons inside brackets are NOT a port separator
+      Some("[::1]"),
+      Some("192.0.2.1")))
+    val got = Seq("[2001:db8::1]", "192.0.2.1", "10.0.0.255")
+      .zipWithIndex.map(_.swap).toDF("id", "h")
+      .orderBy("id").select(UrlOps.registrableDomain(col("h")))
+      .as[String].collect().toSeq
+    // label-suffix logic on an IP would fabricate "2.1"-style nonsense
+    assert(got == Seq("[2001:db8::1]", "192.0.2.1", "10.0.0.255"))
+  }
+
   test("trailing root-dot FQDNs normalize: a blocklisted domain cannot dot-evade") {
     assert(hosts("http://spam.example.co.uk./x", "https://example.com.../y") ==
       Seq(Some("spam.example.co.uk"), Some("example.com")))

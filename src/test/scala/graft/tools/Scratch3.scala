@@ -22,7 +22,7 @@ object Scratch3 {
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       for (planes <- Seq(6, 8); pb <- Seq(1, 2); tables <- Seq(4, 8)) {
         val t0 = System.nanoTime()
-        val approx = Similarity.lshTopK(queries, emb, 5, planes, 64,
+        val approx = Similarity.lshTopK(queries, emb, 5, planes,
           Similarity.quantizedDot, probeBits = pb, tables = tables)
           .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
         val recall = exact.intersect(approx).size.toDouble / exact.size
