@@ -29,17 +29,32 @@ object EventStreams {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, total_value: Double)
 
-  /** Open-session accumulator (public: the state encoder's generated code
-    * must be able to reach the constructor and accessors). */
+  /** Pending-session accumulator (public: the state encoder's generated
+    * code must be able to reach the constructor and accessors). */
   final case class SessionState(
       startMs: Long, endMs: Long, n: Long, total: Double)
 
+  /** All of one user's not-yet-final sessions. */
+  final case class PendingSessions(sessions: List[SessionState])
+
   /** Stateful sessionization (the streaming twin of batch q28): events of
-    * a user belong to one session while gaps stay ≤ `gapSeconds`; a closed
-    * session is emitted once the event-time watermark passes its end + gap
-    * (EventTimeTimeout — no wall-clock dependence, fully replayable).
+    * a user belong to one session while gaps stay ≤ `gapSeconds`; a
+    * session is emitted ONLY once the event-time watermark strictly
+    * passes its end + gap (EventTimeTimeout — no wall-clock dependence,
+    * fully replayable). Until then it stays in state, so a late-but-valid
+    * event (above the watermark) still lands in the right session — it
+    * can extend a pending session on EITHER side (`start − gap ≤ t ≤
+    * end + gap`, with the start moving back), or BRIDGE two pending
+    * sessions into one. Emitting a session the moment a later in-batch
+    * event splits past the gap — the obvious shortcut — is only sound at
+    * `watermarkDelay = 0`; with a real delay the next batch may carry an
+    * earlier valid event that belonged to the emitted session, and
+    * append mode can never amend it.
     *
-    * Emits in Append mode: each session exactly once, on close.
+    * State is O(sessions within the watermark horizon) per user — the
+    * same bound the shortcut had plus at most the few sessions a delay
+    * keeps amendable. Emits in Append mode: each session exactly once,
+    * in start order, when final.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long, watermarkDelay: String = "0 seconds")
       : Dataset[Session] = {
@@ -52,38 +67,37 @@ object EventStreams {
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[PendingSessions, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed end + gap: the open session is final
-            val out = state.getOption.map(closeSession(userId, _))
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val closed = Seq.newBuilder[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1, s.total + e.value))
-                case Some(s) =>
-                  closed += closeSession(userId, s)
-                  cur = Some(SessionState(t, t, 1L, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1L, e.value))
+        (userId: Long, batch: Iterator[Event], state: GroupState[PendingSessions]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var pending = state.getOption.map(_.sessions).getOrElse(Nil)
+          // below-watermark events are late by contract (Spark's stateful
+          // operators filter them; the guard makes the invariant local):
+          // every accepted event has t ≥ wm, so an emitted session
+          // (end + gap < wm) can never be touched again
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (t >= wm) {
+              val (joinable, rest) =
+                pending.partition(s => t >= s.startMs - gapMs && t <= s.endMs + gapMs)
+              val merged = joinable.foldLeft(SessionState(t, t, 1L, e.value)) { (a, s) =>
+                SessionState(math.min(a.startMs, s.startMs), math.max(a.endMs, s.endMs),
+                  a.n + s.n, a.total + s.total)
               }
+              pending = merged :: rest
             }
-            cur match {
-              case Some(s) =>
-                state.update(s)
-                state.setTimeoutTimestamp(s.endMs + gapMs)
-              case None => state.remove()
-            }
-            closed.result().iterator
           }
+          val (fin, open) = pending.partition(s => s.endMs + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(PendingSessions(open))
+            // must exceed the current watermark or Spark rejects it; a
+            // session with end + gap == wm is still amendable (an event
+            // at exactly end + gap merges), so wake at wm + 1 for it
+            state.setTimeoutTimestamp(math.max(open.map(_.endMs + gapMs).min, wm + 1))
+          }
+          fin.sortBy(_.startMs).map(closeSession(userId, _)).iterator
       }
   }
 

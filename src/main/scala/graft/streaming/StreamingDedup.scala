@@ -4,10 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-
-import graft.functions.{SimHash, TokenHashes}
 
 /** Incremental near-duplicate detection on a document STREAM — the
   * streaming twin of [[graft.operators.Dedup.simhashNearDupPairs]]: as
@@ -22,13 +19,26 @@ import graft.functions.{SimHash, TokenHashes}
   * output is exactly-once without a second stateful stage — the same
   * dedup-without-distinct trick as the batch operator.
   *
+  * Recall contract (same banding as the batch twin): full for
+  * `maxHamming ≤ 2` — the 3 × 10-bit pigeonhole guarantees a shared
+  * chunk — and BEST-EFFORT above (a pair differing in every chunk never
+  * meets; the batch operator documents the identical caveat).
+  *
   * State is bounded two ways, as a 100 TB/day ingest requires:
   *  - event-time retention: a bucket not touched for `retention` past the
   *    watermark is dropped (EventTimeTimeout — replayable, no wall clock);
   *  - `maxBucket` caps entries per bucket (hot buckets degrade to
   *    most-recent-K matching rather than unbounded growth).
-  * Both bounds trade recall (a pair whose earlier doc was evicted is
-  * missed), never precision and never duplicate emissions.
+  * Both bounds trade recall, never precision and never duplicate
+  * emissions — including one subtle compound case: the first-shared-chunk
+  * gate is computed from the SIGNATURES, so a pair whose first shared
+  * chunk's bucket evicted the earlier doc is suppressed even if a later
+  * shared chunk still holds both (the bucket groups are independent
+  * state partitions and cannot see each other's eviction state; lifting
+  * this would require a second pair-keyed dedup stage — a shuffle the
+  * exactly-once-without-distinct design exists to avoid). Redelivered
+  * doc_ids (at-least-once sources) are idempotent: a doc already present
+  * in the bucket neither re-emits its pairs nor occupies a second slot.
   */
 object StreamingDedup {
 
@@ -63,8 +73,7 @@ object StreamingDedup {
       retentionMs: Long = 3600000L,
       maxBucket: Int = 1024): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
-    val sig = Bridge.column(SimHash(
-      Bridge.expression(Bridge.column(TokenHashes(Bridge.expression(col("text")))))))
+    val sig = graft.operators.Dedup.simhash(graft.operators.Dedup.tokenHashes(col("text")))
     val chunkCols = (0 until Chunks).map(c => shiftright(col("sig"), c * ChunkBits) % (ChunkMask + 1))
     val keyed = docs
       .withWatermark("ts", watermarkDelay)
@@ -87,14 +96,18 @@ object StreamingDedup {
             // doc_id order makes same-batch processing deterministic and
             // orients every pair (earlier id = a_id)
             batch.toSeq.sortBy(_.doc_id).foreach { k =>
-              entries.foreach { case (pid, psig) =>
-                if (pid != k.doc_id) {
+              // redelivery idempotence: a doc already in the bucket
+              // (at-least-once source replay) must not re-emit its pairs
+              // or occupy a second slot — both would double later
+              // emissions against it
+              if (!entries.exists(_._1 == k.doc_id)) {
+                entries.foreach { case (pid, psig) =>
                   val ham = java.lang.Long.bitCount(psig ^ k.sig)
                   if (ham <= maxHamming && firstSharedChunk(psig, k.sig) == k.chunk)
                     out += NearDupPair(math.min(pid, k.doc_id), math.max(pid, k.doc_id), ham)
                 }
+                entries = ((k.doc_id, k.sig) :: entries).take(maxBucket)
               }
-              entries = ((k.doc_id, k.sig) :: entries).take(maxBucket)
               lastMs = math.max(lastMs, k.ts.getTime)
             }
             state.update(BucketState(entries, lastMs))

@@ -24,9 +24,12 @@ class StreamingContaminationSpec extends SparkSpec {
     val index = StreamingContamination.benchmarkIndex(bench, "doc_id", "text", n = 3)
     val input = MemoryStream[(Long, String, Timestamp)]
     val stream = input.toDF().toDF("doc_id", "text", "ts")
+    // a real watermark delay: the redelivery-dedup state must outlive
+    // the replay below (with 0s the first occurrence's entry may expire
+    // before the replay arrives)
     val flagged = StreamingContamination.overlapPairs(
       stream, "doc_id", "text", "ts", index, n = 3, minShared = 2,
-      windowLength = "10 minutes")
+      watermarkDelay = "30 minutes", windowLength = "10 minutes")
     val q = flagged.writeStream
       .format("memory").queryName("sc_out").outputMode(OutputMode.Append()).start()
     try {
@@ -36,8 +39,17 @@ class StreamingContaminationSpec extends SparkSpec {
         (12L, "p q r s", ts(2)))    // shares 2 with bench 2 -> flagged
       input.addData(trainDocs: _*)
       q.processAllAvailable()
-      // advance the watermark past the window so append mode emits
-      input.addData((99L, "zz zz", ts(60)))
+      // an at-least-once source replays docs 10 and 11 in the next
+      // batch: the in-watermark dedup must keep n_shared at its true
+      // value (a double delivery would double every shared-shingle
+      // count — doc 11 would cross minShared at 2 and doc 10 would read
+      // 1333 permille)
+      input.addData((10L, "a b c d x", ts(0)), (11L, "a b c x y", ts(1)))
+      q.processAllAvailable()
+      // advance the watermark past window end + delay so append emits
+      input.addData((99L, "zz zz", ts(120)))
+      q.processAllAvailable()
+      input.addData((98L, "zz zz", ts(121)))
       q.processAllAvailable()
       val streamed = spark.table("sc_out")
         .select("bench_id", "train_id", "n_shared", "contaminated_permille")

@@ -39,6 +39,18 @@ class StreamingDedupSpec extends SparkSpec {
       q.processAllAvailable()
       val b2 = spark.table("sdd_out").as[NearDupPair].collect().toSet
       assert(b2 == Set(NearDupPair(1, 2, 0), NearDupPair(1, 4, 0), NearDupPair(2, 4, 0)))
+
+      // batch 3: an at-least-once source REPLAYS doc 1 — idempotent:
+      // no re-emitted pairs, no double slot (a second slot would make a
+      // future near-dup of doc 1 emit its pair twice)
+      input.addData(Doc(1, textA, ts(3)))
+      q.processAllAvailable()
+      assert(spark.table("sdd_out").as[NearDupPair].collect().toSet == b2)
+      input.addData(Doc(5, textA, ts(4)))
+      q.processAllAvailable()
+      val b4 = spark.table("sdd_out").as[NearDupPair].collect().toSeq
+      assert(b4.count(p => p == NearDupPair(1, 5, 0)) == 1,
+        s"replayed doc 1 must not double later emissions, got $b4")
     } finally q.stop()
   }
 
