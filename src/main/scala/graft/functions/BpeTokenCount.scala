@@ -15,6 +15,29 @@ import graft.operators.Bpe
   * the greedy merge loop. Shared by [[BpeTokenCount]] (the pipeline-hot
   * count) and [[BpeTokens]] (the audit-grade token list). */
 final class BpeKernel(model: Bpe.Model) extends Serializable {
+  // word → token count memo: natural language repeats words Zipf-style
+  // ("the" thousands of times per document), and the greedy merge loop
+  // is O(L²) per call — the memo cuts the count to one merge loop per
+  // TYPE per task. ThreadLocal because a codegen reference object can be
+  // shared across a stage's tasks; size-capped so an adversarial
+  // all-unique-words corpus bounds memory (the hot Zipf head fits long
+  // before the cap).
+  @transient private lazy val memo =
+    ThreadLocal.withInitial[java.util.HashMap[String, Integer]](
+      () => new java.util.HashMap[String, Integer](1 << 12))
+  private val MaxMemo = 1 << 16
+
+  private def countWord(w: String): Int = {
+    val m = memo.get()
+    val hit = m.get(w)
+    if (hit != null) hit.intValue()
+    else {
+      val c = model.countTokens(w)
+      if (m.size < MaxMemo) m.put(w, c)
+      c
+    }
+  }
+
   def countTokens(u: UTF8String): Long = {
     val s = u.toString
     val bounds = TextHashes.tokenBounds(s)
@@ -22,7 +45,7 @@ final class BpeKernel(model: Bpe.Model) extends Serializable {
     var i = 0
     while (i < bounds.length) {
       val a = (bounds(i) >>> 32).toInt
-      total += model.countTokens(s.substring(a, bounds(i).toInt))
+      total += countWord(s.substring(a, bounds(i).toInt))
       i += 1
     }
     total

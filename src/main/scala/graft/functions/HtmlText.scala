@@ -102,7 +102,9 @@ object HtmlTextKernel {
           if (t.charAt(k) == ';') semi = k else k += 1
         }
         val rep = if (semi < 0) null else t.substring(start + 1, semi) match {
-          // the regex tier's exact named set (case-sensitive, as there)
+          // the regex tier's named set plus `apos` (the regex tier covers
+          // the apostrophe only in numeric form &#39; — a deliberate
+          // fidelity divergence of this tier, like numeric char refs)
           case "lt" => "<"
           case "gt" => ">"
           case "quot" => "\""
@@ -175,11 +177,15 @@ object HtmlTextKernel {
         }
       }
       emitSep() // EOF-in-tag included: the partial tag itself emits nothing
+      // HTML5 IGNORES the self-closing flag on non-void elements:
+      // <pre/> opens a pre and <script/> opens a script whose payload
+      // runs to the real closer — honoring the slash here leaked script
+      // source into the extracted prose on XHTML-style crawl markup
       if (name == "pre") {
         if (closing) preDepth = math.max(0, preDepth - 1)
-        else if (!selfClosing) preDepth += 1
+        else preDepth += 1
       }
-      if (!closing && !selfClosing && done && isRawtext(name)) skipRawtext(j, name)
+      if (!closing && done && isRawtext(name)) skipRawtext(j, name)
       else j
     }
 
@@ -212,7 +218,12 @@ object HtmlTextKernel {
         if (isAlpha(c1)) i = parseTag(i)
         else if (c1 == '/' && i + 2 < n && isAlpha(s.charAt(i + 2))) i = parseTag(i)
         else if (c1 == '!' && s.startsWith("<!--", i)) {
-          val e = s.indexOf("-->", i + 4)
+          // search from i+2, not past the opener: HTML5 closes the
+          // degenerate empty comments <!--> and <!---> immediately (their
+          // closer OVERLAPS the opening dashes) — searching from i+4
+          // swallowed the whole rest of the document on that common
+          // crawl artifact
+          val e = s.indexOf("-->", i + 2)
           i = if (e < 0) n else e + 3
           emitSep()
         } else if (c1 == '!' || c1 == '?' || c1 == '/') {

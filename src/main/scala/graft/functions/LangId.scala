@@ -38,8 +38,7 @@ object LangIdKernel {
     m
   }
 
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  @inline private def isWs(c: Char): Boolean = TextHashes.isWs(c)
 
   def eval(u: UTF8String): UTF8String = {
     val s = u.toLowerCase.toString

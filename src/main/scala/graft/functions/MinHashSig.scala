@@ -46,13 +46,27 @@ object MinHashSigKernel {
     val n = arr.numElements()
     if (n == 0) return null
     val (as, bs) = params(k, seed)
+    // normalize inputs into [0, Mod) ONCE: the affine product is only
+    // overflow-safe for h < Mod (as ≤ 199999 ⇒ product < 2^48); the SQL
+    // surface accepts ANY array<bigint> — e.g. shingle_hashes_wide_all's
+    // ~2^60 keys — which previously wrapped negative and produced
+    // deterministic-looking garbage signatures. For the standard
+    // rolling-hash inputs (< Mod) the reduction is the identity, so
+    // every oracle replay is unchanged.
+    val hs = new Array[Long](n)
+    var j0 = 0
+    while (j0 < n) {
+      val h = arr.getLong(j0) % RollingHash.Mod
+      hs(j0) = if (h < 0) h + RollingHash.Mod else h
+      j0 += 1
+    }
     val mins = new Array[Any](k)
     var i = 0
     while (i < k) {
       var m = Long.MaxValue
       var j = 0
       while (j < n) {
-        val v = (as(i) * arr.getLong(j) + bs(i)) % RollingHash.Mod
+        val v = (as(i) * hs(j) + bs(i)) % RollingHash.Mod
         if (v < m) m = v
         j += 1
       }

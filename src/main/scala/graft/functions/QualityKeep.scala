@@ -41,9 +41,12 @@ final class QualityKeepKernel(
     // contract — lowercasing can change char counts)
     val s = u.toString
     val bounds = TextHashes.tokenBounds(s)
-    val gs = gate.evalWith(u, s, bounds)
-    val nTokens = gs.getLong(0)
+    // token-count gate FIRST: it needs only the bounds, and the docs it
+    // rejects include the over-long ones — exactly the rows where the
+    // lowercase copy + stopword scan inside evalWith cost the most
+    val nTokens = bounds.length.toLong
     if (nTokens < minTokens || nTokens > maxTokens) return false
+    val gs = gate.evalWith(u, s, bounds)
     // perMille semantics: ⌊1000·num / den⌋, 0 when the denominator is 0
     val meanLen = if (nTokens == 0) 0L else 1000L * gs.getLong(1) / nTokens
     if (meanLen < minMeanTokLenPermille || meanLen > maxMeanTokLenPermille) return false

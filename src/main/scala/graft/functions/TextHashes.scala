@@ -36,7 +36,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * equivalence property specs.
   */
 object TextHashes {
-  @inline private def isWs(c: Char): Boolean =
+  /** THE whitespace set (Java/RE2 `\s`, matched by the DuckDB oracles'
+    * `\s+` splits) — package-visible so every kernel tokenizes
+    * identically; a drifted copy breaks oracle parity for just that
+    * kernel, invisibly to the others' equivalence specs. */
+  @inline private[functions] def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Token char ranges packed as (start << 32) | end — a primitive long
@@ -58,18 +62,20 @@ object TextHashes {
   @inline private def bStart(b: Long): Int = (b >>> 32).toInt
   @inline private def bEnd(b: Long): Int = b.toInt
 
-  /** Rolling-hash fold of s[from,until) continuing from state (h, first). */
-  @inline private def foldRange(s: String, from: Int, until: Int, h0: Long, first0: Boolean): (Long, Boolean) = {
-    var h = h0
-    var first = first0
+  /** Rolling-hash fold of s[from,until): (…(cp₀·31 + cp₁)·31 + …) mod P.
+    * No first-element special case — starting from 0, (0·31 + cp) ≡ cp —
+    * and a bare Long return: the old (Long, Boolean) tuple allocated
+    * once PER TOKEN on the 10⁹-token scans this file's inner-loop
+    * discipline exists for. */
+  @inline private def foldRange(s: String, from: Int, until: Int): Long = {
+    var h = 0L
     var i = from
     while (i < until) {
       val cp = s.codePointAt(i)
-      h = if (first) cp % RollingHash.Mod else (h * 31 + cp) % RollingHash.Mod
-      first = false
+      h = (h * 31 + cp) % RollingHash.Mod
       i += Character.charCount(cp)
     }
-    (h, first)
+    h
   }
 
   /** [[RollingHash]] of every whitespace token, duplicates kept (term
@@ -80,7 +86,7 @@ object TextHashes {
     val out = new Array[Any](bounds.length)
     var i = 0
     while (i < bounds.length) {
-      out(i) = foldRange(s, bStart(bounds(i)), bEnd(bounds(i)), 0L, first0 = true)._1
+      out(i) = foldRange(s, bStart(bounds(i)), bEnd(bounds(i)))
       i += 1
     }
     new GenericArrayData(out)
@@ -204,6 +210,20 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** THE space-joined gram string for window position `g` — one builder
+    * shared by the distinct and multiset surface forms, so their "same
+    * tokenization and windowing" contract cannot drift. */
+  @inline private def gramString(s: String, bounds: Array[Long], g: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder(bEnd(bounds(g + n - 1)) - bStart(bounds(g)))
+    var t = 0
+    while (t < n) {
+      if (t > 0) sb.append(' ')
+      sb.append(s, bStart(bounds(g + t)), bEnd(bounds(g + t)))
+      t += 1
+    }
+    sb.toString
+  }
+
   /** Distinct space-joined word n-grams as STRINGS, first-occurrence
     * order — the surface form for boilerplate mining ([[Shingles]]), where
     * the output feeds a human-readable blocklist rather than a hash join.
@@ -215,14 +235,7 @@ object TextHashes {
     val seen = new mutable.LinkedHashSet[String]()
     var g = 0
     while (g <= bounds.length - n) {
-      val sb = new java.lang.StringBuilder(bEnd(bounds(g + n - 1)) - bStart(bounds(g)))
-      var t = 0
-      while (t < n) {
-        if (t > 0) sb.append(' ')
-        sb.append(s, bStart(bounds(g + t)), bEnd(bounds(g + t)))
-        t += 1
-      }
-      seen += sb.toString
+      seen += gramString(s, bounds, g, n)
       g += 1
     }
     new GenericArrayData(seen.toArray.map(g => UTF8String.fromString(g): Any))
@@ -242,14 +255,7 @@ object TextHashes {
     val out = new Array[Any](maxG)
     var g = 0
     while (g < maxG) {
-      val sb = new java.lang.StringBuilder(bEnd(bounds(g + n - 1)) - bStart(bounds(g)))
-      var t = 0
-      while (t < n) {
-        if (t > 0) sb.append(' ')
-        sb.append(s, bStart(bounds(g + t)), bEnd(bounds(g + t)))
-        t += 1
-      }
-      out(g) = UTF8String.fromString(sb.toString)
+      out(g) = UTF8String.fromString(gramString(s, bounds, g, n))
       g += 1
     }
     new GenericArrayData(out)

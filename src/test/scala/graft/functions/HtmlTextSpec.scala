@@ -90,4 +90,21 @@ class HtmlTextSpec extends SparkSpec {
     assert(structural("a<script>b</scriptx>c</script>d") == "a d")
   }
 
+  test("degenerate empty comments <!--> and <!---> close immediately (HTML5)") {
+    // the closer OVERLAPS the opening dashes; a naive search past the
+    // opener swallows the whole rest of the document
+    assert(structural("intro<!-->rest of the article") == "intro rest of the article")
+    assert(structural("a<!--->b") == "a b")
+    assert(structural("a<!-- real comment -->b") == "a b")
+    assert(structural("a<!-- never closed") == "a")
+  }
+
+  test("self-closing syntax on script/style/pre is ignored (HTML5 non-void semantics)") {
+    // <script/> OPENS a script: everything to the real closer is payload
+    assert(structural("<script src=\"x\"/>var tracker = 1 < 2;</script>after") == "after")
+    assert(structural("<style/>.cls { color: red }</style>text") == "text")
+    // <pre/> opens a pre: inner whitespace is content until </pre>
+    assert(structural("<pre/>a  b</pre>") == "a  b")
+  }
+
 }
