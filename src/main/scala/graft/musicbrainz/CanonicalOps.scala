@@ -274,12 +274,15 @@ object CanonicalOps {
     */
   def exportTables(
       src: MbSources, mbArtist: DataFrame,
-      persistHinge: Boolean = false): (DataFrame, DataFrame) = {
+      persistHinge: Boolean = false): (DataFrame, DataFrame, Option[DataFrame]) = {
     val best0 = bestMatches(src, mbArtist)
       .join(broadcast(mbArtist.select(col("id").as("ma_id"), col("score").as("artist_score"))),
         col("artist_id") === col("ma_id"))
     // `best` is the whole 9-table candidates DAG and feeds BOTH exports —
-    // without persistence every downstream sink re-executes it
+    // without persistence every downstream sink re-executes it. The
+    // persisted handle is RETURNED so the caller can release it
+    // (Export.unpersist): the exported frames are derived plans whose own
+    // unpersist() never reaches this entry
     val best = if (persistHinge) best0.persist() else best0
     val conflictOrder = Seq(col("artist_score").asc, col("artist_id").asc)
 
@@ -296,7 +299,11 @@ object CanonicalOps {
     val mbSong = Relational.lastWriteWins(
       best.select(
         col("recording_id").as("id"), col("recording_mb_id").as("mb_id"),
-        col("work_mb_id"), col("recording_name").as("title"), col("artist_id"),
+        // the serving column name is the sql/2 contract's `mb_work_id`
+        // (`sql/2:35`, written by `src/main.py:310`) — consumers written
+        // against the reference schema must keep working after a swap-in
+        col("work_mb_id").as("mb_work_id"),
+        col("recording_name").as("title"), col("artist_id"),
         col("second_artist_id"), col("release_group_id").as("album_id"),
         // mb_song.is_single stores the single-from flag (`src/main.py:288`)
         col("is_single_from").as("is_single"), col("language"),
@@ -304,6 +311,6 @@ object CanonicalOps {
       Seq(col("id")), conflictOrder)
       .drop("artist_score")
 
-    (mbAlbum, mbSong)
+    (mbAlbum, mbSong, if (persistHinge) Some(best) else None)
   }
 }

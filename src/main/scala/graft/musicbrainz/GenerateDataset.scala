@@ -18,11 +18,16 @@ object GenerateDataset {
       mbArtistAlias: DataFrame,
       mbAlbum: DataFrame,
       mbSong: DataFrame,
-      mbSongAlias: DataFrame) {
+      mbSongAlias: DataFrame,
+      hinges: Seq[DataFrame] = Nil) {
     /** Release the hinge caches installed by [[GenerateDataset.apply]]
-      * (no-op on never-persisted frames). */
+      * (no-op on never-persisted frames). `hinges` carries the INTERNAL
+      * persisted handles — e.g. the candidates-DAG hinge inside
+      * [[CanonicalOps.exportTables]] — which the exported frames' own
+      * unpersist() can never reach (they are derived plans). */
     def unpersist(): Unit =
-      Seq(mbArtist, mbArtistAlias, mbAlbum, mbSong, mbSongAlias).foreach(_.unpersist())
+      (Seq(mbArtist, mbArtistAlias, mbAlbum, mbSong, mbSongAlias) ++ hinges)
+        .foreach(_.unpersist())
   }
 
   /** `persistHinge` (default on) caches the DataFrames every sink shares —
@@ -36,14 +41,15 @@ object GenerateDataset {
   def apply(src: MbSources, persistHinge: Boolean = true): Export = {
     val artists0 = ArtistOps.mbArtist(src)
     val artists = if (persistHinge) artists0.persist() else artists0
-    val (album, song0) = CanonicalOps.exportTables(src, artists, persistHinge)
+    val (album, song0, hinge) = CanonicalOps.exportTables(src, artists, persistHinge)
     val song = if (persistHinge) song0.persist() else song0
     Export(
       mbArtist = artists,
       mbArtistAlias = ArtistOps.artistAliases(src, artists),
       mbAlbum = album,
       mbSong = song,
-      mbSongAlias = SongAliasOps.songAliases(src, song))
+      mbSongAlias = SongAliasOps.songAliases(src, song),
+      hinges = hinge.toSeq)
   }
 
   /** Persist the export as parquet, one directory per table — the engine's

@@ -32,8 +32,15 @@ object MatchOps {
       .filter(col("qkey").isNotNull)
     SimilarityJoin.levenshtein1Join(
       probes, "qkey",
-      mbArtistAlias.select(col("artist_id"), col("alias")).distinct(), "alias",
-      maxLen = 255)
+      // aliases are distinct by construction (UNIQUE(artist_id, alias));
+      // the final (query_id, artist_id) distinct below absorbs any
+      // upstream duplicates anyway, so a pre-distinct here would only
+      // add a full alias-table shuffle per call (×3 per match run)
+      mbArtistAlias.select(col("artist_id"), col("alias")), "alias",
+      maxLen = 255,
+      // reference parity (`benchmark.py:76-77`): only the STORED alias is
+      // length-guarded — a 255-char probe still matches a 254-char alias
+      maxLenLeft = 256)
       .select(col("qa_id").as("query_id"), col("artist_id"))
       .distinct()
   }

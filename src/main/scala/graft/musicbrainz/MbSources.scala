@@ -78,7 +78,14 @@ object MbSources {
 
     def reader = spark.read.format("jdbc").option("url", url).options(options)
 
-    /** One table: partitioned scan when asked for, pruned to `cols`. */
+    /** One table: partitioned scan when asked for, pruned to `cols`.
+      * With `numPartitions > 1` each call runs a blocking one-row bounds
+      * probe against the live mirror, so the 24 table reads below are
+      * dispatched CONCURRENTLY (Futures on the global pool) — serially
+      * they cost tens of seconds of pure startup latency on a loaded
+      * ~100 GB Postgres. (MbSources is deliberately an eager bundle: a
+      * job touching one subtree still probes all tables once — the cost
+      * is this one constructor, paid in parallel.) */
     def read(name: String, pk: String, cols: String*): DataFrame = {
       val base =
         if (numPartitions <= 1) reader.option("dbtable", table(name)).load()
@@ -103,35 +110,69 @@ object MbSources {
       base.select(cols.map(col): _*)
     }
 
-    MbSources(
-      artist = read("artist", "id", "id", "gid", "name", "area"),
-      area = read("area", "id", "id"),
-      iso31661 = read("iso_3166_1", "area", "area", "code"),
-      lAreaArea = read("l_area_area", "entity1", "link", "entity0", "entity1"),
-      lArtistUrl = read("l_artist_url", "entity0", "entity0"),
-      artistAlias = read("artist_alias", "artist", "artist", "name"),
-      artistCredit = read("artist_credit", "id", "id"),
-      artistCreditName = read("artist_credit_name", "artist_credit",
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def readF(name: String, pk: String, cols: String*): Future[DataFrame] =
+      Future(read(name, pk, cols: _*))
+    def read2(f: Future[DataFrame]): DataFrame = Await.result(f, Duration.Inf)
+
+    val fs = Map(
+      "artist" -> readF("artist", "id", "id", "gid", "name", "area"),
+      "area" -> readF("area", "id", "id"),
+      "iso_3166_1" -> readF("iso_3166_1", "area", "area", "code"),
+      "l_area_area" -> readF("l_area_area", "entity1", "link", "entity0", "entity1"),
+      "l_artist_url" -> readF("l_artist_url", "entity0", "entity0"),
+      "artist_alias" -> readF("artist_alias", "artist", "artist", "name"),
+      "artist_credit" -> readF("artist_credit", "id", "id"),
+      "artist_credit_name" -> readF("artist_credit_name", "artist_credit",
         "artist_credit", "artist", "position", "name"),
-      lArtistArtist = read("l_artist_artist", "entity0", "link", "entity0", "entity1"),
-      link = read("link", "id", "id", "link_type"),
-      linkAttribute = read("link_attribute", "link", "link", "attribute_type"),
-      releaseGroup = read("release_group", "id", "id", "gid", "name", "type", "artist_credit"),
-      releaseGroupSecondaryTypeJoin = read("release_group_secondary_type_join",
+      "l_artist_artist" -> readF("l_artist_artist", "entity0", "link", "entity0", "entity1"),
+      "link" -> readF("link", "id", "id", "link_type"),
+      "link_attribute" -> readF("link_attribute", "link", "link", "attribute_type"),
+      "release_group" -> readF("release_group", "id", "id", "gid", "name", "type", "artist_credit"),
+      "release_group_secondary_type_join" -> readF("release_group_secondary_type_join",
         "release_group", "release_group", "secondary_type"),
-      lReleaseGroupReleaseGroup = read("l_release_group_release_group",
+      "l_release_group_release_group" -> readF("l_release_group_release_group",
         "entity0", "link", "entity0", "entity1"),
-      release = read("release", "id", "id", "release_group", "status"),
-      releaseCountry = read("release_country", "release", "release", "date_year"),
-      medium = read("medium", "id", "id", "release"),
-      track = read("track", "medium", "medium", "recording"),
-      recording = read("recording", "id", "id", "gid", "name", "artist_credit"),
-      recordingAlias = read("recording_alias", "recording", "recording", "name"),
-      lRecordingWork = read("l_recording_work", "entity0", "entity0", "entity1", "link_order"),
-      work = read("work", "id", "id", "gid", "name"),
-      workAlias = read("work_alias", "work", "work", "name"),
-      language = read("language", "id", "id", "iso_code_1", "iso_code_3"),
-      workLanguage = read("work_language", "work", "work", "language"))
+      "release" -> readF("release", "id", "id", "release_group", "status"),
+      "release_country" -> readF("release_country", "release", "release", "date_year"),
+      "medium" -> readF("medium", "id", "id", "release"),
+      "track" -> readF("track", "medium", "medium", "recording"),
+      "recording" -> readF("recording", "id", "id", "gid", "name", "artist_credit"),
+      "recording_alias" -> readF("recording_alias", "recording", "recording", "name"),
+      "l_recording_work" -> readF("l_recording_work", "entity0", "entity0", "entity1", "link_order"),
+      "work" -> readF("work", "id", "id", "gid", "name"),
+      "work_alias" -> readF("work_alias", "work", "work", "name"),
+      "language" -> readF("language", "id", "id", "iso_code_1", "iso_code_3"),
+      "work_language" -> readF("work_language", "work", "work", "language"))
+
+    MbSources(
+      artist = read2(fs("artist")),
+      area = read2(fs("area")),
+      iso31661 = read2(fs("iso_3166_1")),
+      lAreaArea = read2(fs("l_area_area")),
+      lArtistUrl = read2(fs("l_artist_url")),
+      artistAlias = read2(fs("artist_alias")),
+      artistCredit = read2(fs("artist_credit")),
+      artistCreditName = read2(fs("artist_credit_name")),
+      lArtistArtist = read2(fs("l_artist_artist")),
+      link = read2(fs("link")),
+      linkAttribute = read2(fs("link_attribute")),
+      releaseGroup = read2(fs("release_group")),
+      releaseGroupSecondaryTypeJoin = read2(fs("release_group_secondary_type_join")),
+      lReleaseGroupReleaseGroup = read2(fs("l_release_group_release_group")),
+      release = read2(fs("release")),
+      releaseCountry = read2(fs("release_country")),
+      medium = read2(fs("medium")),
+      track = read2(fs("track")),
+      recording = read2(fs("recording")),
+      recordingAlias = read2(fs("recording_alias")),
+      lRecordingWork = read2(fs("l_recording_work")),
+      work = read2(fs("work")),
+      workAlias = read2(fs("work_alias")),
+      language = read2(fs("language")),
+      workLanguage = read2(fs("work_language")))
   }
 }
 

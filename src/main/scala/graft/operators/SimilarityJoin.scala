@@ -77,11 +77,17 @@ object SimilarityJoin {
       rightStr: String,
       maxLen: Int = 255,
       pairFilter: Option[Column] = None,
-      shuffleHash: Boolean = false): DataFrame = {
+      shuffleHash: Boolean = false,
+      maxLenLeft: Int = -1): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"left/right column names must be disjoint, both have: $overlap")
+    // maxLenLeft lets a PROBE side admit strings one longer than a
+    // guarded store side: lev ≤ 1 means |Δlen| ≤ 1, so a probe of length
+    // maxLen can still match a stored string of maxLen − 1 — the
+    // reference guards only its stored aliases (`benchmark.py:76-77`)
+    val lCap = if (maxLenLeft > 0) maxLenLeft else maxLen
     val l = left
-      .filter(length(col(leftStr)) < maxLen)
+      .filter(length(col(leftStr)) < lCap)
       .withColumn("__lv", explode(deletionVariants(col(leftStr))))
     val r = right
       .filter(length(col(rightStr)) < maxLen)

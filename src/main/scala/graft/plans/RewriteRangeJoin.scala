@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 /** Optimizer rule: an inner join whose only cross-side predicates are a
   * RANGE BAND — `lo ≤ p ≤ hi` (any `<`/`≤` spelling, `p` from one side,
@@ -118,7 +118,24 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     val rb = AttributeReference(RbName, LongType, nullable = false)()
     // Sequence is TimeZoneAwareExpression: without a timeZoneId it reports
     // unresolved and the optimizer rejects the rewritten plan
-    val seq = Sequence(divW(lo, w), divW(hi, w), None, Some(conf.sessionLocalTimeZone))
+    val loB = divW(lo, w)
+    val hiB = divW(hi, w)
+    val seq0 = Sequence(loB, hiB, None, Some(conf.sessionLocalTimeZone))
+    // actionable per-row guard: one dirty interval (an open-end sentinel
+    // like hi = Long.MaxValue) would otherwise die deep inside Sequence
+    // with an opaque array-size error — name the row, the width, and the
+    // dial instead
+    val maxBuckets = conf
+      .getConfString("spark.graft.rangeJoin.maxBucketsPerRow", "4000000").toLong
+    val nBuckets = Add(Subtract(hiB, loB), Literal(1L))
+    val msg = Concat(Seq(
+      Literal("graft range join: interval ["), Cast(lo, StringType),
+      Literal(", "), Cast(hi, StringType),
+      Literal(s"] spans "), Cast(nBuckets, StringType),
+      Literal(s" buckets at width $w, above spark.graft.rangeJoin.maxBucketsPerRow=" +
+        s"$maxBuckets — raise spark.graft.rangeJoin.bucketWidth or clean the interval")))
+    val seq = If(GreaterThan(nBuckets, Literal(maxBuckets)),
+      Cast(RaiseError(msg), seq0.dataType), seq0)
     val (pointPlan, ivPlan) = if (pLeft) (l, r) else (r, l)
     val bucketed = Project(pointPlan.output :+ pb, pointPlan)
     val generated = Generate(Explode(seq), Nil, outer = false, None, Seq(rb), ivPlan)

@@ -65,7 +65,7 @@ class GenerateDatasetSpec extends SparkSpec {
 
   test("mb_song: canonical album choice, flags, language, second artist, score") {
     val rows = export.mbSong
-      .select("id", "mb_id", "work_mb_id", "title", "artist_id", "second_artist_id",
+      .select("id", "mb_id", "mb_work_id", "title", "artist_id", "second_artist_id",
         "album_id", "is_single", "language", "score")
       .as[(Int, String, Option[String], String, Int, Option[Int], Int, Boolean, Option[String], Int)]
       .collect().sortBy(_._1)

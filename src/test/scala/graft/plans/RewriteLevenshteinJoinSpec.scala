@@ -96,4 +96,45 @@ class RewriteLevenshteinJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
       Set((1, 10), (2, 11), (4, 13)))
   }
+
+  test("a null-safe equi-condition also suppresses the rewrite") {
+    setup()
+    val df = spark.sql(
+      "SELECT lid, rid FROM lt JOIN rt ON lid + 9 <=> rid WHERE levenshtein(ls, rs) <= 1")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan) // <=> is hash-joinable too
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((1, 10), (2, 11), (4, 13)))
+  }
+
+  test("nondeterministic lev arguments are not rewritten (the args evaluate twice)") {
+    setup()
+    val df = spark.sql(
+      "SELECT lid, rid FROM lt, rt " +
+        "WHERE levenshtein(concat(ls, substr(uuid(), 1, 1)), rs) <= 1")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)
+  }
+
+  test("long strings block on length keys, not exploded variants; results exact") {
+    import spark.implicits._
+    // strings around and far past the 255 threshold; pairs at lev 0/1 on
+    // both sides of it, plus a cross-regime near-boundary pair
+    val base = "x" * 300
+    val at = "y" * 255
+    Seq((1, base), (2, base + "Q"), (3, base.dropRight(1) + "Z"), (4, at), (5, "y" * 254), (6, "short"))
+      .toDF("lid", "ls").createOrReplaceTempView("ltl")
+    Seq((10, base), (11, base + "Q"), (12, "z" * 300), (13, at), (14, "y" * 256), (15, "shore"))
+      .toDF("rid", "rs").createOrReplaceTempView("rtl")
+    val df = spark.sql("SELECT lid, rid FROM ltl, rtl WHERE levenshtein(ls, rs) <= 1")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    // lev pairs: (1,10)=0, (1,11)=1 (append Q), (2,11)=0, (2,10)=1,
+    // (3,10)=1 (substitute), (3,11)? base[-1]->Z vs base+Q = 2, no;
+    // (4,13)=0, (4,14)=1 (append y), (5,13)=1, (5,14)? 254 vs 256 gap 2 no;
+    // (6,15)=1 ("short"->"shore" substitute)
+    assert(got == Seq((1, 10), (1, 11), (2, 10), (2, 11), (3, 10),
+      (4, 13), (4, 14), (5, 13), (6, 15)))
+  }
 }

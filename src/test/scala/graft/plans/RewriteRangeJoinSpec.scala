@@ -122,4 +122,24 @@ class RewriteRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rand()*0 = 0: results must still match the plain band
     assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == naive)
   }
+
+  test("a runaway interval fails with an actionable error naming the dial, not an opaque one") {
+    import spark.implicits._
+    setup()
+    spark.conf.set(RewriteRangeJoin.WidthKey, "4")
+    spark.conf.set("spark.graft.rangeJoin.maxBucketsPerRow", "10")
+    try {
+      // an open-end sentinel interval: would explode into billions of
+      // buckets; the guard must name the row and the conf instead
+      Seq((99L, 0L, Long.MaxValue)).toDF("i_id", "lo", "hi")
+        .createOrReplaceTempView("ivs_dirty")
+      val df = spark.sql(
+        "SELECT p_id, i_id FROM pts, ivs_dirty WHERE p BETWEEN lo AND hi")
+      val e = intercept[Exception](df.collect())
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        String.valueOf(t.getMessage).contains("maxBucketsPerRow")), s"got $e")
+    } finally spark.conf.unset("spark.graft.rangeJoin.maxBucketsPerRow")
+  }
 }
