@@ -81,6 +81,17 @@ object Sampling {
         "so the split key's provenance stays unambiguous")
     val c = clusters.select(col("id").as("__lfs_id"), col("component_id").as("__lfs_comp"))
     val compType = c.schema("__lfs_comp").dataType
+    // the singleton-cluster fallback is id.cast(compType); a lossy or
+    // unrepresentable cast (string doc ids vs numeric component ids)
+    // would yield NULL and silently hash every unclustered row onto ONE
+    // split key — fail fast instead
+    val idType = df.select(id).schema.head.dataType
+    require(idType == compType ||
+      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(idType, compType),
+      s"leakFreeSplit: id type $idType is not losslessly castable to the cluster map's " +
+        s"component_id type $compType — the singleton-cluster fallback would produce NULLs " +
+        "and collapse every unclustered row onto one split key; align the types (e.g. build " +
+        "the cluster map with component_id cast to the id's type)")
     val joined = df.join(c, id === col("__lfs_id"), "left")
       .withColumn("component_id", coalesce(col("__lfs_comp"), id.cast(compType)))
       .drop("__lfs_id", "__lfs_comp")

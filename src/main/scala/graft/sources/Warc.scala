@@ -331,13 +331,18 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
     new WarcTable(paths(new CaseInsensitiveStringMap(properties)), schema)
 
   /** `load(p)` arrives as `path`; `load(p1, p2, …)` as a JSON array in
-    * `paths`. */
+    * `paths` — decoded with a real JSON parser (Jackson, already on the
+    * Spark classpath) so the full escape set (\n, \t, \uXXXX, …) in a
+    * path round-trips, not just \" and \\. */
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).map { js =>
-      val m = java.util.regex.Pattern.compile("\"((?:\\\\.|[^\"\\\\])*)\"").matcher(js)
-      val b = Seq.newBuilder[String]
-      while (m.find()) b += m.group(1).replace("\\\\", "\\").replace("\\\"", "\"")
-      b.result()
+      try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(
+            s"warc source: paths option is not a JSON string array: $js", e)
+      }
     }.getOrElse(Nil)
     val single = Option(options.get("path")).toSeq
     val all = multi ++ single
@@ -357,7 +362,9 @@ class WarcTable(paths: Seq[String], tableSchema: StructType = Warc.Schema)
     val mode = Option(options.get("mode")).getOrElse("permissive").toLowerCase(java.util.Locale.ROOT)
     require(mode == "permissive" || mode == "failfast",
       s"warc mode must be permissive or failfast, got $mode")
-    new WarcScanBuilder(paths, permissive = mode == "permissive")
+    val stability = Option(options.get("fileStabilityPolls")).map(_.toInt).getOrElse(1)
+    require(stability >= 1, s"warc fileStabilityPolls must be >= 1, got $stability")
+    new WarcScanBuilder(paths, permissive = mode == "permissive", stabilityPolls = stability)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1, s"warc write needs exactly one target directory, got $paths")
@@ -365,7 +372,7 @@ class WarcTable(paths: Seq[String], tableSchema: StructType = Warc.Schema)
   }
 }
 
-class WarcScanBuilder(paths: Seq[String], permissive: Boolean = true)
+class WarcScanBuilder(paths: Seq[String], permissive: Boolean = true, stabilityPolls: Int = 1)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = Warc.Schema
   private var typeFilter: Set[String] = null // null = no filter
@@ -394,11 +401,12 @@ class WarcScanBuilder(paths: Seq[String], permissive: Boolean = true)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WarcScan(paths, required, typeFilter, permissive)
+  override def build(): Scan =
+    new WarcScan(paths, required, typeFilter, permissive, stabilityPolls)
 }
 
 class WarcScan(paths: Seq[String], required: StructType, typeFilter: Set[String],
-    permissive: Boolean = true)
+    permissive: Boolean = true, stabilityPolls: Int = 1)
     extends Scan with Batch with SupportsReportStatistics {
   private lazy val files: Seq[FileStatus] =
     Warc.listShards(SparkSession.active.sessionState.newHadoopConf(), paths,
@@ -411,7 +419,8 @@ class WarcScan(paths: Seq[String], required: StructType, typeFilter: Set[String]
   }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WarcMicroBatchStream(paths, required, typeFilter, checkpointLocation, permissive)
+    new WarcMicroBatchStream(paths, required, typeFilter, checkpointLocation, permissive,
+      stabilityPolls)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
@@ -442,9 +451,22 @@ case class WarcInputPartition(path: String) extends InputPartition
   * expects of a source). `commit` keeps the log: it is the seen-files set
   * on restart. One file = one partition, as in batch. Files are assumed
   * immutable once visible (the crawl-shard contract); a shard REPLACED
-  * in-place with new content is not re-read. */
+  * in-place with new content is not re-read.
+  *
+  * Shards MUST land via atomic rename: a file discovered while still
+  * being copied in (non-atomic upload) is read truncated — permissive
+  * mode salvages the prefix — and, once in the seen-set, is never
+  * re-read when the rest of its bytes arrive. Two guards: names ending
+  * in `.inprogress` / `.tmp` / `._COPYING_` (the hadoop `fs -put` temp
+  * suffix) are never discovered, and option `fileStabilityPolls = k`
+  * (default 1 = commit on first sight) defers a fresh file until its
+  * (length, mtime) was identical across `k` consecutive polls — for
+  * uploaders that can neither rename atomically nor mark in-progress
+  * files. The stability gate applies to continuously-polling streams;
+  * a one-shot `Trigger.AvailableNow` run polls once and so only picks
+  * up already-stable files on its NEXT run. */
 class WarcMicroBatchStream(paths: Seq[String], required: StructType, typeFilter: Set[String],
-    checkpointLocation: String, permissive: Boolean = true)
+    checkpointLocation: String, permissive: Boolean = true, stabilityPolls: Int = 1)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val conf = SparkSession.active.sessionState.newHadoopConf()
   private val logDir = new Path(checkpointLocation, "warc-batches")
@@ -467,13 +489,42 @@ class WarcMicroBatchStream(paths: Seq[String], required: StructType, typeFilter:
   private def lastId: Long = if (batches.isEmpty) -1L else batches.lastKey
   private var availableNowTarget: Long = -2L // -2 = not in AvailableNow mode
 
-  private def listFiles(): Seq[String] =
-    Warc.listShards(conf, paths, requireNonEmpty = false).map(_.getPath.toString)
+  private def listFiles(): Seq[FileStatus] =
+    Warc.listShards(conf, paths, requireNonEmpty = false)
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.endsWith(".inprogress") || n.endsWith(".tmp") || n.endsWith("._COPYING_")
+      }
+
+  /** path → (len, mtime, consecutive polls with that exact signature) —
+    * the `fileStabilityPolls` deferral state; in-memory only (a restart
+    * restarts the count, which is the conservative direction). */
+  private val pendingStability =
+    scala.collection.mutable.HashMap.empty[String, (Long, Long, Int)]
 
   /** Discover new files; persist the batch BEFORE exposing its offset. */
   private def discover(): Long = synchronized {
     val seen = batches.valuesIterator.flatten.toSet
-    val fresh = listFiles().filterNot(seen).sorted
+    val candidates = listFiles().filter(st => !seen(st.getPath.toString))
+    val fresh: Seq[String] =
+      if (stabilityPolls <= 1) candidates.map(_.getPath.toString).sorted
+      else {
+        val ready = Seq.newBuilder[String]
+        val live = candidates.map { st =>
+          val p = st.getPath.toString
+          val sig = (st.getLen, st.getModificationTime)
+          val count = pendingStability.get(p) match {
+            case Some((l, m, c)) if (l, m) == sig => c + 1
+            case _ => 1 // new, or changed since last poll: restart the count
+          }
+          if (count >= stabilityPolls) ready += p
+          p -> ((sig._1, sig._2, count))
+        }
+        pendingStability.clear()
+        val readySet = ready.result().toSet
+        pendingStability ++= live.filterNot { case (p, _) => readySet(p) }
+        readySet.toSeq.sorted
+      }
     if (fresh.nonEmpty) {
       val id = lastId + 1
       val out = fs.create(new Path(logDir, id.toString), false)
@@ -734,6 +785,19 @@ class WarcDataWriter(dir: String, schema: StructType, gzip: Boolean, conf: Confi
   private def strCol(row: InternalRow, name: String): String =
     idx.get(name).filterNot(row.isNullAt).map(row.getUTF8String(_).toString).orNull
 
+  /** WARC headers are CRLF-framed: a header VALUE containing CR or LF
+    * would terminate the line early and corrupt the record framing for
+    * every later record in the shard. Fail the row loudly instead of
+    * writing a malformed archive. */
+  private def headerSafe(name: String, v: String): String = {
+    if (v != null && v.exists(c => c == '\r' || c == '\n'))
+      throw new IllegalArgumentException(
+        s"warc write: column $name contains CR/LF (${v.take(80).replace("\r", "\\r")
+          .replace("\n", "\\n")}…) — header values must be single-line; " +
+          "strip control characters before writing")
+    v
+  }
+
   override def write(row: InternalRow): Unit = {
     val ci = idx("content")
     val payload: Array[Byte] =
@@ -742,12 +806,12 @@ class WarcDataWriter(dir: String, schema: StructType, gzip: Boolean, conf: Confi
       else row.getBinary(ci)
     val h = new StringBuilder(256)
     h ++= "WARC/1.0\r\n"
-    h ++= s"WARC-Type: ${Option(strCol(row, "record_type")).getOrElse("conversion")}\r\n"
-    h ++= s"WARC-Record-ID: ${Option(strCol(row, "record_id"))
+    h ++= s"WARC-Type: ${Option(headerSafe("record_type", strCol(row, "record_type"))).getOrElse("conversion")}\r\n"
+    h ++= s"WARC-Record-ID: ${Option(headerSafe("record_id", strCol(row, "record_id")))
       .getOrElse(s"<urn:uuid:${java.util.UUID.randomUUID()}>")}\r\n"
-    h ++= s"WARC-Date: ${Option(strCol(row, "warc_date")).getOrElse("1970-01-01T00:00:00Z")}\r\n"
-    Option(strCol(row, "target_uri")).foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
-    h ++= s"Content-Type: ${Option(strCol(row, "content_type")).getOrElse("text/plain")}\r\n"
+    h ++= s"WARC-Date: ${Option(headerSafe("warc_date", strCol(row, "warc_date"))).getOrElse("1970-01-01T00:00:00Z")}\r\n"
+    Option(headerSafe("target_uri", strCol(row, "target_uri"))).foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
+    h ++= s"Content-Type: ${Option(headerSafe("content_type", strCol(row, "content_type"))).getOrElse("text/plain")}\r\n"
     h ++= s"Content-Length: ${payload.length}\r\n\r\n"
     val rec = h.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
     if (gzip) writeGzMember(rec) // one member per record — the Common Crawl layout
@@ -838,10 +902,14 @@ class WarcPartitionReader(path: String, required: StructType, typeFilter: Set[St
   private def nextRecord(): Boolean = {
     current = null
     while (current == null) {
+      // a record with NO WARC-Type header has record_type NULL — SQL
+      // equality never matches NULL, and pushed filters are reported
+      // fully handled, so such records must be non-matching here (a
+      // getOrElse("") would wrongly match a pushed record_type = '')
       val r = parser.next(hs =>
-        wantContent && (typeFilter == null || typeFilter.contains(hs.getOrElse("warc-type", ""))))
+        wantContent && (typeFilter == null || hs.get("warc-type").exists(typeFilter.contains)))
       if (r == null) return false
-      if (typeFilter == null || typeFilter.contains(r.headers.getOrElse("warc-type", "")))
+      if (typeFilter == null || r.headers.get("warc-type").exists(typeFilter.contains))
         current = r
     }
     true

@@ -75,6 +75,22 @@ class SamplingSpec extends SparkSpec {
     assert(got.columns.toSet == Set("id", "payload", "component_id", "split"))
   }
 
+  test("leakFreeSplit fails fast when the singleton fallback cast would produce NULLs") {
+    // string doc ids vs numeric component ids: id.cast(long) yields NULL for
+    // every unclustered row, which would hash them all onto ONE split key
+    val df = Seq("doc-a", "doc-b").toDF("doc").withColumn("d", col("doc"))
+    val clusters = spark.range(0).toDF("id").withColumn("component_id", col("id"))
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.leakFreeSplit(df, col("doc"), clusters, Seq("train" -> 950, "val" -> 50))
+    }
+    assert(ex.getMessage.contains("not losslessly castable"))
+    // a lossless widening (int id, long component) is fine
+    val dfInt = spark.range(10).select(col("id").cast("int").as("id"))
+    val cl = spark.range(5).toDF("id").withColumn("component_id", lit(0L))
+    assert(Sampling.leakFreeSplit(dfInt, col("id"), cl,
+      Seq("train" -> 950, "val" -> 50)).count() == 10)
+  }
+
   test("hashSplit rejects per-milles that do not sum to 1000") {
     val df = spark.range(10).toDF("id")
     intercept[IllegalArgumentException] {

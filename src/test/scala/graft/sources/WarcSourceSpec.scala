@@ -397,4 +397,78 @@ class WarcSourceSpec extends SparkSpec {
     val globbed = Warc.read(spark, dir.toString + "/*.wet")
     assert(globbed.count() == 6)
   }
+
+  test("multi-path load survives JSON-escaped characters in a path (tab)") {
+    // DataFrameReader.load(p1, p2) JSON-encodes the paths; a tab becomes
+    // \t in the encoded array and must decode back to a real tab
+    val dir = tempDir()
+    Files.write(dir.resolve("plain.warc.wet"), wetBytes)
+    Files.write(dir.resolve("with\ttab.warc.wet"), wetBytes)
+    val two = spark.read.format("warc")
+      .load(dir.resolve("plain.warc.wet").toString, dir.resolve("with\ttab.warc.wet").toString)
+    assert(two.count() == 6)
+  }
+
+  test("write path: a CR/LF in a header column fails the row loudly, not the archive") {
+    val dir = tempDir().resolve("out").toString
+    val ex = intercept[org.apache.spark.SparkException] {
+      Seq(("payload", "https://e.example.com/a\r\nWARC-Type: warcinfo"))
+        .toDF("content", "target_uri")
+        .write.format("warc").mode("append").save(dir)
+    }
+    val msg = Option(ex.getCause).map(_.getMessage).getOrElse("") + ex.getMessage
+    assert(msg.contains("target_uri") && msg.contains("single-line"))
+  }
+
+  test("a record with NO WARC-Type header has NULL record_type: pushed equality never matches") {
+    val dir = tempDir()
+    // hand-build one typed and one type-less record
+    val noType = {
+      val payload = "typeless".getBytes(UTF_8)
+      ("WARC/1.0\r\nWARC-Record-ID: <urn:uuid:nt>\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8) ++
+        payload ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    Files.write(dir.resolve("a.warc.wet"),
+      record("conversion", "https://a.example.com/1", "typed".getBytes(UTF_8)) ++ noType)
+    val df = spark.read.format("warc").load(dir.toString)
+    assert(df.count() == 2)
+    assert(df.filter(col("record_type").isNull).count() == 1)
+    // pushed EqualTo(record_type, '') must match NOTHING (SQL null semantics),
+    // even though the filter is reported fully handled by the scan
+    assert(df.filter(col("record_type") === "").count() == 0)
+    assert(df.filter(col("record_type") === "conversion").count() == 1)
+    assert(df.filter(col("record_type").isin("", "conversion")).count() == 1)
+  }
+
+  test("streaming discovery: in-progress suffixes are skipped; fileStabilityPolls defers changing files") {
+    val dir = tempDir()
+    val ckpt = tempDir()
+    Files.write(dir.resolve("grow.warc.wet.tmp"), wetBytes.take(10))
+    val stream = new WarcMicroBatchStream(Seq(dir.toString), Warc.Schema, null,
+      ckpt.toString, permissive = true, stabilityPolls = 2)
+    def ready: Set[String] = {
+      val end = stream.latestOffset().asInstanceOf[WarcStreamOffset]
+      stream.planInputPartitions(WarcStreamOffset(-1L), end)
+        .map(_.asInstanceOf[WarcInputPartition].path).toSet
+    }
+    assert(ready.isEmpty, ".tmp suffix must never be discovered")
+    // rename into place mid-upload: poll 1 sees (len1, mtime1) — not stable yet
+    Files.move(dir.resolve("grow.warc.wet.tmp"), dir.resolve("grow.warc.wet"))
+    assert(ready.isEmpty, "first sighting must not commit under stabilityPolls=2")
+    // the upload continues: the signature changed, so the count restarts
+    Files.write(dir.resolve("grow.warc.wet"), wetBytes)
+    Files.setLastModifiedTime(dir.resolve("grow.warc.wet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 2000))
+    assert(ready.isEmpty, "a file whose (len, mtime) changed must restart its count")
+    // two consecutive identical sightings: committed, and read COMPLETE
+    val batch = ready
+    assert(batch.exists(_.endsWith("grow.warc.wet")))
+    val rf = stream.createReaderFactory()
+    val reader = rf.createReader(WarcInputPartition(batch.head))
+    var n = 0
+    while (reader.next()) n += 1
+    reader.close()
+    assert(n == 3, "the committed file must be the full 3-record shard, not the truncated prefix")
+  }
 }
