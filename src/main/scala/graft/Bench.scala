@@ -56,8 +56,22 @@ object Bench {
     // a single line no longer fits — a truncated line loses the headline
     // total (round-6 bench artifact was machine-unreadable). The final
     // line is small and constant-size, so any bounded tail parses it.
-    println(s"""{"metric":"queries","runs":$timedRuns,"sf":"$sfDir","queries":$qs}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"nQueries":${results.size},"errors":$errs,"sf":"$sfDir"}""")
+    val queriesLine =
+      s"""{"metric":"queries","runs":$timedRuns,"sf":"$sfDir","queries":$qs}"""
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"nQueries":${results.size},"errors":$errs,"sf":"$sfDir"}"""
+    println(queriesLine)
+    println(totalLine)
+    // The harvested stdout tail is bounded and can truncate mid-map (the
+    // round-8 artifact lost q01–q14), so the full two-line JSON also
+    // lands in a file — the self-contained per-query record for
+    // round-over-round diffs. Path override: SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), queriesLine + "\n" + totalLine + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

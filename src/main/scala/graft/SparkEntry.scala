@@ -23,4 +23,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ PipelineQueries.oracleSql
+
+  /** Queries that keep NO oracle ON PURPOSE — reason + declared output
+    * schema, so the correctness artifact can distinguish
+    * "rows-only by design" (schema still checkable) from "broken".
+    * [[Verify]] dumps this as `no_oracle_by_design.json`. */
+  def rowsOnlyByDesign: Map[String, (String, Seq[(String, String)])] =
+    PipelineQueries.rowsOnlyByDesign
 }

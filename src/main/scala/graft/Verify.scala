@@ -39,6 +39,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // oracle-free-by-design manifest: reason + declared schema per query,
+    // so the correctness reader can check rows AND schema and waive only
+    // the value hash — a missing-oracle row should never read as "broken"
+    val rob = SparkEntry.rowsOnlyByDesign.map { case (name, (reason, cols)) =>
+      val colsJson = cols.map { case (c, t) => s"""{"name":${q(c)},"type":${q(t)}}""" }
+        .mkString("[", ",", "]")
+      s"${q(name)}: {\"reason\":${q(reason)},\"columns\":$colsJson}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/no_oracle_by_design.json"), rob)
     spark.stop()
   }
 }

@@ -1489,4 +1489,18 @@ object PipelineQueries {
   }
 
   val oracleSql: Map[String, String] = mkOracles
+
+  /** The two intentionally oracle-free queries (trained k-means cell
+    * assignment — float iteration order an external engine cannot
+    * replay): reason + the DECLARED output schema, so rows and schema
+    * stay checkable and only the value hash is waived. Recall/soundness
+    * live in SimilaritySpec / SemDedupSpec. */
+  val rowsOnlyByDesign: Map[String, (String, Seq[(String, String)])] = Map(
+    "q37_ann_ivf" -> (("IVF cell assignment is a trained k-means artifact; " +
+      "recall vs exact top-k is pinned in SimilaritySpec",
+      Seq("query_id" -> "bigint", "neighbor_id" -> "bigint",
+        "rank" -> "bigint", "score" -> "bigint"))),
+    "q39_semdedup" -> (("SemDeDup cells are a trained k-means artifact; " +
+      "soundness + recall vs the exact threshold graph are pinned in SemDedupSpec",
+      Seq("vec_id" -> "bigint", "component_id" -> "bigint", "keep" -> "boolean"))))
 }

@@ -76,15 +76,34 @@ def main(out_dir, sf_dir):
             print(f"OK   {name} ({len(got)} rows)"); ok += 1
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n{str(e)[:500]}"); fail += 1
-    # queries without an oracle → rows-only check (driver's weaker path)
-    import os
+    # queries without an oracle: rows + schema check against the declared
+    # manifest (no_oracle_by_design.json) — only the value hash is waived.
+    # A query absent from BOTH oracle_sql.json and the manifest is an
+    # unregistered gap, not "by design": fail it.
+    import os, pyarrow.parquet as _pq
+    try:
+        by_design = json.load(open(f"{out_dir}/no_oracle_by_design.json"))
+    except FileNotFoundError:
+        by_design = {}
     for p in sorted(glob.glob(f"{out_dir}/*/")):
         name = p.rstrip("/").split("/")[-1]
         if name not in oracles:
             files = glob.glob(f"{p}/*.parquet")
             n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
-            print(f"ROWS {name}: {n} rows {'OK' if n > 0 else 'FAIL(empty)'}")
-            if n == 0: fail += 1
+            if name not in by_design:
+                print(f"FAIL {name}: no oracle and not declared rows-only-by-design")
+                fail += 1; continue
+            decl = by_design[name]
+            got_schema = [(f.name, str(f.type)) for f in _pq.read_schema(files[0])] if files else []
+            want = [(c["name"], {"bigint": "int64", "boolean": "bool",
+                                 "double": "double", "string": "string"}.get(c["type"], c["type"]))
+                    for c in decl["columns"]]
+            schema_ok = got_schema == want
+            ok_all = n > 0 and schema_ok
+            tag = "OK" if ok_all else f"FAIL({'empty' if n == 0 else f'schema {got_schema} != {want}'})"
+            print(f"ROWS_ONLY_BY_DESIGN {name}: {n} rows, schema "
+                  f"{'OK' if schema_ok else 'MISMATCH'} {tag} — {decl['reason']}")
+            if not ok_all: fail += 1
     print(f"\n{ok} ok, {fail} fail")
     sys.exit(1 if fail else 0)
 
