@@ -29,7 +29,14 @@ object Bench {
     // (not GC: max pause 116ms under -Xlog:gc while a query lost 8s) that
     // land on random queries; min-of-N measures the plan, not the host.
     val timedRuns = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_BENCH_FILTER=q46,q25 times only matching
+    // queries (comma-separated substrings); unset = the full contract run
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      filter.forall(_.exists(name.contains))
+    }
+    val results = selected.map { case (name, fn) =>
       val sec =
         try {
           fn(spark, sfDir).count() // warmup

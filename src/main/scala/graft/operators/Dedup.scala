@@ -33,6 +33,12 @@ object Dedup {
   val BroadcastGateMinBytesKey = "spark.graft.spans.broadcastGateMinBytes"
   val BroadcastGateMinBytesDefault: Long = 128L * 1024 * 1024
 
+  /** Increment-size bound under which [[incrementalNearDupPairs]]
+    * broadcast-hints the increment's touched-bucket key set into the
+    * semi-join that prunes the persisted index (see its scaladoc). */
+  val IncrementBroadcastMaxBytesKey = "spark.graft.incremental.broadcastProbeMaxBytes"
+  val IncrementBroadcastMaxBytesDefault: Long = 256L * 1024 * 1024
+
   def rollingHash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
   def simhash(c: Column): Column = Bridge.column(SimHash(Bridge.expression(c)))
 
@@ -433,6 +439,12 @@ object Dedup {
     *    bucket in the PERSISTED index cannot detonate the probe join
     *    (the 10⁵-docs-in-one-bucket ⇒ 10¹⁰ pairs-in-one-task pathology
     *    the batch cap exists for);
+    *  - the index is pruned to increment-TOUCHED buckets before the cap
+    *    count (a semi-join on the increment's distinct band keys,
+    *    broadcast while the increment is small): untouched buckets can't
+    *    produce probe pairs, and a touched bucket keeps all its old
+    *    members, so the cap still counts full old∪new membership — the
+    *    daily-increment cost is O(touched buckets), not O(index);
     *  - exact-Jaccard verification re-shingles only the CANDIDATE old
     *    docs (a semi-join-sized subset), never the corpus;
     *  - increment-internal duplicates come from the batch operator over
@@ -468,7 +480,31 @@ object Dedup {
       posexplode(array(bandSignatures(col("old_mh"), k, bands): _*))
         .as(Seq("band", "sig")))
       .withColumn("__new", lit(false))
-    val all = newB.unionByName(oldB)
+    // Only buckets TOUCHED by the increment can produce probe pairs, so
+    // the persisted index is semi-filtered on the increment's distinct
+    // band keys BEFORE the cap count. Semantics are unchanged: a touched
+    // bucket keeps every old member (they all share its (band, sig)), so
+    // its cap count still sees the full old∪new membership, and an
+    // untouched bucket never reaches the probe join anyway. Cost: the
+    // index rows ride a (usually broadcast) semi-join instead of the
+    // whole old∪new population passing through the cap window — the
+    // window now sorts only touched-bucket members, which is what makes
+    // a small daily increment cost O(touched), not O(index). The key set
+    // is broadcast-hinted while the increment is small (the common case;
+    // gate: spark.graft.incremental.broadcastProbeMaxBytes); a huge
+    // increment falls back to a shuffled semi-join.
+    // no distinct(): left_semi tolerates duplicate keys and the broadcast
+    // hash relation dedups internally — a distinct would cost an extra
+    // aggregate in the probe's build path
+    val touchedKeys = newB.select(col("band"), col("sig"))
+    val bcGate = newDocs.sparkSession.sessionState.conf.getConfString(
+      IncrementBroadcastMaxBytesKey, IncrementBroadcastMaxBytesDefault.toString).toLong
+    val keysHinted =
+      if (newDocs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(bcGate))
+        broadcast(touchedKeys)
+      else touchedKeys
+    val oldTouched = oldB.join(keysHinted, Seq("band", "sig"), "left_semi")
+    val all = newB.unionByName(oldTouched)
     val capped =
       if (maxBucketSize == Int.MaxValue) all
       else {
