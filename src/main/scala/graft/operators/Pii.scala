@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** PII detection and scrubbing — the redaction pass a training-data
   * pipeline runs before a crawl corpus is released or trained on: find
@@ -42,8 +43,19 @@ object Pii {
   /** Replace every match with its placeholder. Email first — once
     * scrubbed, its digit runs can no longer feed the phone/IP patterns;
     * the placeholders themselves contain nothing any pattern matches, so
-    * the composition order is otherwise free. */
+    * the composition order is otherwise free.
+    *
+    * Runs as ONE fused byte-walk ([[graft.functions.PiiScrubKernel]]) —
+    * the three-pass regex chain re-scanned and re-built the string per
+    * pattern and dominated the scrub+lang-id stage at 10M docs.
+    * [[scrubComposed]] is the regex chain the kernel is
+    * equivalence-pinned against (and what the DuckDB oracle replays). */
   def scrub(text: Column): Column =
+    Bridge.column(graft.functions.PiiScrub(Bridge.expression(text)))
+
+  /** Built-ins-only reference form of [[scrub]] (kept for the spec and
+    * the oracle's regex replay). */
+  def scrubComposed(text: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(text, EmailPattern, "<EMAIL>"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.SparkSpec
 
@@ -63,5 +64,77 @@ class PiiSpec extends SparkSpec {
     val row = spark.range(1).select(once.as("a"), twice.as("b"))
       .as[(String, String)].head()
     assert(row._1 == row._2 && row._1 == "mail <EMAIL> call <PHONE> host <IP>")
+  }
+
+  /** The staged regex chain the fused kernel must reproduce byte-exactly
+    * (same java.util.regex semantics Spark's regexp_replace uses). */
+  private def stagedScrub(s: String): String =
+    s.replaceAll(Pii.EmailPattern, "<EMAIL>")
+      .replaceAll(Pii.PhonePattern, "<PHONE>")
+      .replaceAll(Pii.Ipv4Pattern, "<IP>")
+
+  private def kernelScrub(s: String): String =
+    graft.functions.PiiScrubKernel.scrub(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+
+  test("fused PiiScrub kernel ≡ staged regex chain: adversarial goldens") {
+    val cases = Seq(
+      // boundary comes from the placeholder, not the original text:
+      // email consumes "a@b.cc", then '>' gives the IP its leading \b
+      "a@b.cc1.2.3.4",
+      // email local part absorbs a phone-shaped prefix
+      "+123456789@b.cc",
+      "+1234567.x@y.cc",
+      // greedy 4th octet eats into what looks like a second address
+      "1.2.3.41.2.3.4",
+      "1.2.3.4.5.6.7.8",
+      // greedy phone digits consume the IP's first octet
+      "+12345671.2.3.4",
+      // failed email attempts: no '@' reachable, '@' with empty domain
+      "ab@@x.cc", "a@b", "x@y.z12 tail", "@@@", "a@.cc", "a@-.cc",
+      // tld backtracking: match must end at the last dot-letters block
+      "a@b.cc4567", "u@sub.do-main.org.uk extra",
+      // phone run-length edges: 6 (short), 7, 15, 16 (overlong) digits
+      "+123456", "+1234567", "+123456789012345", "+1234567890123456",
+      // trailing-boundary failures
+      "+1234567abc", "x1.2.3.4", "1.2.3.4x", "1.2.3.456789",
+      // IP octet-length edges
+      "1234.2.3.4", "1.2.3.1234", "999.999.999.999 ok",
+      // adjacency chains
+      "1.2.3.4+1234567", "+1234567 1.2.3.4 a@b.cc",
+      "mail:a@b.io,b@c.de;+12345678/10.0.0.1",
+      // unicode neighbours (non-ASCII bytes are never word chars)
+      "é1.2.3.4é", "日本語 a@b.cc 日本語", "naïve+1234567x",
+      "", " ", "+", "@", "1.2.3.4")
+    for (c <- cases)
+      assert(kernelScrub(c) == stagedScrub(c), s"input: '$c'")
+  }
+
+  test("fused PiiScrub kernel ≡ staged regex chain (property: random PII soup)") {
+    val atom = Gen.oneOf(
+      Gen.oneOf("alpha", "beta", "x", "the", "…", "é", "_", "%", "-", ".", "..",
+        "@", "+", "<", ">", " ", "  ", ",", "\n"),
+      Gen.choose(0, 99999).map(_.toString),
+      Gen.oneOf("a@b.cc", "jo.doe+x@mail-host.co.uk", "a@b", "@b.cc", "a@b.c",
+        "+12345678", "+123456", "+123456789012345678",
+        "1.2.3.4", "10.0.255.7", "1.2.3", "1.2.3.4.5", "999.999.999.999",
+        "v1.2.3.44", "a@b.cc1.2.3.4", "+1234567a@b.cc"))
+    val genDoc = Gen.choose(0, 12).flatMap(k =>
+      Gen.listOfN(k, atom).map(_.mkString("")))
+    val prop = Prop.forAll(genDoc) { s: String =>
+      kernelScrub(s) == stagedScrub(s)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(3000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("Pii.scrub column ≡ scrubComposed column through Spark") {
+    val docs = Seq(
+      "reach jo.doe+spam@mail-host.co.uk or +4915123456789",
+      "server 192.168.0.1 and 10.0.255.7", "a@b.cc1.2.3.4 soup +12345671.2.3.4",
+      "plain text, no pii at all").zipWithIndex.map(_.swap).toDF("id", "text")
+    val both = docs.select(Pii.scrub(col("text")).as("k"),
+      Pii.scrubComposed(col("text")).as("r")).as[(String, String)].collect()
+    both.foreach { case (k, r) => assert(k == r) }
   }
 }
