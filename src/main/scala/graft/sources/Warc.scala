@@ -47,6 +47,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * the same way. [[Scan.estimateStatistics]] reports summed file sizes so
   * Catalyst can size joins against the scan.
   *
+  * Raw `.warc.gz` (Common Crawl's primary format) wraps `response` /
+  * `request` payloads in an HTTP envelope (status line + headers + blank
+  * line + body). Records whose Content-Type is `application/http` split
+  * at the first blank line: `http_status` and `http_content_type` expose
+  * the envelope, `content` is the BODY ONLY. Selecting just envelope
+  * columns reads at most the 64 KiB head and SKIPS the body bytes (the
+  * crawl-census path); a payload with no blank line (truncated envelope)
+  * keeps the whole block as `content` with null envelope columns. WET
+  * `conversion` records have no envelope — their `http_*` columns are
+  * null and `content` is unchanged.
+  *
   * Malformed-input contract (crawls contain garbage): bytes between
   * records that aren't a `WARC/` version line are skipped; a record whose
   * payload is cut by EOF is dropped (its fields can't be trusted);
@@ -65,6 +76,8 @@ object Warc {
     StructField("warc_date", StringType, nullable = true),
     StructField("content_type", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
     StructField("content", BinaryType, nullable = true)))
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -75,21 +88,45 @@ object Warc {
   def wetText(content: Column): Column = content.cast("string")
 
   /** One parsed record: header keys lower-cased; `payload` is null when
-    * the reader skipped it (pruned or filtered out). */
-  final class Record(val headers: Map[String, String], val payload: Array[Byte]) {
+    * the reader skipped it (pruned or filtered out). For records whose
+    * record-level Content-Type is `application/http` (raw `.warc.gz`
+    * `response`/`request` records wrap the body in an HTTP envelope),
+    * `payload` is the BODY ONLY and the envelope's status code and
+    * Content-Type surface as `httpStatus`/`httpContentType`; a payload
+    * with no parseable envelope (truncated or not actually HTTP) keeps
+    * the whole block as `payload` with null envelope fields. */
+  final class Record(val headers: Map[String, String], val payload: Array[Byte],
+      val httpStatus: java.lang.Integer = null, val httpContentType: String = null) {
     def header(k: String): String = headers.getOrElse(k, null)
     def contentLength: Long = headers.get("content-length").map(_.toLong).getOrElse(-1L)
   }
 
+  /** Per-record payload need, decided from the record headers BEFORE the
+    * payload bytes are read: skip them, parse only the HTTP envelope
+    * head (then skip the body bytes), or materialize fully. */
+  object PayloadNeed {
+    val Skip = 0
+    val EnvelopeOnly = 1
+    val Full = 2
+  }
+
+  /** Is this record's payload an HTTP message (RFC 2616 envelope +
+    * body)? WARC marks it with Content-Type `application/http` (with a
+    * `;msgtype=` parameter in the wild). */
+  def isHttpPayload(headers: Map[String, String]): Boolean =
+    headers.get("content-type")
+      .exists(_.toLowerCase(java.util.Locale.ROOT).startsWith("application/http"))
+
   /** Streaming record walk over one (possibly multi-member-gzip) WARC
-    * stream. `wantPayload` decides per record whether to materialize the
-    * block or skip it byte-exactly. Not thread-safe; single forward pass. */
+    * stream. `need` decides per record whether to materialize the block,
+    * parse only its HTTP envelope head, or skip it byte-exactly. Not
+    * thread-safe; single forward pass. */
   final class Parser(in: InputStream) {
     private val MaxHeaderLine = 1 << 16
 
-    /** Next record, with `wantPayload(headers)` gating materialization;
-      * null at EOF. */
-    def next(wantPayload: Map[String, String] => Boolean): Record = {
+    /** Next record, with `need(headers)` ([[PayloadNeed]]) gating
+      * payload materialization; null at EOF. */
+    def next(need: Map[String, String] => Int): Record = {
       var line = readLine()
       // tolerate inter-record blank lines and non-WARC garbage
       while (line != null && !line.startsWith("WARC/")) line = readLine()
@@ -113,14 +150,62 @@ object Warc {
       val len = headers.get("content-length").flatMap(_.toLongOption).getOrElse(-1L)
       if (len < 0) return null // unframed record ends the file
       val hmap = headers.toMap
-      if (wantPayload(hmap)) {
+      val want = need(hmap)
+      val http = want != PayloadNeed.Skip && isHttpPayload(hmap)
+      if (want == PayloadNeed.Full) {
         val buf = readFully(len)
         if (buf == null) return null // truncated payload: drop
-        new Record(hmap, buf)
+        if (http) {
+          val (status, ctype, bodyStart) = parseHttpEnvelope(buf, buf.length)
+          if (bodyStart >= 0)
+            new Record(hmap, java.util.Arrays.copyOfRange(buf, bodyStart, buf.length),
+              status, ctype)
+          else new Record(hmap, buf) // no parseable envelope: keep whole block
+        } else new Record(hmap, buf)
+      } else if (want == PayloadNeed.EnvelopeOnly && http) {
+        // read only the envelope head; the body bytes are SKIPPED, never
+        // materialized — the metadata-census path over raw .warc.gz
+        val headLen = math.min(len, MaxHeaderLine.toLong).toInt
+        val head = readFully(headLen)
+        if (head == null) return null
+        if (!skipFully(len - headLen)) return null
+        val (status, ctype, _) = parseHttpEnvelope(head, head.length)
+        new Record(hmap, null, status, ctype)
       } else {
         if (!skipFully(len)) return null
         new Record(hmap, null)
       }
+    }
+
+    /** (status, content-type, body start) of the HTTP envelope at the
+      * front of `buf`, or (null, null, -1) when no blank line terminates
+      * an envelope within `limit` — the truncated/absent-envelope
+      * tolerance. The status is null for a non-status first line (e.g.
+      * `request` records); envelope header names are matched
+      * case-insensitively; CRLF and bare-LF line endings both parse. */
+    private def parseHttpEnvelope(
+        buf: Array[Byte], limit: Int): (java.lang.Integer, String, Int) = {
+      var i = 0
+      var bodyStart = -1
+      while (bodyStart < 0 && i < limit - 1) {
+        if (buf(i) == '\r' && i + 3 < limit && buf(i + 1) == '\n' &&
+            buf(i + 2) == '\r' && buf(i + 3) == '\n') bodyStart = i + 4
+        else if (buf(i) == '\n' && buf(i + 1) == '\n') bodyStart = i + 2
+        else i += 1
+      }
+      if (bodyStart < 0) return (null, null, -1)
+      val head = new String(buf, 0, i, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val lines = head.split("\n").map(_.stripSuffix("\r"))
+      val status: java.lang.Integer =
+        if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
+          val parts = lines(0).split(" ")
+          if (parts.length >= 2) parts(1).toIntOption.map(Int.box).orNull else null
+        } else null
+      val ctype = lines.drop(1).collectFirst {
+        case l if l.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:") =>
+          l.substring(l.indexOf(':') + 1).trim
+      }.orNull
+      (status, ctype, bodyStart)
     }
 
     /** CRLF/LF line as a String (UTF-8), null at EOF. */
@@ -867,6 +952,8 @@ class WarcPartitionReader(path: String, required: StructType, typeFilter: Set[St
     parserOpened
   }
   private val wantContent = required.fieldNames.contains("content")
+  private val wantHttpMeta = required.fieldNames
+    .exists(n => n == "http_status" || n == "http_content_type")
   private val fileUtf8 = UTF8String.fromString(path)
   private val getters: Array[Warc.Record => Any] = required.fieldNames.map {
     case "warc_file" => (_: Warc.Record) => fileUtf8
@@ -876,6 +963,8 @@ class WarcPartitionReader(path: String, required: StructType, typeFilter: Set[St
     case "warc_date" => (r: Warc.Record) => utf8(r.header("warc-date"))
     case "content_type" => (r: Warc.Record) => utf8(r.header("content-type"))
     case "content_length" => (r: Warc.Record) => r.contentLength
+    case "http_status" => (r: Warc.Record) => r.httpStatus
+    case "http_content_type" => (r: Warc.Record) => utf8(r.httpContentType)
     case "content" => (r: Warc.Record) => r.payload
     case other => throw new IllegalArgumentException(s"unknown warc column $other")
   }
@@ -906,8 +995,13 @@ class WarcPartitionReader(path: String, required: StructType, typeFilter: Set[St
       // equality never matches NULL, and pushed filters are reported
       // fully handled, so such records must be non-matching here (a
       // getOrElse("") would wrongly match a pushed record_type = '')
-      val r = parser.next(hs =>
-        wantContent && (typeFilter == null || hs.get("warc-type").exists(typeFilter.contains)))
+      val r = parser.next { hs =>
+        if (typeFilter != null && !hs.get("warc-type").exists(typeFilter.contains))
+          Warc.PayloadNeed.Skip
+        else if (wantContent) Warc.PayloadNeed.Full
+        else if (wantHttpMeta) Warc.PayloadNeed.EnvelopeOnly
+        else Warc.PayloadNeed.Skip
+      }
       if (r == null) return false
       if (typeFilter == null || r.headers.get("warc-type").exists(typeFilter.contains))
         current = r

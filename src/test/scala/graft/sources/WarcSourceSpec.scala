@@ -180,7 +180,8 @@ class WarcSourceSpec extends SparkSpec {
         record("conversion", s"https://p.example.com/$i", p)
       }.toArray
       val parser = new Warc.Parser(new java.io.ByteArrayInputStream(bytes))
-      val got = Iterator.continually(parser.next(_ => true)).takeWhile(_ != null).toList
+      val got = Iterator.continually(parser.next(_ => Warc.PayloadNeed.Full))
+        .takeWhile(_ != null).toList
       got.length == payloads.length &&
         got.zip(payloads).forall { case (r, p) => java.util.Arrays.equals(r.payload, p) } &&
         got.zipWithIndex.forall { case (r, i) =>
@@ -439,6 +440,80 @@ class WarcSourceSpec extends SparkSpec {
     assert(df.filter(col("record_type") === "").count() == 0)
     assert(df.filter(col("record_type") === "conversion").count() == 1)
     assert(df.filter(col("record_type").isin("", "conversion")).count() == 1)
+  }
+
+  test("raw WARC response records: HTTP envelope splits into status/content-type/body") {
+    val dir = tempDir()
+    val env = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+      "X-Served-By: cache-x\r\n\r\n"
+    val body = "<html><body>héllo ✓</body></html>"
+    val notFound = "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\ngone"
+    Files.write(dir.resolve("a.warc"),
+      record("response", "https://a.example.com/ok", (env + body).getBytes(UTF_8),
+        ctype = "application/http; msgtype=response") ++
+      record("response", "https://a.example.com/404", notFound.getBytes(UTF_8),
+        ctype = "application/http; msgtype=response") ++
+      record("warcinfo", null, "software: synthetic\r\n".getBytes(UTF_8),
+        ctype = "application/warc-fields"))
+    val df = spark.read.format("warc").load(dir.toString)
+    val got = df.select(col("target_uri"), col("http_status"), col("http_content_type"),
+      col("content").cast("string"))
+      .as[(String, Option[Int], String, String)].collect()
+      .map(r => String.valueOf(r._1) -> r).toMap
+    assert(got("https://a.example.com/ok") ==
+      (("https://a.example.com/ok", Some(200), "text/html; charset=UTF-8", body)))
+    assert(got("https://a.example.com/404") ==
+      (("https://a.example.com/404", Some(404), "text/plain", "gone")))
+    // non-HTTP records keep the whole payload and null envelope columns
+    assert(got("null") == ((null, None, null, "software: synthetic\r\n")))
+  }
+
+  test("HTTP envelope tolerance: truncated envelope keeps the whole block; request and LF-only parse") {
+    val dir = tempDir()
+    Files.write(dir.resolve("a.warc"),
+      // no blank line within the payload: not a parseable envelope
+      record("response", "https://t.example.com/trunc",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/h".getBytes(UTF_8),
+        ctype = "application/http; msgtype=response") ++
+      // request records have no status code but a real envelope
+      record("request", "https://t.example.com/req",
+        "GET /x HTTP/1.1\r\nHost: t.example.com\r\n\r\n".getBytes(UTF_8),
+        ctype = "application/http; msgtype=request") ++
+      // bare-LF line endings still split
+      record("response", "https://t.example.com/lf",
+        "HTTP/1.0 301 Moved\nLocation: /y\n\nmoved".getBytes(UTF_8),
+        ctype = "application/http"))
+    val df = spark.read.format("warc").load(dir.toString)
+    val got = df.select(col("target_uri"), col("http_status"), col("http_content_type"),
+      col("content").cast("string"))
+      .as[(String, Option[Int], String, String)].collect().map(r => r._1 -> r).toMap
+    assert(got("https://t.example.com/trunc") == (("https://t.example.com/trunc",
+      None, null, "HTTP/1.1 200 OK\r\nContent-Type: text/h")))
+    assert(got("https://t.example.com/req") ==
+      (("https://t.example.com/req", None, null, "")))
+    assert(got("https://t.example.com/lf") ==
+      (("https://t.example.com/lf", Some(301), null, "moved")))
+  }
+
+  test("envelope-only pruning: status without content skips body bytes, plan-pinned") {
+    val dir = tempDir()
+    val bigBody = "x" * 200000 // larger than the 64 KiB envelope head cap
+    Files.write(dir.resolve("a.warc"),
+      record("response", "https://p.example.com/1",
+        ("HTTP/1.1 200 OK\r\nContent-Type: a/b\r\n\r\n" + bigBody).getBytes(UTF_8),
+        ctype = "application/http; msgtype=response") ++
+      record("response", "https://p.example.com/2",
+        ("HTTP/1.1 500 Oops\r\n\r\nerr").getBytes(UTF_8),
+        ctype = "application/http; msgtype=response"))
+    val pruned = spark.read.format("warc").load(dir.toString)
+      .select("target_uri", "http_status")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("warc[target_uri,http_status]"), "http_status must prune away content")
+    val got = pruned.as[(String, Option[Int])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      "https://p.example.com/1" -> Some(200), "https://p.example.com/2" -> Some(500)))
+    // record framing survives the head-capped skip: a following record parses
+    assert(spark.read.format("warc").load(dir.toString).count() == 2)
   }
 
   test("streaming discovery: in-progress suffixes are skipped; fileStabilityPolls defers changing files") {
