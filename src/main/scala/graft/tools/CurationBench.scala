@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Contamination, Dedup, Packing, Pii, Sampling, TextAnalysis}
+import graft.operators.{Bpe, Components, Contamination, Dedup, Packing, Pii, Sampling, TextAnalysis}
 
 /** Curation-DAG throughput harness: synthesizes an N-document corpus
   * (default 10M docs, ~100 tokens each, ≈6.5 GB of text) entirely with
@@ -35,9 +35,14 @@ import graft.operators.{Components, Contamination, Dedup, Packing, Pii, Sampling
   * are repeated (min-of-2 by default) and a constant-size summary line
   * prints LAST (tail-truncation-proof, same contract as graft.Bench).
   *
-  * Usage: runMain graft.tools.CurationBench [nDocs] [runs] [skew]
+  * Usage: runMain graft.tools.CurationBench [nDocs] [runs] [skew] [bpe]
   * — the `skew` flag swaps in the adversarial corpus (see [[synth]]):
-  * dominant language, boilerplate LSH cluster, hot dup-gram mass.
+  * dominant language, boilerplate LSH cluster, hot dup-gram mass; the
+  * `bpe` flag trains a real BPE tokenizer on the mixed corpus (one
+  * extra `09a_bpe_train` stage, model persisted via [[Bpe.save]]) and
+  * runs the token-budget and packing stages with EXACT
+  * [[Bpe.tokenCount]] numbers instead of the whitespace proxy — the
+  * accounting a real pre-training pipeline needs.
   */
 object CurationBench {
 
@@ -184,7 +189,8 @@ object CurationBench {
 
   def main(args: Array[String]): Unit = {
     val skew = args.contains("skew")
-    val num = args.filterNot(_ == "skew")
+    val bpe = args.contains("bpe")
+    val num = args.filterNot(a => a == "skew" || a == "bpe")
     val n = num.headOption.map(_.toLong).getOrElse(10000000L)
     val runs = num.drop(1).headOption.map(_.toInt).getOrElse(2)
     val root = "/tmp/graft_curation_bench"
@@ -336,18 +342,34 @@ object CurationBench {
           .filter($"kept").drop("keep_permille", "kept")
       }
       free("07_decontam")
+      // 5b (bpe mode). exact tokenizer accounting: train BPE on the
+      // mixed corpus ONCE (distributed histogram + bounded driver merge
+      // loop), persist the model, and run budget+packing on exact
+      // Bpe.tokenCount numbers instead of the whitespace proxy
+      val tok: Column => Column =
+        if (!bpe) t => TextAnalysis.tokenCount(t)
+        else {
+          val t0 = System.nanoTime()
+          val model = Bpe.train(mixed, $"text", numMerges = 2000)
+          Bpe.save(model, spark, s"$root/bpe_model")
+          val sec = (System.nanoTime() - t0) / 1e9
+          stages.getOrElseUpdate("09a_bpe_train", Array.fill(runs)(0.0))(run) = sec
+          rowsOut("09a_bpe_train") = model.merges.length.toLong
+          println(f"""{"stage":"09a_bpe_train","run":$run,"sec":$sec%.2f,"rows_out":${model.merges.length}}""")
+          t => Bpe.tokenCount(t, model)
+        }
       // 6. per-language token budget: best docs first until the budget fills
       val budgeted = stage("09_token_budget") {
         Sampling.budgetSelect(mixed, $"lang",
           Seq($"n_chars".desc, $"doc_id".asc),
-          TextAnalysis.tokenCount($"text").cast("long"),
+          tok($"text").cast("long"),
           budget = n * 8L).filter($"kept").drop("cum_weight", "kept")
       }
       free("08_temperature_mix")
       // 7. pack into context windows per language shard
       val packed = stage("10_packing") {
         Packing.sequencePacking(budgeted, "lang", "doc_id",
-          TextAnalysis.tokenCount($"text"), capacity = 4096)
+          tok($"text"), capacity = 4096)
       }
       free("09_token_budget")
       // 8+9. deterministic split, then training-order shards
@@ -364,8 +386,8 @@ object CurationBench {
     val stagesJson = stages.map { case (k, v) =>
       f""""$k":{"sec":${v.min}%.2f,"rows_out":${rowsOut(k)}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"curation_stages","n_docs":$n,"runs":$runs,"skew":$skew,"stages":$stagesJson}""")
-    println(f"""{"metric":"curation_total","n_docs":$n,"skew":$skew,"sec":$total%.2f,"docs_per_sec":${n / total}%.0f,"final_rows":${rowsOut.last._2}}""")
+    println(s"""{"metric":"curation_stages","n_docs":$n,"runs":$runs,"skew":$skew,"bpe":$bpe,"stages":$stagesJson}""")
+    println(f"""{"metric":"curation_total","n_docs":$n,"skew":$skew,"bpe":$bpe,"sec":$total%.2f,"docs_per_sec":${n / total}%.0f,"final_rows":${rowsOut.last._2}}""")
     fs.delete(new Path(root), true)
     spark.stop()
   }
