@@ -1,0 +1,262 @@
+package graft.functions
+
+import java.lang.invoke.{MethodHandles, VarHandle}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+
+/** Saturating {0, 1, ≥2} count sketch over 64-bit gram keys — the
+  * map-side pre-filter that lets [[graft.operators.Dedup.duplicateSpans]]
+  * skip the corpus-sized global gram-count exchange: a gram whose every
+  * probe cell stayed below 2 is PROVABLY globally unique (no false
+  * negatives), so only the sketch-positive sliver — true duplicates plus
+  * a bounded false-positive fraction — ever enters the exact count.
+  *
+  * Each of `mCells` cells is a saturating 2-valued counter held as one
+  * bit in each of two bitplanes (`lo` = seen at least once, `hi` = seen
+  * at least twice); a key probes k=2 cells (two splitmix64-mixed
+  * positions) and is a duplicate CANDIDATE iff both cells saturated.
+  * The bitplane encoding makes the three operations that matter each a
+  * handful of word ops:
+  *
+  *  - insert: per cell, fetch-OR the lo bit; if it was already set,
+  *    OR the hi bit. The atomic variant is linearizable under races —
+  *    of two concurrent first inserts exactly one observes lo=0 — so a
+  *    JVM-shared sketch never misses a duplicate (task retries can only
+  *    ADD false positives, which the exact verification removes).
+  *  - merge: hi' = hiₐ | hi_b | (loₐ & lo_b); lo' = loₐ | lo_b —
+  *    exact saturating counter addition, associative, so any
+  *    tree-reduction order yields the same sketch.
+  *  - query: both hi bits set.
+  *
+  * False-positive rate at load n keys over m cells (k=2):
+  * (1 − e^(−2n/m))² — 8% at m = 6n, a ~12× cut of the exchange on a
+  * mostly-unique corpus; a false positive only costs its postings
+  * riding the (small) exact-count exchange, never a wrong result.
+  *
+  * Two build strategies ([[GramCountSketch.build]]):
+  *  - `shared`: every task of the build scan inserts atomically into ONE
+  *    JVM-registered instance — total memory one sketch regardless of
+  *    task concurrency. Requires executors in the driver JVM (local
+  *    master); the build fails fast otherwise.
+  *  - `perTask`: classic per-partition sketches tree-reduced exactly —
+  *    cluster-safe with any executor topology; memory is one sketch per
+  *    CONCURRENT task, so size executors accordingly (8 cores × a 256 MB
+  *    sketch = 2 GB of the executor heap during the build scan).
+  *  - `auto` picks `shared` on a local master, `perTask` otherwise.
+  *
+  * The sketch is an internal pre-filter — never replayed by the DuckDB
+  * oracle — so the probe mixers need no engine neutrality.
+  */
+final class GramCountSketch(val mCells: Long) extends Serializable {
+  require(mCells >= 64, s"mCells=$mCells: need at least one word per plane")
+  require(mCells <= (1L << 37), s"mCells=$mCells exceeds the 2^37 plane-index range")
+
+  private val nWords: Int = ((mCells + 63) / 64).toInt
+  val lo: Array[Long] = new Array[Long](nWords)
+  val hi: Array[Long] = new Array[Long](nWords)
+
+  import GramCountSketch.{mix1, mix2, PlaneVH}
+
+  @inline private def pos1(h: Long): Long = java.lang.Long.remainderUnsigned(mix1(h), mCells)
+  @inline private def pos2(h: Long): Long = java.lang.Long.remainderUnsigned(mix2(h), mCells)
+
+  /** Single-writer insert (per-task build). */
+  def insertSeq(h: Long): Unit = {
+    insertCellSeq(pos1(h))
+    insertCellSeq(pos2(h))
+  }
+
+  @inline private def insertCellSeq(p: Long): Unit = {
+    val w = (p >>> 6).toInt
+    val bit = 1L << (p & 63L).toInt
+    if ((lo(w) & bit) != 0L) hi(w) |= bit else lo(w) |= bit
+  }
+
+  /** Concurrent insert (JVM-shared build): fetch-OR linearizes the
+    * seen-once transition, so a duplicate key racing across threads still
+    * saturates its cells. */
+  def insertAtomic(h: Long): Unit = {
+    insertCellAtomic(pos1(h))
+    insertCellAtomic(pos2(h))
+  }
+
+  @inline private def insertCellAtomic(p: Long): Unit = {
+    val w = (p >>> 6).toInt
+    val bit = 1L << (p & 63L).toInt
+    // Load-only fast path: set bits never clear, so a plain read showing
+    // lo (or hi) set is authoritative — hot boilerplate grams saturate
+    // once and then cost two loads instead of contended fetch-ORs. A
+    // STALE read (missing a concurrent set) only falls through to the
+    // fetch-OR, whose returned prior value is the linearization point.
+    val lw = lo(w)
+    if ((lw & bit) != 0L) {
+      if ((hi(w) & bit) == 0L) { PlaneVH.getAndBitwiseOr(hi, w, bit); () }
+    } else {
+      val prev = PlaneVH.getAndBitwiseOr(lo, w, bit).asInstanceOf[Long]
+      if ((prev & bit) != 0L) { PlaneVH.getAndBitwiseOr(hi, w, bit); () }
+    }
+  }
+
+  /** True iff `h` MAY occur ≥ 2 times among the inserted keys; false is
+    * authoritative (the key is globally unique). */
+  def maybeDup(h: Long): Boolean = {
+    val p1 = pos1(h); val p2 = pos2(h)
+    (hi((p1 >>> 6).toInt) & (1L << (p1 & 63L).toInt)) != 0L &&
+      (hi((p2 >>> 6).toInt) & (1L << (p2 & 63L).toInt)) != 0L
+  }
+
+  /** Exact saturating-counter merge; mutates and returns `this`. */
+  def mergeInPlace(other: GramCountSketch): GramCountSketch = {
+    require(other.mCells == mCells,
+      s"cannot merge sketches of different geometry: $mCells vs ${other.mCells}")
+    var i = 0
+    while (i < nWords) {
+      val a = lo(i); val b = other.lo(i)
+      hi(i) = hi(i) | other.hi(i) | (a & b)
+      lo(i) = a | b
+      i += 1
+    }
+    this
+  }
+
+  /** Fraction of lo-plane bits set — the load observability knob: above
+    * ~0.5 the false-positive rate degrades fast and the sketch was
+    * undersized for the corpus. */
+  def loadFactor: Double = {
+    var set = 0L; var i = 0
+    while (i < nWords) { set += java.lang.Long.bitCount(lo(i)); i += 1 }
+    set.toDouble / (nWords.toLong * 64L)
+  }
+}
+
+object GramCountSketch {
+  private val PlaneVH: VarHandle =
+    MethodHandles.arrayElementVarHandle(classOf[Array[Long]])
+
+  /** splitmix64 finalizer — probe 1. */
+  @inline private[functions] def mix1(h0: Long): Long = {
+    var h = h0 + 0x9E3779B97F4A7C15L
+    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
+  /** splitmix64 of the golden-ratio-shifted key — probe 2, independent
+    * of probe 1 for any fixed key. */
+  @inline private[functions] def mix2(h0: Long): Long = mix1(h0 + 0x6A09E667F3BCC909L)
+
+  /** JVM-shared build registry: the scan's tasks look their sketch up by
+    * id, which only resolves when executors share the driver JVM. */
+  private val registry = new ConcurrentHashMap[Long, GramCountSketch]()
+  private val nextId = new AtomicLong(0L)
+
+  private[functions] def sharedLookup(id: Long): GramCountSketch = {
+    val sk = registry.get(id)
+    require(sk != null,
+      "shared GramCountSketch build scheduled on an executor outside the driver JVM — " +
+        "use the perTask build strategy on a non-local master")
+    sk
+  }
+
+  /** Builds the sketch over `grams` — a single column of either LONG
+    * keys or ARRAY<LONG> key groups (the array form lets a shingle
+    * kernel's per-doc output feed the build WITHOUT a 10⁹-row Generate:
+    * the scan stays one row per document) — with the given strategy:
+    * "shared" | "perTask" | "auto" (shared iff local master). Runs one
+    * Spark job (the build scan); see the class doc for the memory
+    * contract of each strategy. */
+  def build(grams: DataFrame, mCells: Long, strategy: String): GramCountSketch = {
+    val sc = grams.sparkSession.sparkContext
+    val isArray = grams.schema.length == 1 && (grams.schema.head.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+      case LongType => false
+      case other => throw new IllegalArgumentException(
+        s"GramCountSketch.build expects one LONG or ARRAY<LONG> column, got ${other.catalogString}")
+    })
+    val resolved = strategy match {
+      case "auto" => if (sc.isLocal) "shared" else "perTask"
+      case s => s
+    }
+    @inline def insertRow(sk: GramCountSketch, atomic: Boolean,
+        row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      if (!row.isNullAt(0)) {
+        if (isArray) {
+          val arr = row.getArray(0)
+          var i = 0; val sz = arr.numElements()
+          while (i < sz) {
+            if (!arr.isNullAt(i)) {
+              if (atomic) sk.insertAtomic(arr.getLong(i)) else sk.insertSeq(arr.getLong(i))
+            }
+            i += 1
+          }
+        } else if (atomic) sk.insertAtomic(row.getLong(0))
+        else sk.insertSeq(row.getLong(0))
+      }
+    }
+    val rdd = grams.queryExecution.toRdd
+    resolved match {
+      case "shared" =>
+        val id = nextId.getAndIncrement()
+        registry.put(id, new GramCountSketch(mCells))
+        try {
+          rdd.foreachPartition { it =>
+            val sk = sharedLookup(id)
+            while (it.hasNext) insertRow(sk, atomic = true, it.next())
+          }
+          registry.get(id)
+        } finally registry.remove(id)
+      case "perTask" =>
+        if (rdd.getNumPartitions == 0) new GramCountSketch(mCells)
+        else rdd.mapPartitions { it =>
+          val sk = new GramCountSketch(mCells)
+          while (it.hasNext) insertRow(sk, atomic = false, it.next())
+          Iterator.single(sk)
+        }.treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
+      case other => throw new IllegalArgumentException(
+        s"unknown sketch build strategy '$other' (shared | perTask | auto)")
+    }
+  }
+}
+
+/** `sketch.maybeDup(key)` as a codegen'd predicate. The sketch rides as a
+  * BROADCAST handle (the planes can be hundreds of MB — embedding them in
+  * the expression would serialize them into every task binary, the same
+  * reason Spark's runtime bloom filters ride subquery results, not
+  * literals); generated code resolves `value()` once per operator
+  * instance into a mutable-state field, so the per-row probe is two word
+  * loads inside whole-stage codegen. */
+case class SketchMaybeDup(sketch: Broadcast[GramCountSketch], child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "gram_sketch_maybe_dup"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_sketch_maybe_dup probes a LONG gram key, got ${other.catalogString}")
+  }
+
+  @transient private lazy val sk: GramCountSketch = sketch.value
+
+  override def nullSafeEval(input: Any): Any = sk.maybeDup(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[Broadcast[_]].getName
+    val skCls = classOf[GramCountSketch].getName
+    val bcRef = ctx.addReferenceObj("gramSketchBc", sketch, bcCls)
+    val skTerm = ctx.addMutableState(skCls, "gramSketch",
+      v => s"$v = ($skCls) $bcRef.value();")
+    defineCodeGen(ctx, ev, c => s"$skTerm.maybeDup($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SketchMaybeDup =
+    copy(child = newChild)
+}

@@ -28,10 +28,22 @@ import graft.functions.{MinHashSig, RemoveTokenSpans, RollingHash, ShingleHashes
   */
 object Dedup {
 
-  /** Input-size gate for [[duplicateSpans]]'s eager broadcast mask pass —
-    * below it the operator stays lazy (see its scaladoc). */
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Input-size gate for [[duplicateSpans]]'s eager sketch-filtered
+    * mask pass — below it the operator stays lazy (see its scaladoc). */
   val BroadcastGateMinBytesKey = "spark.graft.spans.broadcastGateMinBytes"
   val BroadcastGateMinBytesDefault: Long = 128L * 1024 * 1024
+
+  /** [[graft.functions.GramCountSketch]] sizing and build knobs for
+    * [[duplicateSpans]]' above-gate path (see its scaladoc): cells per
+    * optimizer-estimated input byte, the bitplane-bytes cap, and the
+    * build strategy (auto | shared | perTask). */
+  val SketchCellsPerByteKey = "spark.graft.spans.sketchCellsPerByte"
+  val SketchCellsPerByteDefault: Double = 2.0
+  val SketchMaxBytesKey = "spark.graft.spans.sketchMaxBytes"
+  val SketchMaxBytesDefault: Long = 1024L * 1024 * 1024
+  val SketchBuildKey = "spark.graft.spans.sketchBuild"
 
   /** Increment-size bound under which [[incrementalNearDupPairs]]
     * broadcast-hints the increment's touched-bucket key set into the
@@ -613,32 +625,46 @@ object Dedup {
     * `rollingHash(gram)·(10⁹+7) + rollingHash37(gram)` (base-37 twin —
     * a salted base-31 hash would preserve equal-length collisions).
     *
-    * The mask pass is SIZE-GATED twice, because the two passes have
-    * wildly different natural costs: the count pass must shuffle every
-    * gram key once (irreducible — global exactness), but the ≥2
-    * survivors are OUTPUT-bounded — ordinarily a sliver of the corpus
-    * gram mass.
+    * The operator is SIZE-GATED, because toy and at-scale inputs have
+    * opposite natural plans:
     *
     *  - Inputs whose optimizer-estimated size is at most
     *    `spark.graft.spans.broadcastGateMinBytes` (default 128 MB) keep
     *    the fully LAZY single-query plan — count aggregate feeding a
-    *    shuffled semi-join — whose second postings exchange is cheap at
-    *    that size (and which costs no extra job at toy scale; same gate
+    *    shuffled semi-join — whose postings exchanges are cheap at that
+    *    size (and which costs no extra job at toy scale; same gate
     *    pattern and rationale as [[Prefix.runningSum]]).
-    *  - Above the gate the operator runs the count pass EAGERLY at
-    *    construction (one sizing job, [[Prefix.runningSum]]'s call-time
-    *    contract): at most `maxBroadcastKeys` surviving keys are
-    *    collected and the mask pass becomes a map-side broadcast
-    *    semi-join — the corpus-sized second postings exchange disappears
-    *    entirely (measured at 10M docs / 10⁹ grams: that ~24 GB
-    *    (doc, pos, h) shuffle was about half the stage; the span-mask
-    *    stage dropped ~3.5× with the gate). On a pathologically
-    *    duplicate-saturated corpus (keys above `maxBroadcastKeys`) the
-    *    keys stay a persisted DataFrame feeding the shuffled semi-join —
-    *    the build side then reads from cache instead of re-running the
-    *    count aggregate, and the cache entry deliberately outlives the
-    *    call (the returned frame recomputes from it; evict via
-    *    `unpersist` on a re-derived handle or session cache clearing).
+    *  - Above the gate the "count every gram globally" exchange — ~24 GB
+    *    of (h, count) rows at 10M docs / 10⁹ grams, the stage's dominant
+    *    cost, almost all of it singleton grams that can never survive the
+    *    ≥2 filter — is pre-filtered away by a
+    *    [[graft.functions.GramCountSketch]]: one extra shingle scan
+    *    builds the exact-no-false-negative sketch at construction time
+    *    ([[Prefix.runningSum]]'s call-time contract), the postings scan
+    *    keeps only sketch-positive grams (true duplicates + a bounded
+    *    false-positive fraction, (1−e^(−2n/m))² ≈ 8% at the default
+    *    sizing) and PERSISTS that sliver, the exact ≥2 count runs over
+    *    the cached sliver (map-side-combined groupBy — skew-safe), and at
+    *    most `maxBroadcastKeys` surviving keys broadcast into a map-side
+    *    semi-join over the same cache. Both 100 TB-relevant masses are
+    *    now bounded: the exchange carries only candidate gram keys, and
+    *    nothing corpus-sized is ever cached or shuffled. On a
+    *    pathologically duplicate-saturated corpus (keys above
+    *    `maxBroadcastKeys`) the keys stay a DataFrame feeding a shuffled
+    *    semi-join against the cached candidates. The candidate cache
+    *    deliberately outlives the call (the returned frame recomputes
+    *    from it; evict via `unpersist` on a re-derived handle or session
+    *    cache clearing). Sketch sizing:
+    *    `spark.graft.spans.sketchCellsPerByte` (default 2.0) cells per
+    *    optimizer-estimated input byte, capped by
+    *    `spark.graft.spans.sketchMaxBytes` (default 1 GiB of bitplanes);
+    *    an undersized sketch only grows the candidate sliver, never
+    *    changes the result — `GramCountSketch.loadFactor` is the
+    *    observability knob. Build strategy
+    *    (`spark.graft.spans.sketchBuild`, default auto): one JVM-shared
+    *    atomically-updated sketch on a local master, per-task sketches
+    *    tree-reduced on a cluster (see the sketch's scaladoc for the
+    *    executor-memory contract).
     *
     * → (doc_id, span_start, span_end, n_dup_grams): DISJOINT,
     * non-touching maximal half-open token spans [span_start, span_end) —
@@ -656,22 +682,45 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("h"))
-    val gate = df.sparkSession.sessionState.conf
-      .getConfString(BroadcastGateMinBytesKey, BroadcastGateMinBytesDefault.toString).toLong
+    val spark = df.sparkSession
+    def conf(key: String, default: String): String =
+      spark.sessionState.conf.getConfString(key, default)
+    val gate = conf(BroadcastGateMinBytesKey, BroadcastGateMinBytesDefault.toString).toLong
+    val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val dupPos =
-      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(gate))
+      if (statsBytes <= BigInt(gate))
         // small input: stay lazy — the second postings exchange is cheap
         postings.join(lazyDupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
       else {
-        val dupKeys = lazyDupKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nKeys = dupKeys.count() // the sizing job — also warms the cache
+        val cellsPerByte = conf(SketchCellsPerByteKey, SketchCellsPerByteDefault.toString).toDouble
+        val maxPlaneBytes = conf(SketchMaxBytesKey, SketchMaxBytesDefault.toString).toLong
+        val mCells = math.min(
+          math.max((statsBytes.toDouble * cellsPerByte).toLong, 1L << 22),
+          maxPlaneBytes * 4L)
+        // per-doc gram ARRAYS, not an exploded posting per gram: the
+        // build scan stays one row per document
+        val grams = df.select(TextAnalysis.ngramHashesWideMultiset(text, n).as("hs"))
+        val sketch = graft.functions.GramCountSketch.build(
+          grams, mCells, conf(SketchBuildKey, "auto"))
+        val load = sketch.loadFactor
+        log.info(f"duplicateSpans gram sketch: $mCells%d cells, load $load%.3f" +
+          (if (load > 0.5) " — UNDERSIZED (false-positive rate degrades fast above 0.5; " +
+            s"raise $SketchMaxBytesKey or $SketchCellsPerByteKey)" else ""))
+        val bc = spark.sparkContext.broadcast(sketch)
+        val cand = postings
+          .filter(Bridge.column(graft.functions.SketchMaybeDup(bc, Bridge.expression(col("h")))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dupKeys = cand.groupBy(col("h"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("h"))
+        val nKeys = dupKeys.count() // the sizing job — also warms the candidate cache
         if (nKeys <= maxBroadcastKeys) {
           val keys = dupKeys.collect().map(_.getLong(0))
-          dupKeys.unpersist(blocking = false)
-          val keysDf = df.sparkSession.createDataset(keys.toIndexedSeq)(
+          val keysDf = spark.createDataset(keys.toIndexedSeq)(
             org.apache.spark.sql.Encoders.scalaLong).toDF("h")
-          postings.join(broadcast(keysDf), Seq("h"), "left_semi")
-        } else postings.join(dupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
+          cand.join(broadcast(keysDf), Seq("h"), "left_semi")
+        } else cand.join(dupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
       }
     // island merge on COVERAGE, not adjacency: gram at p covers tokens
     // [p, p+n), so coverages overlap at position gap < n and TOUCH at

@@ -143,27 +143,38 @@ class DedupPlanShapeSpec extends SparkSpec {
       s"below the size gate the mask pass must stay the lazy shuffled semi join:\n$lazyPlan")
     assert(!lazyPlan.contains("BroadcastNestedLoopJoin") && !lazyPlan.contains("CartesianProduct"),
       s"duplicateSpans degraded to a non-equi plan:\n$lazyPlan")
-    // above the gate with a small dup-key set (the common corpus case):
-    // eager sizing, then a map-side BROADCAST semi join — the corpus
-    // postings never shuffle a second time
+    // above the gate (the common corpus case): the GramCountSketch
+    // pre-filter sits in the postings scan, the sketch-positive sliver is
+    // cached, the exact >= 2 keys BROADCAST into a map-side semi join —
+    // nothing corpus-sized shuffles at all
     spark.conf.set(Dedup.BroadcastGateMinBytesKey, "0")
     try {
       val spans = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
       val plan = spans.queryExecution.executedPlan.toString
+      assert(plan.contains("gram_sketch_maybe_dup"),
+        s"above the gate the postings scan must carry the sketch pre-filter:\n$plan")
+      assert(plan.contains("InMemoryTableScan"),
+        s"above the gate the mask pass must read the cached candidate sliver:\n$plan")
       assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
         s"small dup-key sets above the gate must broadcast:\n$plan")
-      // dup keys above maxBroadcastKeys: shuffled semi join from the
-      // persisted key set
+      // dup keys above maxBroadcastKeys: shuffled semi join against the
+      // cached candidates
       val big = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3,
         maxBroadcastKeys = 0L)
       val bigPlan = big.queryExecution.executedPlan.toString
       assert(bigPlan.contains("ShuffledHashJoin") && bigPlan.contains("LeftSemi"),
         s"above the broadcast cap the mask pass must be the shuffled semi join:\n$bigPlan")
-      // all three strategies emit identical spans
+      // the cluster build strategy (per-task sketches, tree-reduced)
+      spark.conf.set(Dedup.SketchBuildKey, "perTask")
+      val perTask = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+      spark.conf.unset(Dedup.SketchBuildKey)
+      // all four strategies emit identical spans
       val want = lazySpans.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq
-      assert(spans.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq == want &&
-        big.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq == want,
-        "mask-pass strategies must emit identical spans")
+      for ((got, label) <- Seq((spans, "sketch+broadcast"), (big, "sketch+shuffled"),
+          (perTask, "perTask build"))) {
+        assert(got.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq == want,
+          s"$label path must emit the lazy path's spans")
+      }
     } finally spark.conf.unset(Dedup.BroadcastGateMinBytesKey)
   }
 
