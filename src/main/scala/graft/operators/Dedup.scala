@@ -422,9 +422,14 @@ object Dedup {
     val candIds = cand.select(col("a_id").as("doc"))
       .unionByName(cand.select(col("b_id").as("doc")))
       .distinct()
-    val hsCand = df.select(id.as("doc"), shingleHashes(text, n).as("hs"))
-      .filter(col("hs").isNotNull)
+    // the shingle kernel sits ABOVE the semi join (same rule as the
+    // incremental operator's verify): only candidate docs are
+    // re-shingled — a projection below the join would run the kernel on
+    // the whole corpus and keep ~20% of the results
+    val hsCand = df.select(id.as("doc"), text.as("__text"))
       .join(candIds, Seq("doc"), "left_semi")
+      .select(col("doc"), shingleHashes(col("__text"), n).as("hs"))
+      .filter(col("hs").isNotNull)
     cand
       .join(hsCand.select(col("doc").as("a_id"), col("hs").as("a_hs")), Seq("a_id"))
       .join(hsCand.select(col("doc").as("b_id"), col("hs").as("b_hs")), Seq("b_id"))
