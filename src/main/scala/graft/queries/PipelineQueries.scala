@@ -418,6 +418,16 @@ object PipelineQueries {
     "q54_selfdup_spans" -> ((s, d) =>
       Dedup.duplicateSpans(Tables.documents(s, d), col("doc_id"), col("text"), n = 3)),
 
+    // q54's AT-SCALE plan path, forced at oracle scale: the gate set to 0
+    // activates the GramCountSketch pre-filter + cached-candidate mask
+    // (the plan a 100 TB corpus gets), and the same DuckDB oracle as q54
+    // hash-checks that the sketch path is exact, not just spec-pinned
+    "q75_selfdup_spans_sketch" -> ((s, d) => {
+      s.conf.set(Dedup.BroadcastGateMinBytesKey, "0")
+      try Dedup.duplicateSpans(Tables.documents(s, d), col("doc_id"), col("text"), n = 3)
+      finally s.conf.unset(Dedup.BroadcastGateMinBytesKey)
+    }),
+
     // the APPLY half of q54: rewrite every doc with its duplicated runs
     // cut out (map-side codegen kernel after one doc-keyed span join) —
     // survivors keep their unique content instead of being dropped whole
@@ -870,7 +880,7 @@ object PipelineQueries {
     // n: overlap or touch), replayed with the same lag-flag running sum
     // (the HUGEINT sum is only a grouping key, never an output column).
     // MIN/MAX/COUNT stay BIGINT in DuckDB (only SUM goes HUGEINT).
-    m += "q54_selfdup_spans" ->
+    val q54Sql =
       s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
          |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
          |    (${DuckSql.rollingHash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} * 1000000007
@@ -887,6 +897,10 @@ object PipelineQueries {
          |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 3 AS span_end,
          |  CAST(COUNT(*) AS BIGINT) AS n_dup_grams
          |FROM s GROUP BY doc_id, grp""".stripMargin
+    m += "q54_selfdup_spans" -> q54Sql
+
+    // q75: the sketch path must be EXACT — same oracle as q54
+    m += "q75_selfdup_spans_sketch" -> q54Sql
 
     // q57: a token is cut iff some duplicated gram starting at pos covers
     // it (pos..pos+2); survivors re-join with single spaces, docs that
