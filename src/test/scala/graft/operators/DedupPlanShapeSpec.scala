@@ -72,15 +72,17 @@ class DedupPlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("capped LSH near-dup pairs: slim band exchange, bucket-count window on slim rows") {
+  test("capped LSH near-dup pairs: slim band exchange, broadcast-anti bucket cap") {
     withNoAutoBroadcast {
     val pairs = Dedup.minhashNearDupPairs(
       docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4, minJaccardPermille = 200)
     val plan = pairs.queryExecution.executedPlan.toString
     assertSlimBandExchange(plan)
-    // the cap rides the slim band exchange as a count window — fine on
-    // 40-byte rows; it was the fat-exchange sort that was the problem
-    assert(plan.contains("Window"), s"bucket cap window missing:\n$plan")
+    // the cap is a broadcast ANTI join against the pigeonhole-bounded
+    // over-cap key set — never a count window, whose per-group machinery
+    // on ~4N near-singleton (band, sig) groups dominated the stage
+    assert(!plan.contains("Window"), s"bucket cap must not be a window:\n$plan")
+    assert(plan.contains("LeftAnti"), s"bucket cap anti join missing:\n$plan")
     assert(nDistinctExchanges(pairs) <= 6,
       s"capped LSH pair plan grew extra shuffles:\n$plan")
     val aggExchange = "Exchange hashpartitioning\\(a_id[^\\n]*".r.findAllIn(plan).toList
