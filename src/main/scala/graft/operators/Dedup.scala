@@ -304,8 +304,12 @@ object Dedup {
     * [[bucketedPairs]]. → (a_id, b_id), a < b. */
   def lshCandidates(sig: DataFrame, k: Int, bands: Int,
       maxBucketSize: Int = 10000): DataFrame = {
-    val withB = sig.select(col("doc"), array(bandSignaturesFromCols(k, bands): _*).as("bs"))
-    bucketedPairs(withB, maxBucketSize)
+    // rebuild the signature array from the persisted mh_i columns (cheap
+    // column refs — the inline-explode rule in [[bucketedPairs]] is about
+    // kernel-bearing lineages, which a stored table doesn't have)
+    val withSig = sig.select(col("doc"),
+      array((0 until k).map(i => col(s"mh_$i")): _*).as("__sig"))
+    bucketedPairs(withSig, k, bands, maxBucketSize)
   }
 
   /** Band-bucket self-join core over SLIM rows: explode band signatures
@@ -348,26 +352,36 @@ object Dedup {
     * (10000) is far above any bucket the oracle fixtures produce and
     * still bounds per-bucket pair mass at 10⁸. Capped-away recall is
     * observable via [[cappedLshBuckets]]. */
-  private def bucketedPairs(withB: DataFrame, maxBucketSize: Int): DataFrame = {
-    val exploded = withB.select(
-      col("doc"), posexplode(col("bs")).as(Seq("band", "sig")))
-    // The cap is applied as a broadcast ANTI join against the OVER-cap
-    // key set, not a count-window: the window shape sorts the whole band
-    // exchange and then pays WindowExec's per-group machinery on ~4N
-    // near-singleton groups (measured at 10M docs: the window dominated
-    // the stage), while the over-cap set is bounded by pigeonhole —
-    // at most N·bands/maxBucketSize keys (3,440 at 10M docs × 4 bands /
-    // 10k cap) — so it always broadcasts, and the cap filter is
-    // map-side. Same semantics: drop every row of every bucket larger
-    // than the cap.
+  private def bucketedPairs(withSig: DataFrame, k: Int, bands: Int,
+      maxBucketSize: Int): DataFrame = {
+    // The (band, sig) rows are exploded from an INLINE array-of-structs,
+    // never from a projected alias: `posexplode(col("bs"))` on an
+    // aliased array makes the optimizer's inferred Generate filter
+    // (`size(bs) > 0`) inline the whole band-array construction into the
+    // SCAN filter — 2·bands extra minhash-kernel evaluations per row
+    // (measured ~2× the 10M-doc stage) — while the inline form's
+    // inferred filter constant-folds away (the array size is a literal).
+    val bandCols = bandSignatures(col("__sig"), k, bands).zipWithIndex.map {
+      case (sig, b) => struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val exploded = withSig
+      .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    // The cap rides the slim band exchange as a count window. A
+    // broadcast-anti alternative (aggregate the over-cap keys — bounded
+    // by pigeonhole at N·bands/maxBucketSize — and anti-join them) was
+    // measured SLOWER head-to-head at 10M docs: its aggregate is a
+    // second full subtree (scan + exchange) that ReusedExchange cannot
+    // dedup against the join's, while the window shares the join's one
+    // exchange and sort. Keep the single-exchange shape.
     val buckets =
       if (maxBucketSize == Int.MaxValue) exploded
       else {
-        val hot = exploded.groupBy(col("band"), col("sig"))
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") > maxBucketSize)
-          .select(col("band"), col("sig"))
-        exploded.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+        val wBucket = Window.partitionBy(col("band"), col("sig"))
+        exploded
+          .withColumn("__bsz", count(lit(1)).over(wBucket))
+          .filter(col("__bsz") <= maxBucketSize)
+          .drop("__bsz")
       }
     def side(p: String) = buckets.select(
       col("band").as(s"${p}band"), col("sig").as(s"${p}sig"), col("doc").as(s"${p}_doc"))
@@ -434,17 +448,13 @@ object Dedup {
     val base = df.select(id.as("doc"),
       minhashSigArray(text, n, k).as("__sig"))
       .filter(col("__sig").isNotNull)
-    val withB = base.select(col("doc"),
-      array(bandSignatures(col("__sig"), k, bands): _*).as("bs"))
-    // The candidate-pair DAG is referenced THREE times below (the pair
-    // probe side and, via candIds, both verify sides) — without a cache
-    // the whole band mining re-executes per reference (measured ~3× the
-    // stage at 10M docs). The pair set is OUTPUT-bounded (3 slim
-    // columns), so it persists lazily; the cache deliberately outlives
-    // the call (the returned frame recomputes from it) — same contract
-    // as [[duplicateSpans]]' candidate cache.
-    val cand = bucketedPairs(withB, maxBucketSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The candidate-pair DAG is referenced three times below (the pair
+    // probe side and, via candIds, both verify sides) — that fan-out is
+    // fine WITHOUT a cache because the expensive subtree (the band
+    // exchange) is deduped by ReusedExchange across all references; an
+    // operator-internal persist was measured SLOWER single-shot at 10M
+    // docs (cache fill breaks the exchange reuse).
+    val cand = bucketedPairs(base, k, bands, maxBucketSize)
     val candIds = cand.select(col("a_id").as("doc"))
       .unionByName(cand.select(col("b_id").as("doc")))
       .distinct()
@@ -551,13 +561,10 @@ object Dedup {
     val capped =
       if (maxBucketSize == Int.MaxValue) all
       else {
-        // same broadcast-anti cap as [[bucketedPairs]] (pigeonhole-bounded
-        // over-cap key set), counted over the full old∪new population
-        val hot = all.groupBy(col("band"), col("sig"))
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") > maxBucketSize)
-          .select(col("band"), col("sig"))
-        all.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+        val wBucket = Window.partitionBy(col("band"), col("sig"))
+        all.withColumn("__bsz", count(lit(1)).over(wBucket))
+          .filter(col("__bsz") <= maxBucketSize)
+          .drop("__bsz")
       }
     // exactly-once under capping: emit per SURVIVING shared band, dedup
     // with a slim pair-keyed aggregate (the batch operator's contract —
