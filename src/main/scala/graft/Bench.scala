@@ -33,6 +33,7 @@ object Bench {
     // queries (comma-separated substrings); unset = the full contract run
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty) // empty string == unset, never an empty run
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       filter.forall(_.exists(name.contains))
     }
@@ -73,11 +74,17 @@ object Bench {
     // round-8 artifact lost q01–q14), so the full two-line JSON also
     // lands in a file — the self-contained per-query record for
     // round-over-round diffs. Path override: SPARK_GRAFT_BENCH_OUT.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), queriesLine + "\n" + totalLine + "\n")
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // A FILTERED dev run never touches the default artifact (it would
+    // silently replace the last full-contract record with a partial one);
+    // set SPARK_GRAFT_BENCH_OUT explicitly to capture a filtered run.
+    val outOverride = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val outPath = outOverride.getOrElse("bench_full.json")
+    if (filter.isEmpty || outOverride.isDefined) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outPath), queriesLine + "\n" + totalLine + "\n")
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

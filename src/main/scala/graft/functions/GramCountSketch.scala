@@ -56,7 +56,9 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   */
 final class GramCountSketch(val mCells: Long) extends Serializable {
   require(mCells >= 64, s"mCells=$mCells: need at least one word per plane")
-  require(mCells <= (1L << 37), s"mCells=$mCells exceeds the 2^37 plane-index range")
+  require(mCells <= GramCountSketch.MaxCells,
+    s"mCells=$mCells exceeds the largest plane a Java long array can hold " +
+      s"(${GramCountSketch.MaxCells})")
 
   private val nWords: Int = ((mCells + 63) / 64).toInt
   val lo: Array[Long] = new Array[Long](nWords)
@@ -137,6 +139,11 @@ final class GramCountSketch(val mCells: Long) extends Serializable {
 }
 
 object GramCountSketch {
+  /** Largest constructible cell count: one bit per cell per plane, and a
+    * Java array holds at most ~Int.MaxValue longs (the VM refuses the
+    * last few slots, hence the -8 headroom). */
+  val MaxCells: Long = (Int.MaxValue.toLong - 8L) * 64L
+
   private val PlaneVH: VarHandle =
     MethodHandles.arrayElementVarHandle(classOf[Array[Long]])
 
@@ -174,12 +181,14 @@ object GramCountSketch {
     * contract of each strategy. */
   def build(grams: DataFrame, mCells: Long, strategy: String): GramCountSketch = {
     val sc = grams.sparkSession.sparkContext
-    val isArray = grams.schema.length == 1 && (grams.schema.head.dataType match {
+    require(grams.schema.length == 1,
+      s"GramCountSketch.build expects EXACTLY one column, got ${grams.schema.catalogString}")
+    val isArray = grams.schema.head.dataType match {
       case org.apache.spark.sql.types.ArrayType(LongType, _) => true
       case LongType => false
       case other => throw new IllegalArgumentException(
         s"GramCountSketch.build expects one LONG or ARRAY<LONG> column, got ${other.catalogString}")
-    })
+    }
     val resolved = strategy match {
       case "auto" => if (sc.isLocal) "shared" else "perTask"
       case s => s

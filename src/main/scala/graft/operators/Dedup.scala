@@ -546,9 +546,12 @@ object Dedup {
     // is broadcast-hinted while the increment is small (the common case;
     // gate: spark.graft.incremental.broadcastProbeMaxBytes); a huge
     // increment falls back to a shuffled semi-join.
-    // no distinct(): left_semi tolerates duplicate keys and the broadcast
-    // hash relation dedups internally — a distinct would cost an extra
-    // aggregate in the probe's build path
+    // no distinct(): left_semi tolerates duplicate build keys — the
+    // broadcast carries one row per (increment doc, band) rather than per
+    // distinct key (the hashed relation does NOT dedup rows), which the
+    // increment-size gate bounds; a distinct would add an aggregate +
+    // exchange to the probe's build path for at most a constant-factor
+    // broadcast saving
     val touchedKeys = newB.select(col("band"), col("sig"))
     val bcGate = newDocs.sparkSession.sessionState.conf.getConfString(
       IncrementBroadcastMaxBytesKey, IncrementBroadcastMaxBytesDefault.toString).toLong
@@ -695,7 +698,9 @@ object Dedup {
     *    semi-join against the cached candidates. The candidate cache
     *    deliberately outlives the call (the returned frame recomputes
     *    from it; evict via `unpersist` on a re-derived handle or session
-    *    cache clearing). Sketch sizing:
+    *    cache clearing); the sketch broadcast likewise lives as long as
+    *    the returned frame references it and is reclaimed by Spark's
+    *    ContextCleaner once the frame is unreachable. Sketch sizing:
     *    `spark.graft.spans.sketchCellsPerByte` (default 2.0) cells per
     *    optimizer-estimated input byte, capped by
     *    `spark.graft.spans.sketchMaxBytes` (default 1 GiB of bitplanes);
@@ -735,9 +740,10 @@ object Dedup {
       else {
         val cellsPerByte = conf(SketchCellsPerByteKey, SketchCellsPerByteDefault.toString).toDouble
         val maxPlaneBytes = conf(SketchMaxBytesKey, SketchMaxBytesDefault.toString).toLong
-        val mCells = math.min(
+        val mCells = Seq(
           math.max((statsBytes.toDouble * cellsPerByte).toLong, 1L << 22),
-          maxPlaneBytes * 4L)
+          maxPlaneBytes * 4L,
+          graft.functions.GramCountSketch.MaxCells).min
         // per-doc gram ARRAYS, not an exploded posting per gram: the
         // build scan stays one row per document
         val grams = df.select(TextAnalysis.ngramHashesWideMultiset(text, n).as("hs"))

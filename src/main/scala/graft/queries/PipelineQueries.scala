@@ -423,9 +423,15 @@ object PipelineQueries {
     // (the plan a 100 TB corpus gets), and the same DuckDB oracle as q54
     // hash-checks that the sketch path is exact, not just spec-pinned
     "q75_selfdup_spans_sketch" -> ((s, d) => {
+      // save-and-restore, not unset: a pre-existing session gate setting
+      // must survive running this query
+      val prior = s.conf.getOption(Dedup.BroadcastGateMinBytesKey)
       s.conf.set(Dedup.BroadcastGateMinBytesKey, "0")
       try Dedup.duplicateSpans(Tables.documents(s, d), col("doc_id"), col("text"), n = 3)
-      finally s.conf.unset(Dedup.BroadcastGateMinBytesKey)
+      finally prior match {
+        case Some(v) => s.conf.set(Dedup.BroadcastGateMinBytesKey, v)
+        case None => s.conf.unset(Dedup.BroadcastGateMinBytesKey)
+      }
     }),
 
     // the APPLY half of q54: rewrite every doc with its duplicated runs

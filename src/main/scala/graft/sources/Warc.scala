@@ -168,9 +168,23 @@ object Warc {
         val headLen = math.min(len, MaxHeaderLine.toLong).toInt
         val head = readFully(headLen)
         if (head == null) return null
-        if (!skipFully(len - headLen)) return null
-        val (status, ctype, _) = parseHttpEnvelope(head, head.length)
-        new Record(hmap, null, status, ctype)
+        val (status, ctype, bodyStart) = parseHttpEnvelope(head, head.length)
+        if (bodyStart >= 0 || headLen.toLong == len) {
+          if (!skipFully(len - headLen)) return null
+          new Record(hmap, null, status, ctype)
+        } else {
+          // no blank line inside the head and the payload continues: a
+          // pathological envelope. Parse the WHOLE payload so the
+          // envelope columns agree with the Full path — column pruning
+          // must never change the value of a retained column.
+          val rest = readFully(len - headLen)
+          if (rest == null) return null
+          val whole = new Array[Byte](len.toInt)
+          System.arraycopy(head, 0, whole, 0, headLen)
+          System.arraycopy(rest, 0, whole, headLen, rest.length)
+          val (s2, c2, _) = parseHttpEnvelope(whole, whole.length)
+          new Record(hmap, null, s2, c2)
+        }
       } else {
         if (!skipFully(len)) return null
         new Record(hmap, null)

@@ -74,10 +74,14 @@ class GramCountSketchSpec extends AnyFunSuite {
       s"~400 bits of 1024 expected, got ${sk.loadFactor}")
   }
 
-  test("geometry mismatch and undersized sketches fail fast") {
+  test("geometry mismatch and undersized/oversized sketches fail fast") {
     intercept[IllegalArgumentException] {
       new GramCountSketch(1 << 10).mergeInPlace(new GramCountSketch(1 << 11))
     }
     intercept[IllegalArgumentException] { new GramCountSketch(32) }
+    // the documented upper bound must be CONSTRUCTIBLE (a looser bound
+    // admitted sizes whose word count overflowed Int)
+    intercept[IllegalArgumentException] { new GramCountSketch(GramCountSketch.MaxCells + 64) }
+    assert((GramCountSketch.MaxCells + 63) / 64 <= Int.MaxValue.toLong)
   }
 }

@@ -516,6 +516,38 @@ class WarcSourceSpec extends SparkSpec {
     assert(spark.read.format("warc").load(dir.toString).count() == 2)
   }
 
+  test("envelope columns are projection-invariant even past the 64 KiB head") {
+    // headers run past the envelope-head cap before the blank line: the
+    // envelope-only path must parse the WHOLE payload so the columns
+    // agree with the content-bearing projection — column pruning must
+    // never change a retained column's value
+    val dir = tempDir()
+    val hugeHeader = "X-Pad: " + ("p" * 80000) + "\r\n" // > 64 KiB before \r\n\r\n
+    Files.write(dir.resolve("a.warc"),
+      record("response", "https://h.example.com/late",
+        ("HTTP/1.1 200 OK\r\n" + hugeHeader + "Content-Type: a/b\r\n\r\nbody")
+          .getBytes(UTF_8),
+        ctype = "application/http; msgtype=response") ++
+      record("response", "https://h.example.com/next",
+        "HTTP/1.1 404 No\r\n\r\ngone".getBytes(UTF_8),
+        ctype = "application/http; msgtype=response"))
+    val withContent = spark.read.format("warc").load(dir.toString)
+      .select(col("target_uri"), col("http_status"), col("http_content_type"),
+        col("content").cast("string"))
+      .as[(String, Option[Int], String, String)].collect().map(r => r._1 -> r).toMap
+    val envelopeOnly = spark.read.format("warc").load(dir.toString)
+      .select(col("target_uri"), col("http_status"), col("http_content_type"))
+      .as[(String, Option[Int], String)].collect().map(r => r._1 -> r).toMap
+    for (uri <- Seq("https://h.example.com/late", "https://h.example.com/next")) {
+      val (_, sFull, cFull, _) = withContent(uri)
+      val (_, sEnv, cEnv) = envelopeOnly(uri)
+      assert(sFull == sEnv && cFull == cEnv,
+        s"$uri: envelope columns differ by projection: ($sFull,$cFull) vs ($sEnv,$cEnv)")
+    }
+    assert(withContent("https://h.example.com/late")._2 == Some(200))
+    assert(withContent("https://h.example.com/late")._4 == "body")
+  }
+
   test("streaming discovery: in-progress suffixes are skipped; fileStabilityPolls defers changing files") {
     val dir = tempDir()
     val ckpt = tempDir()

@@ -48,8 +48,6 @@ object Scratch12 {
     }
     // 1b. exchange + hash agg only (the anti-cap build cost)
     time("band exchange + count agg") {
-      val base = docs.select($"doc_id".as("doc"), Dedup.minhashSigArray($"text", ng, k).as("__sig"))
-        .filter($"__sig".isNotNull)
       val r = k / bands
       val bandCols = (0 until bands).map { b =>
         struct(lit(b).as("band"),
