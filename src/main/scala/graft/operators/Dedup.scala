@@ -740,9 +740,12 @@ object Dedup {
       else {
         val cellsPerByte = conf(SketchCellsPerByteKey, SketchCellsPerByteDefault.toString).toDouble
         val maxPlaneBytes = conf(SketchMaxBytesKey, SketchMaxBytesDefault.toString).toLong
+        // clamp BEFORE the ×4: a pathological conf value > 2^61 would
+        // overflow Long and turn the min negative
+        val capCells = math.min(maxPlaneBytes, graft.functions.GramCountSketch.MaxCells / 4) * 4L
         val mCells = Seq(
           math.max((statsBytes.toDouble * cellsPerByte).toLong, 1L << 22),
-          maxPlaneBytes * 4L,
+          capCells,
           graft.functions.GramCountSketch.MaxCells).min
         // per-doc gram ARRAYS, not an exploded posting per gram: the
         // build scan stays one row per document

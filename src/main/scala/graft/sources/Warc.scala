@@ -173,16 +173,15 @@ object Warc {
           if (!skipFully(len - headLen)) return null
           new Record(hmap, null, status, ctype)
         } else {
-          // no blank line inside the head and the payload continues: a
-          // pathological envelope. Parse the WHOLE payload so the
-          // envelope columns agree with the Full path — column pruning
-          // must never change the value of a retained column.
-          val rest = readFully(len - headLen)
-          if (rest == null) return null
-          val whole = new Array[Byte](len.toInt)
-          System.arraycopy(head, 0, whole, 0, headLen)
-          System.arraycopy(rest, 0, whole, headLen, rest.length)
-          val (s2, c2, _) = parseHttpEnvelope(whole, whole.length)
+          // No blank line inside the head and the payload continues: a
+          // pathological envelope. Continue the terminator scan over the
+          // remainder in bounded chunks — retaining at most
+          // MaxEnvelopeScan head bytes, never the body — so a crafted
+          // Content-Length can't force a payload-sized allocation and
+          // records > 2 GiB stay skippable. Value-identical to the Full
+          // path's envelope columns for any envelope head under the cap.
+          val (s2, c2, ok) = scanEnvelopeTail(head, len - headLen)
+          if (!ok) return null // truncated payload: drop, as Full does
           new Record(hmap, null, s2, c2)
         }
       } else {
@@ -208,7 +207,16 @@ object Warc {
         else i += 1
       }
       if (bodyStart < 0) return (null, null, -1)
-      val head = new String(buf, 0, i, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val (status, ctype) = parseEnvelopeLines(buf, i)
+      (status, ctype, bodyStart)
+    }
+
+    /** (status, content-type) from the envelope head `buf[0, headEnd)` —
+      * the line-level half of [[parseHttpEnvelope]], shared with the
+      * bounded fallback scan. */
+    private def parseEnvelopeLines(
+        buf: Array[Byte], headEnd: Int): (java.lang.Integer, String) = {
+      val head = new String(buf, 0, headEnd, java.nio.charset.StandardCharsets.ISO_8859_1)
       val lines = head.split("\n").map(_.stripSuffix("\r"))
       val status: java.lang.Integer =
         if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
@@ -219,7 +227,85 @@ object Warc {
         case l if l.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:") =>
           l.substring(l.indexOf(':') + 1).trim
       }.orNull
-      (status, ctype, bodyStart)
+      (status, ctype)
+    }
+
+    /** Head bytes retained by the EnvelopeOnly fallback scan; envelope
+      * lines past this bound are not recoverable (the terminator search
+      * itself continues unbounded, in O(chunk) memory). */
+    private val MaxEnvelopeScan = 4 << 20
+
+    /** Continues the envelope-terminator search past the 64 KiB head for
+      * a [[PayloadNeed.EnvelopeOnly]] record whose envelope didn't end in
+      * the head. Reads the remaining `remaining` payload bytes in bounded
+      * chunks, finding the FIRST `\r\n\r\n` / `\n\n` exactly where
+      * [[parseHttpEnvelope]] over the whole payload would; retains at
+      * most [[MaxEnvelopeScan]] head bytes and never the body, and
+      * consumes the payload byte-exactly however large `remaining` is.
+      * Returns `(status, contentType, true)`, with null columns when no
+      * terminator exists (matching the Full path's no-envelope record),
+      * or `(_, _, false)` on a truncated stream. */
+    private def scanEnvelopeTail(
+        head0: Array[Byte], remaining: Long): (java.lang.Integer, String, Boolean) = {
+      val acc = new ByteArrayOutputStream(head0.length * 2)
+      acc.write(head0, 0, head0.length)
+      var accFull = false       // stopped retaining: only scanning now
+      var logical = head0.length.toLong // payload bytes seen so far
+      var left = remaining
+      // Pattern state across chunk boundaries: the last 3 logical bytes.
+      val tail = new Array[Byte](3)
+      System.arraycopy(head0, head0.length - 3, tail, 0, 3)
+      val chunk = new Array[Byte](64 * 1024)
+      while (left > 0) {
+        val n = in.read(chunk, 0, math.min(left, chunk.length.toLong).toInt)
+        if (n < 0) return (null, null, false)
+        left -= n
+        // Retain BEFORE scanning: a terminator found inside this chunk
+        // must see the head bytes that precede it in the same chunk.
+        if (!accFull) {
+          acc.write(chunk, 0, n)
+          if (acc.size >= MaxEnvelopeScan) accFull = true
+        }
+        // Scan tail3 ++ chunk[0, n) for the terminator (patterns span at
+        // most 4 bytes, so a 3-byte overlap preserves cross-chunk hits).
+        val scan = new Array[Byte](3 + n)
+        System.arraycopy(tail, 0, scan, 0, 3)
+        System.arraycopy(chunk, 0, scan, 3, n)
+        var i = 0
+        var bodyOff = -1
+        while (bodyOff < 0 && i < scan.length - 1) {
+          if (scan(i) == '\r' && i + 3 < scan.length && scan(i + 1) == '\n' &&
+              scan(i + 2) == '\r' && scan(i + 3) == '\n') bodyOff = i
+          else if (scan(i) == '\n' && scan(i + 1) == '\n') bodyOff = i
+          else i += 1
+        }
+        if (bodyOff >= 0) {
+          // Terminator starts at logical position logical - 3 + bodyOff.
+          if (!skipFully(left)) return (null, null, false)
+          val headEnd = logical - 3 + bodyOff
+          val bytes = acc.toByteArray
+          val end =
+            if (headEnd <= bytes.length) headEnd.toInt
+            else {
+              // Head exceeded the retention cap: parse what we kept,
+              // dropping a trailing partial line rather than risking a
+              // truncated header value.
+              var j = bytes.length - 1
+              while (j >= 0 && bytes(j) != '\n') j -= 1
+              j + 1
+            }
+          val (s, c) = parseEnvelopeLines(bytes, end)
+          return (s, c, true)
+        }
+        logical += n
+        // Roll the 3-byte overlap forward.
+        if (n >= 3) System.arraycopy(chunk, n - 3, tail, 0, 3)
+        else {
+          System.arraycopy(tail, n, tail, 0, 3 - n)
+          System.arraycopy(chunk, 0, tail, 3 - n, n)
+        }
+      }
+      (null, null, true) // no terminator anywhere: envelope columns null
     }
 
     /** CRLF/LF line as a String (UTF-8), null at EOF. */

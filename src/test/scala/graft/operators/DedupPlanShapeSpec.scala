@@ -169,8 +169,9 @@ class DedupPlanShapeSpec extends SparkSpec {
         s"above the broadcast cap the mask pass must be the shuffled semi join:\n$bigPlan")
       // the cluster build strategy (per-task sketches, tree-reduced)
       spark.conf.set(Dedup.SketchBuildKey, "perTask")
-      val perTask = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
-      spark.conf.unset(Dedup.SketchBuildKey)
+      val perTask =
+        try Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+        finally spark.conf.unset(Dedup.SketchBuildKey)
       // all four strategies emit identical spans
       val want = lazySpans.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq
       for ((got, label) <- Seq((spans, "sketch+broadcast"), (big, "sketch+shuffled"),

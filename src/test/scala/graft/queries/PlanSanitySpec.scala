@@ -60,6 +60,36 @@ class PlanSanitySpec extends SparkSpec {
         s"cannot hash arrays/structs/maps):\n${offenders.mkString("\n")}")
   }
 
+  test("every registered query is oracled or declared no-oracle-by-design") {
+    // The correctness gate is oracleSql ∪ the no_oracle_by_design manifest
+    // (rows+schema checked by tools/check_oracle.py). A query in neither
+    // set would ship with NO check at all — make that unrepresentable.
+    val queries = graft.SparkEntry.queries.keySet
+    val oracled = graft.SparkEntry.oracleSql.keySet
+    val declared = graft.SparkEntry.rowsOnlyByDesign.keySet
+    val unchecked = queries -- oracled -- declared
+    assert(unchecked.isEmpty,
+      s"queries with neither a DuckDB oracle nor a no-oracle declaration: " +
+        s"${unchecked.toSeq.sorted.mkString(", ")}")
+    // and the reverse: no stale oracle/declaration for a removed query,
+    // and no query both oracled AND declared oracle-free
+    val stale = (oracled ++ declared) -- queries
+    assert(stale.isEmpty,
+      s"oracle/manifest entries for unregistered queries: ${stale.toSeq.sorted.mkString(", ")}")
+    val both = oracled.intersect(declared)
+    assert(both.isEmpty,
+      s"queries both oracled and declared oracle-free: ${both.toSeq.sorted.mkString(", ")}")
+    // declared schemas must match what the query actually emits
+    val schemaDrift = graft.SparkEntry.rowsOnlyByDesign.toSeq.sortBy(_._1).flatMap {
+      case (name, (_, cols)) =>
+        val actual = graft.SparkEntry.queries(name)(spark, sfDir).schema.fields
+          .map(f => (f.name, f.dataType.simpleString)).toSeq
+        if (actual != cols) Some(s"$name: declared $cols, actual $actual") else None
+    }
+    assert(schemaDrift.isEmpty,
+      s"no-oracle manifest schema drift:\n${schemaDrift.mkString("\n")}")
+  }
+
   test("the quadratic-by-design whitelist still exists and still plans that way") {
     // if one of these stops planning a nested loop (e.g. q37 moves to a
     // bucketed assignment), celebrate — and shrink the whitelist

@@ -548,6 +548,92 @@ class WarcSourceSpec extends SparkSpec {
     assert(withContent("https://h.example.com/late")._4 == "body")
   }
 
+  test("pathological envelopes stay bounded: late terminator + huge body, and none at all") {
+    // the EnvelopeOnly fallback must never materialize a body: the
+    // terminator scan continues in bounded chunks past the 64 KiB head,
+    // retaining at most the (capped) envelope head — a crafted
+    // Content-Length with a late or absent blank line costs O(chunk)
+    // memory, and framing survives so following records still parse
+    val dir = tempDir()
+    val lateEnv = "HTTP/1.1 200 OK\r\nContent-Type: late/head\r\nX-Pad: " +
+      ("p" * 80000) + "\r\n\r\n"
+    val hugeBody = new Array[Byte](5 * 1024 * 1024) // body >> head: must be skipped, not read
+    java.util.Arrays.fill(hugeBody, 'b'.toByte)
+    // terminator beyond the 4 MiB retention cap: status + an EARLY
+    // content-type are still recovered from the capped prefix
+    val beyondCap = "HTTP/1.1 418 Teapot\r\nContent-Type: beyond/cap\r\nX-Pad: " +
+      ("q" * (5 * 1024 * 1024)) + "\r\n\r\ntiny"
+    val noTerm = "HTTP/1.1 200 OK\r\nContent-Type: never/ends\r\n" + ("z" * 1024 * 1024)
+    Files.write(dir.resolve("a.warc"),
+      record("response", "https://x.example.com/late", (lateEnv).getBytes(UTF_8) ++ hugeBody,
+        ctype = "application/http; msgtype=response") ++
+      record("response", "https://x.example.com/cap", beyondCap.getBytes(UTF_8),
+        ctype = "application/http; msgtype=response") ++
+      record("response", "https://x.example.com/noterm", noTerm.getBytes(UTF_8),
+        ctype = "application/http; msgtype=response") ++
+      record("response", "https://x.example.com/after",
+        "HTTP/1.1 204 OK\r\n\r\n".getBytes(UTF_8),
+        ctype = "application/http; msgtype=response"))
+    val envelopeOnly = spark.read.format("warc").load(dir.toString)
+      .select(col("target_uri"), col("http_status"), col("http_content_type"))
+      .as[(String, Option[Int], String)].collect().map(r => r._1 -> r).toMap
+    assert(envelopeOnly.size == 4, "framing must survive every pathological record")
+    assert(envelopeOnly("https://x.example.com/late") ==
+      (("https://x.example.com/late", Some(200), "late/head")))
+    assert(envelopeOnly("https://x.example.com/cap") ==
+      (("https://x.example.com/cap", Some(418), "beyond/cap")))
+    assert(envelopeOnly("https://x.example.com/noterm") ==
+      (("https://x.example.com/noterm", None, null)))
+    assert(envelopeOnly("https://x.example.com/after") ==
+      (("https://x.example.com/after", Some(204), null)))
+    // and the full projection agrees on every envelope column
+    val full = spark.read.format("warc").load(dir.toString)
+      .select(col("target_uri"), col("http_status"), col("http_content_type"),
+        length(col("content")).as("len"))
+      .as[(String, Option[Int], String, Long)].collect().map(r => r._1 -> r).toMap
+    for ((uri, (_, s, c)) <- envelopeOnly)
+      assert((full(uri)._2, full(uri)._3) == ((s, c)),
+        s"$uri: envelope columns differ by projection")
+    assert(full("https://x.example.com/late")._4 == hugeBody.length)
+  }
+
+  test("streaming read of raw WARC: http envelope columns match the batch path") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tempDir()
+    val ckpt = tempDir()
+    val out = tempDir().resolve("out").toString
+    val env = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    Files.write(dir.resolve("a.warc.gz"), gzMember(
+      record("response", "https://s.example.com/1", (env + "hello").getBytes(UTF_8),
+        ctype = "application/http; msgtype=response") ++
+      record("response", "https://s.example.com/2",
+        "HTTP/1.1 404 No\r\n\r\ngone".getBytes(UTF_8),
+        ctype = "application/http; msgtype=response") ++
+      record("warcinfo", null, "software: synthetic\r\n".getBytes(UTF_8),
+        ctype = "application/warc-fields")))
+    val q = spark.readStream.format("warc").load(dir.toString)
+      .select(col("target_uri"), col("http_status"), col("http_content_type"),
+        col("content").cast("string").as("body"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .as[(String, Option[Int], String, String)].collect()
+      .sortBy(r => String.valueOf(r._1)).toSeq
+    val batch = spark.read.format("warc").load(dir.toString)
+      .select(col("target_uri"), col("http_status"), col("http_content_type"),
+        col("content").cast("string").as("body"))
+      .as[(String, Option[Int], String, String)].collect()
+      .sortBy(r => String.valueOf(r._1)).toSeq
+    assert(streamed == batch,
+      s"micro-batch envelope parse must equal batch:\n$streamed\nvs\n$batch")
+    assert(streamed == Seq(
+      ("https://s.example.com/1", Some(200), "text/html", "hello"),
+      ("https://s.example.com/2", Some(404), null, "gone"),
+      (null, None, null, "software: synthetic\r\n")))
+  }
+
   test("streaming discovery: in-progress suffixes are skipped; fileStabilityPolls defers changing files") {
     val dir = tempDir()
     val ckpt = tempDir()
