@@ -45,6 +45,13 @@ object Dedup {
   val SketchMaxBytesDefault: Long = 1024L * 1024 * 1024
   val SketchBuildKey = "spark.graft.spans.sketchBuild"
 
+  /** Input-size bound under which [[duplicateSpans]]' above-gate path
+    * CACHES the per-doc gram arrays across its two passes (sketch build +
+    * postings) instead of re-tokenizing the corpus — see its scaladoc.
+    * Sized against the same optimizer estimate as the main gate. */
+  val GramCacheMaxBytesKey = "spark.graft.spans.gramCacheMaxBytes"
+  val GramCacheMaxBytesDefault: Long = 64L * 1024 * 1024 * 1024
+
   /** Increment-size bound under which [[incrementalNearDupPairs]]
     * broadcast-hints the increment's touched-bucket key set into the
     * semi-join that prunes the persisted index (see its scaladoc). */
@@ -657,8 +664,14 @@ object Dedup {
     * row per map task); the ≥2 keys semi-join back (size-gated, below);
     * island-merging of the surviving positions is one doc-keyed window.
     * Output mass = duplicated positions, never corpus².
-    * The corpus is shingled twice (count pass + mask pass) — at 100 TB two
-    * cheap codegen'd scans beat materializing corpus-sized postings.
+    * The corpus is shingled twice (count pass + mask pass); above the
+    * size gate, inputs up to `spark.graft.spans.gramCacheMaxBytes`
+    * (default 64 GiB estimated) instead CACHE the per-doc gram arrays
+    * across the two passes (~8 B/token, MEMORY_AND_DISK, released once
+    * the candidate sliver materializes) so tokenize+hash runs ONCE.
+    * Beyond that bound the passes recompute from source: at true 100 TB
+    * scale two cheap codegen'd scans beat spilling a corpus-sized gram
+    * cache.
     *
     * Grams are keyed in the WIDE ~60-bit hash space
     * ([[TextAnalysis.ngramHashesWideMultiset]]): the "occurs ≥ 2" test
@@ -747,17 +760,36 @@ object Dedup {
           math.max((statsBytes.toDouble * cellsPerByte).toLong, 1L << 22),
           capCells,
           graft.functions.GramCountSketch.MaxCells).min
+        // The two passes (sketch build, then postings) both need the
+        // per-doc gram arrays; tokenize+hash is the dominant per-pass
+        // cost, so below `gramCacheMaxBytes` the arrays are CACHED across
+        // the passes — the build scan materializes the cache, the
+        // postings pass explodes it without re-reading or re-shingling
+        // the corpus. Above the bound (a corpus whose gram mass would
+        // not fit the cluster's storage tier) both passes recompute from
+        // the source — the original two-scan shape, never a
+        // corpus-sized cache. The cache is released as soon as the
+        // candidate sliver (output-bounded) has materialized.
+        val useGramCache = statsBytes <= BigInt(
+          conf(GramCacheMaxBytesKey, GramCacheMaxBytesDefault.toString).toLong)
         // per-doc gram ARRAYS, not an exploded posting per gram: the
         // build scan stays one row per document
-        val grams = df.select(TextAnalysis.ngramHashesWideMultiset(text, n).as("hs"))
+        val gramRows = df.select(id.as("doc_id"),
+          TextAnalysis.ngramHashesWideMultiset(text, n).as("hs"))
+        val gramSrc =
+          if (useGramCache) gramRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else gramRows
         val sketch = graft.functions.GramCountSketch.build(
-          grams, mCells, conf(SketchBuildKey, "auto"))
+          gramSrc.select(col("hs")), mCells, conf(SketchBuildKey, "auto"))
         val load = sketch.loadFactor
         log.info(f"duplicateSpans gram sketch: $mCells%d cells, load $load%.3f" +
           (if (load > 0.5) " — UNDERSIZED (false-positive rate degrades fast above 0.5; " +
             s"raise $SketchMaxBytesKey or $SketchCellsPerByteKey)" else ""))
         val bc = spark.sparkContext.broadcast(sketch)
-        val cand = postings
+        val cachedPostings = gramSrc
+          .select(col("doc_id"), posexplode(col("hs")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+        val cand = cachedPostings
           .filter(Bridge.column(graft.functions.SketchMaybeDup(bc, Bridge.expression(col("h")))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dupKeys = cand.groupBy(col("h"))
@@ -765,6 +797,9 @@ object Dedup {
           .filter(col("c") >= 2)
           .select(col("h"))
         val nKeys = dupKeys.count() // the sizing job — also warms the candidate cache
+        // the sliver is materialized; the (corpus-sized at 8 B/gram) gram
+        // cache has served both passes and can go
+        if (useGramCache) { gramSrc.unpersist(blocking = false); () }
         if (nKeys <= maxBroadcastKeys) {
           val keys = dupKeys.collect().map(_.getLong(0))
           val keysDf = spark.createDataset(keys.toIndexedSeq)(

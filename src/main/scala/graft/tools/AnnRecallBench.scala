@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Measured-recall artifact for the approximate-similarity tier — the
+  * number the `no_oracle_by_design` declarations (q27/q37/q39/q52) cite:
+  * those queries cannot hash-match a SQL oracle because their candidate
+  * generation is probabilistic (LSH) or a trained artifact (k-means
+  * cells), so their published contract is recall measured against the
+  * EXACT operators on the same data ([[Similarity.bruteForceTopK]] for
+  * top-k, the all-pairs threshold graph for SemDeDup).
+  *
+  * Each approximate query runs in ITS REGISTERED CONFIGURATION (the
+  * exact parameters of q27/q37/q39/q52 in `PipelineQueries`), so the
+  * published recall describes the shipped query surface, not a tuned
+  * showcase.
+  *
+  * Usage: runMain graft.tools.AnnRecallBench [sfDir]
+  * (default /root/testdata/sf0.1 — 2000 vectors, 64 queries).
+  */
+object AnnRecallBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val queries = emb.filter(col("vec_id") < 64)
+
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+
+    val exact = pairSet(Similarity.bruteForceTopK(
+      queries, emb, k = 5, Similarity.quantizedDot))
+
+    def recallOf(df: DataFrame): Double =
+      exact.intersect(pairSet(df)).size.toDouble / exact.size
+
+    val lsh = recallOf(Similarity.lshTopK(
+      queries, emb, k = 5, planes = 6, Similarity.quantizedDot,
+      probeBits = 2, tables = 8))
+    val ivf = recallOf(Similarity.ivfTopK(
+      queries, emb, k = 5, nlist = 16, nprobe = 4,
+      Similarity.quantizedDot, maxIter = 3))
+    val int8 = recallOf(Similarity.lshTopKInt8(
+      queries, emb, k = 5, planes = 6, probeBits = 2, tables = 8))
+
+    // SemDeDup (q39 config): exact above-threshold pair graph, all-pairs —
+    // fine at this scale, and the POINT: the exact graph is computable
+    // here, so the approximate operator's recall is a measured fact
+    val TauQ = 400000L
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val exactPairs = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .filter(Similarity.quantizedDot(col("a_emb"), col("b_emb")) >= TauQ)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sem = Similarity.semDedup(emb, nlist = 16, minScoreQ = TauQ,
+      Similarity.quantizedDot, maxIter = 3, nassign = 2)
+      .select("vec_id", "component_id").as[(Long, Long)].collect()
+    val compOf = sem.map(r => r._1 -> r._2).toMap
+    val recovered = exactPairs.count { case (x, y) => compOf(x) == compOf(y) }
+    val semRecall = if (exactPairs.isEmpty) 1.0 else recovered.toDouble / exactPairs.size
+    // soundness: semDedup-merged pairs must be connected in the exact
+    // graph (components REFINE it) — violations must be 0
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    exactPairs.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y)); if (rx != ry) parent(rx) = ry
+    }
+    val violations = sem.groupBy(_._2).valuesIterator
+      .map(rows => rows.map(r => find(r._1)).distinct.length - 1).sum
+
+    println(f"""{"metric":"ann_recall","sf_dir":"$sfDir","n_vectors":${emb.count()},"n_queries":${queries.count()},"k":5,"exact_pairs":${exact.size},"recall_at_5":{"q27_lsh":$lsh%.3f,"q37_ivf":$ivf%.3f,"q52_int8":$int8%.3f},"semdedup":{"exact_tau_pairs":${exactPairs.size},"recall":$semRecall%.3f,"soundness_violations":$violations}}""")
+    spark.stop()
+  }
+}

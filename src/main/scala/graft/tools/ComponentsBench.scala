@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Components
+
+/** Scale harness for [[Components.connectedComponents]]' DISTRIBUTED
+  * min-label path — the code path a >10M-edge dup graph takes on a real
+  * cluster, which the specs pin for correctness but (until this tool)
+  * nothing measured at representative size.
+  *
+  * The graph is a disjoint union of CHAINS of length `chainLen`
+  * (default 100) built from `spark.range`: nEdges = nChains·(L−1), and
+  * every vertex's true component id is the chain head, so the result is
+  * verified exactly (`mismatches` must print 0). Chains are the
+  * adversarial diameter shape for label propagation — a star converges
+  * in one round; a length-100 chain needs the path-halving jumps to
+  * close in O(log L) rounds instead of 100 — so this measures the
+  * worst realistic round count, not a flattering graph.
+  *
+  * Usage: runMain graft.tools.ComponentsBench [nEdges] [runs] [chainLen]
+  * Legs: `dist` (localEdgeThreshold=0 — the cluster path) and, for the
+  * crossover comparison, `local1task` (threshold=∞ — the single-task
+  * union-find streaming the same symmetrized edge list).
+  */
+object ComponentsBench {
+
+  def main(args: Array[String]): Unit = {
+    val nEdges = args.headOption.map(_.toLong).getOrElse(30000000L)
+    val runs = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val chainLen = args.drop(2).headOption.map(_.toInt).getOrElse(100)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.local.dir", "/tmp/graft_cc_scratch")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val perChain = (chainLen - 1).toLong
+    val nChains = nEdges / perChain
+    val nVerts = nChains * chainLen
+    // edge e lives in chain e/(L-1) at offset e%(L-1): (head+j, head+j+1)
+    val edges = spark.range(0, nChains * perChain).select(
+      ((col("id") / perChain).cast("long") * chainLen +
+        pmod(col("id"), lit(perChain))).as("src"))
+      .withColumn("dst", col("src") + 1)
+    val vertices = spark.range(0, nVerts).select(col("id"))
+
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (leg <- Seq("dist", "local1task"); run <- 0 until runs) {
+      val threshold = if (leg == "dist") 0L else Long.MaxValue
+      val t0 = System.nanoTime()
+      val labels = Components.connectedComponents(
+        vertices, edges, maxIter = 40, localEdgeThreshold = threshold)
+      // one action: materialize labels AND verify every vertex landed on
+      // its chain head — a wrong distributed round can't hide in a wall
+      val bad = labels.filter(
+        col("component_id") =!= (col("id") - pmod(col("id"), lit(chainLen.toLong))))
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(bad == 0L, s"$leg produced $bad wrong labels")
+      best(leg) = math.min(best.getOrElse(leg, Double.MaxValue), sec)
+      println(f"""{"leg":"$leg","run":$run,"sec":$sec%.2f,"edges":$nEdges,"verts":$nVerts,"mismatches":$bad}""")
+    }
+    val legsJson = best.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"components_bench","edges":$nEdges,"chain_len":$chainLen,"best_sec":$legsJson}""")
+    spark.stop()
+  }
+}

@@ -35,14 +35,19 @@ import graft.operators.{Bpe, Components, Contamination, Dedup, Packing, Pii, Sam
   * are repeated (min-of-2 by default) and a constant-size summary line
   * prints LAST (tail-truncation-proof, same contract as graft.Bench).
   *
-  * Usage: runMain graft.tools.CurationBench [nDocs] [runs] [skew] [bpe]
+  * Usage: runMain graft.tools.CurationBench [nDocs] [runs] [skew] [proxy]
   * — the `skew` flag swaps in the adversarial corpus (see [[synth]]):
-  * dominant language, boilerplate LSH cluster, hot dup-gram mass; the
-  * `bpe` flag trains a real BPE tokenizer on the mixed corpus (one
-  * extra `09a_bpe_train` stage, model persisted via [[Bpe.save]]) and
-  * runs the token-budget and packing stages with EXACT
-  * [[Bpe.tokenCount]] numbers instead of the whitespace proxy — the
-  * accounting a real pre-training pipeline needs.
+  * dominant language, boilerplate LSH cluster, hot dup-gram mass.
+  * EXACT tokenizer accounting is the DEFAULT: a real BPE tokenizer
+  * trains on the mixed corpus (one extra `09a_bpe_train` stage, model
+  * persisted via [[Bpe.save]]) and the token-budget and packing stages
+  * run on exact [[Bpe.tokenCount]] numbers — the accounting a real
+  * pre-training pipeline needs, promoted to default in r10 after the
+  * exact path measured at-or-below the whitespace proxy's stage cost
+  * (the [[graft.functions.BpeTokenCount]] kernel amortizes its merge
+  * lookups), leaving the one-off train as its only price. The `proxy`
+  * flag reverts to the whitespace token proxy (`bpe` is accepted as a
+  * no-op for old command lines).
   */
 object CurationBench {
 
@@ -189,8 +194,8 @@ object CurationBench {
 
   def main(args: Array[String]): Unit = {
     val skew = args.contains("skew")
-    val bpe = args.contains("bpe")
-    val num = args.filterNot(a => a == "skew" || a == "bpe")
+    val bpe = !args.contains("proxy") // exact accounting is the default
+    val num = args.filterNot(a => a == "skew" || a == "bpe" || a == "proxy")
     val n = num.headOption.map(_.toLong).getOrElse(10000000L)
     val runs = num.drop(1).headOption.map(_.toInt).getOrElse(2)
     val root = "/tmp/graft_curation_bench"

@@ -1,0 +1,108 @@
+package graft.tools
+
+import java.lang.management.ManagementFactory
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import scala.jdk.CollectionConverters._
+
+/** Standalone harness for [[Dedup.duplicateSpans]] — the curation DAG's
+  * most expensive stage — so sketch-build strategies and scan-shape
+  * changes can be A/B-measured in one JVM without replaying the whole
+  * [[CurationBench]] DAG. The corpus approximates stage 06a's ACTUAL
+  * input — [[CurationBench.synth]] minus the planted exact/near copies
+  * and junk (the docs the upstream dedup+gate stages remove; dropping
+  * them by their planting arithmetic instead of replaying four dedup
+  * stages), markup-stripped and PII-scrubbed — written to parquet ONCE;
+  * every leg reads it back from rest, mirroring the per-stage
+  * materialization contract. Without this filter the 14% planted
+  * whole-document duplicates quintuple the duplicated-gram mass and the
+  * stage measures a different (much heavier) workload than the DAG's.
+  *
+  * Usage: runMain graft.tools.SpanBench [nDocs] [runs] [leg ...]
+  * where each leg is `shared` or `perTask`, optionally suffixed
+  * `@<planeBytes>` (sizes the bitplane cap — the per-task memory knob a
+  * small-executor cluster turns, e.g. perTask@268435456 for 256 MB)
+  * and/or `-nocache` (disables the cross-pass gram-array cache,
+  * reproducing the r9 two-scan shape for A/B).
+  * Default legs: shared + perTask.
+  *
+  * Per leg per run, prints one JSON line with the wall, the span-row
+  * count, and the JVM heap high-water (MemoryPoolMXBean peaks are reset
+  * before each leg — on local[32] the build scan's sketches live in this
+  * one heap, so the delta bounds the build's working set).
+  */
+object SpanBench {
+
+  def main(args: Array[String]): Unit = {
+    val nums = args.takeWhile(a => a.forall(_.isDigit))
+    val n = nums.headOption.map(_.toLong).getOrElse(10000000L)
+    val runs = nums.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val legs0 = args.drop(nums.length)
+    val legs = if (legs0.isEmpty) Seq("shared", "perTask") else legs0.toSeq
+
+    val root = "/tmp/graft_span_bench"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.local.dir", "/tmp/graft_span_scratch")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "128m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+    fs.delete(new Path(root), true)
+    CurationBench.synth(spark, n)
+      // what dedup+gate remove upstream, by planting arithmetic: exact
+      // copies (id%25==3), near copies (id%10==1), junk (id%37==7)
+      .filter(pmod($"doc_id", lit(25)) =!= 3 && pmod($"doc_id", lit(10)) =!= 1 &&
+        pmod($"doc_id", lit(37)) =!= 7)
+      .withColumn("text", TextAnalysis.htmlText($"text"))
+      .withColumn("text", graft.operators.Pii.scrub($"text"))
+      .write.parquet(s"$root/corpus")
+    val corpus = spark.read.parquet(s"$root/corpus")
+
+    def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (leg <- legs; run <- 0 until runs) {
+      val noCache = leg.endsWith("-nocache")
+      val core = leg.stripSuffix("-nocache")
+      val (strategy, planeBytes) = core.split("@") match {
+        case Array(s, b) => (s, Some(b.toLong))
+        case Array(s) => (s, None)
+      }
+      spark.conf.set(Dedup.SketchBuildKey, strategy)
+      planeBytes.foreach(b => spark.conf.set(Dedup.SketchMaxBytesKey, b.toString))
+      if (noCache) spark.conf.set(Dedup.GramCacheMaxBytesKey, "0")
+      try {
+        spark.catalog.clearCache()
+        heapPools.foreach(_.resetPeakUsage())
+        val preGc = { System.gc(); heapPools.map(_.getUsage.getUsed).sum }
+        val t0 = System.nanoTime()
+        fs.delete(new Path(s"$root/spans"), true)
+        Dedup.duplicateSpans(corpus, $"doc_id", $"text", n = 13)
+          .write.parquet(s"$root/spans")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = spark.read.parquet(s"$root/spans").count()
+        val peakMb = (heapPools.map(_.getPeakUsage.getUsed).sum - preGc) / (1024 * 1024)
+        best(leg) = math.min(best.getOrElse(leg, Double.MaxValue), sec)
+        println(f"""{"leg":"$leg","run":$run,"sec":$sec%.2f,"span_rows":$rows,"heap_peak_delta_mb":$peakMb}""")
+      } finally {
+        spark.conf.unset(Dedup.SketchBuildKey)
+        spark.conf.unset(Dedup.SketchMaxBytesKey)
+        spark.conf.unset(Dedup.GramCacheMaxBytesKey)
+      }
+    }
+    val legsJson = best.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"span_bench","n_docs":$n,"runs":$runs,"best_sec":$legsJson}""")
+    fs.delete(new Path(root), true)
+    spark.stop()
+  }
+}
