@@ -45,10 +45,14 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   *    JVM-registered instance — total memory one sketch regardless of
   *    task concurrency. Requires executors in the driver JVM (local
   *    master); the build fails fast otherwise.
-  *  - `perTask`: classic per-partition sketches tree-reduced exactly —
-  *    cluster-safe with any executor topology; memory is one sketch per
-  *    CONCURRENT task, so size executors accordingly (8 cores × a 256 MB
-  *    sketch = 2 GB of the executor heap during the build scan).
+  *  - `perTask`: classic per-partition sketches, chunk-OR-merged
+  *    EXECUTOR-side (reduceByKey over bitplane slices) so the driver
+  *    fetches exactly one merged sketch — cluster-safe with any executor
+  *    topology; memory is one sketch per CONCURRENT task, so size
+  *    executors accordingly (8 cores × a 256 MB sketch = 2 GB of the
+  *    executor heap during the build scan), and
+  *    `spark.driver.maxResultSize` must admit one sketch
+  *    (2×planeBytes — the driver broadcasts the result regardless).
   *  - `auto` picks `shared` on a local master, `perTask` otherwise.
   *
   * The sketch is an internal pre-filter — never replayed by the DuckDB
@@ -176,10 +180,15 @@ object GramCountSketch {
     * keys or ARRAY<LONG> key groups (the array form lets a shingle
     * kernel's per-doc output feed the build WITHOUT a 10⁹-row Generate:
     * the scan stays one row per document) — with the given strategy:
-    * "shared" | "perTask" | "auto" (shared iff local master). Runs one
-    * Spark job (the build scan); see the class doc for the memory
-    * contract of each strategy. */
-  def build(grams: DataFrame, mCells: Long, strategy: String): GramCountSketch = {
+    * "shared" | "perTask" | "auto" (shared iff local master). `shared`
+    * runs one Spark job (the build scan); `perTask` adds the chunked
+    * executor-side merge (`chunkWords` longs per plane slice — the
+    * default 4M longs keeps every shuffle element ≤ 32 MB/plane; tests
+    * shrink it to force multi-chunk merges on small sketches). See the
+    * class doc for the memory contract of each strategy. */
+  def build(grams: DataFrame, mCells: Long, strategy: String,
+      chunkWords: Int = 1 << 22): GramCountSketch = {
+    require(chunkWords > 0, s"chunkWords=$chunkWords must be positive")
     val sc = grams.sparkSession.sparkContext
     require(grams.schema.length == 1,
       s"GramCountSketch.build expects EXACTLY one column, got ${grams.schema.catalogString}")
@@ -223,11 +232,50 @@ object GramCountSketch {
         } finally registry.remove(id)
       case "perTask" =>
         if (rdd.getNumPartitions == 0) new GramCountSketch(mCells)
-        else rdd.mapPartitions { it =>
-          val sk = new GramCountSketch(mCells)
-          while (it.hasNext) insertRow(sk, atomic = false, it.next())
-          Iterator.single(sk)
-        }.treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
+        else {
+          // Executor-side CHUNKED merge. A whole-sketch treeReduce was
+          // measured failing here at scale: its final step collects one
+          // partial PER REDUCED PARTITION to the driver (~fan-in ×
+          // 2·planeBytes — several GB), tripping spark.driver.maxResultSize
+          // long before the merge itself is the bottleneck. Instead each
+          // partition's sketch is cut into (chunkId, lo[], hi[]) slices
+          // and reduceByKey applies the exact saturating-counter merge
+          // per chunk across executors; the driver then fetches ONE
+          // merged sketch — the intrinsic minimum, since it broadcasts
+          // the result. Mostly-zero planes make the chunk shuffle cheap
+          // (lz4 on the wire); driver.maxResultSize must still admit
+          // one sketch (2×planeBytes) — a bound the driver's own heap
+          // already implies.
+          val nWords = ((mCells + 63) / 64).toInt
+          val nChunks = (nWords + chunkWords - 1) / chunkWords
+          val reduceParts = math.max(1, math.min(nChunks, sc.defaultParallelism))
+          val cw = chunkWords
+          val merged = rdd.mapPartitions { it =>
+            val sk = new GramCountSketch(mCells)
+            while (it.hasNext) insertRow(sk, atomic = false, it.next())
+            (0 until nChunks).iterator.map { c =>
+              val from = c * cw
+              val until = math.min(nWords, from + cw)
+              (c, (java.util.Arrays.copyOfRange(sk.lo, from, until),
+                java.util.Arrays.copyOfRange(sk.hi, from, until)))
+            }
+          }.reduceByKey({ (a, b) =>
+            val (loA, hiA) = a; val (loB, hiB) = b
+            var i = 0
+            while (i < loA.length) {
+              hiA(i) = hiA(i) | hiB(i) | (loA(i) & loB(i))
+              loA(i) = loA(i) | loB(i)
+              i += 1
+            }
+            a
+          }, reduceParts).collect()
+          val out = new GramCountSketch(mCells)
+          merged.foreach { case (c, (loC, hiC)) =>
+            System.arraycopy(loC, 0, out.lo, c * cw, loC.length)
+            System.arraycopy(hiC, 0, out.hi, c * cw, hiC.length)
+          }
+          out
+        }
       case other => throw new IllegalArgumentException(
         s"unknown sketch build strategy '$other' (shared | perTask | auto)")
     }

@@ -45,6 +45,18 @@ object Dedup {
   val SketchMaxBytesDefault: Long = 1024L * 1024 * 1024
   val SketchBuildKey = "spark.graft.spans.sketchBuild"
 
+  /** Minimum achievable/desired cell ratio below which [[duplicateSpans]]
+    * SKIPS the sketch and keeps the lazy exact count: a sketch capped far
+    * below its sizing target saturates (load ≫ 0.5), passes nearly every
+    * gram, and the build + probe become pure overhead on top of the same
+    * exchange the sketch was meant to remove. Measured at 10M docs with a
+    * 12× undersized cap: the saturated-sketch path cost 222 s where the
+    * plain lazy exchange costs ~98 s. At a corpus scale whose desired
+    * cells exceed any constructible plane (a true 100 TB input), this is
+    * the branch that fires — the exact exchange is then intrinsic. */
+  val SketchMinSizingRatioKey = "spark.graft.spans.sketchMinSizingRatio"
+  val SketchMinSizingRatioDefault: Double = 0.25
+
   /** Input-size bound under which [[duplicateSpans]]' above-gate path
     * CACHES the per-doc gram arrays across its two passes (sketch build +
     * postings) instead of re-tokenizing the corpus — see its scaladoc.
@@ -719,7 +731,11 @@ object Dedup {
     *    `spark.graft.spans.sketchMaxBytes` (default 1 GiB of bitplanes);
     *    an undersized sketch only grows the candidate sliver, never
     *    changes the result — `GramCountSketch.loadFactor` is the
-    *    observability knob. Build strategy
+    *    observability knob — and a sketch capped below
+    *    `spark.graft.spans.sketchMinSizingRatio` × its sizing target is
+    *    skipped entirely (predicted saturation: it would pass ~everything;
+    *    the lazy exact count is then cheaper — the branch every
+    *    beyond-plane-scale corpus takes). Build strategy
     *    (`spark.graft.spans.sketchBuild`, default auto): one JVM-shared
     *    atomically-updated sketch on a local master, per-task sketches
     *    tree-reduced on a cluster (see the sketch's scaladoc for the
@@ -746,20 +762,36 @@ object Dedup {
       spark.sessionState.conf.getConfString(key, default)
     val gate = conf(BroadcastGateMinBytesKey, BroadcastGateMinBytesDefault.toString).toLong
     val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cellsPerByte = conf(SketchCellsPerByteKey, SketchCellsPerByteDefault.toString).toDouble
+    val maxPlaneBytes = conf(SketchMaxBytesKey, SketchMaxBytesDefault.toString).toLong
+    // clamp BEFORE the ×4: a pathological conf value > 2^61 would
+    // overflow Long and turn the min negative
+    val capCells = math.min(maxPlaneBytes, graft.functions.GramCountSketch.MaxCells / 4) * 4L
+    val desiredCells = statsBytes.toDouble * cellsPerByte
+    val mCells = Seq(
+      math.max(desiredCells.toLong, 1L << 22),
+      capCells,
+      graft.functions.GramCountSketch.MaxCells).min
+    // A sketch capped far below its sizing target saturates and passes
+    // (almost) everything — pure overhead on top of the exchange it was
+    // meant to remove. That happens when the plane cap is set small
+    // (tight executors) on a big corpus, and ALWAYS at a corpus scale
+    // whose desired cells exceed the largest constructible plane: there
+    // the exact global count's exchange is intrinsic, so take it lazily
+    // and skip the build. See SketchMinSizingRatioKey.
+    val sketchDiscriminates = mCells.toDouble >=
+      desiredCells * conf(SketchMinSizingRatioKey, SketchMinSizingRatioDefault.toString).toDouble
     val dupPos =
       if (statsBytes <= BigInt(gate))
         // small input: stay lazy — the second postings exchange is cheap
         postings.join(lazyDupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
-      else {
-        val cellsPerByte = conf(SketchCellsPerByteKey, SketchCellsPerByteDefault.toString).toDouble
-        val maxPlaneBytes = conf(SketchMaxBytesKey, SketchMaxBytesDefault.toString).toLong
-        // clamp BEFORE the ×4: a pathological conf value > 2^61 would
-        // overflow Long and turn the min negative
-        val capCells = math.min(maxPlaneBytes, graft.functions.GramCountSketch.MaxCells / 4) * 4L
-        val mCells = Seq(
-          math.max((statsBytes.toDouble * cellsPerByte).toLong, 1L << 22),
-          capCells,
-          graft.functions.GramCountSketch.MaxCells).min
+      else if (!sketchDiscriminates) {
+        log.warn(s"duplicateSpans: sketch cap $mCells cells < " +
+          f"$SketchMinSizingRatioKey×desired ($desiredCells%.3g) — a saturated sketch " +
+          "cannot prune, keeping the lazy exact count (raise " +
+          s"$SketchMaxBytesKey on bigger executors to re-enable the pre-filter)")
+        postings.join(lazyDupKeys.hint("shuffle_hash"), Seq("h"), "left_semi")
+      } else {
         // The two passes (sketch build, then postings) both need the
         // per-doc gram arrays; tokenize+hash is the dominant per-pass
         // cost, so below `gramCacheMaxBytes` the arrays are CACHED across

@@ -52,6 +52,24 @@ class GramCountSketchSpec extends AnyFunSuite {
     })
   }
 
+  test("perTask build's chunked executor-side merge == shared build, bit for bit") {
+    // chunkWords=64 slices the 1024-word planes into 16 chunks, so the
+    // reduceByKey merge path (not just the single-chunk degenerate) is
+    // what must reproduce the shared build's planes exactly
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val keys = (0L until 5000L).map(i => i * 0x9E3779B97F4A7C15L + 3L) ++
+      (0L until 1200L).map(i => i * 0x9E3779B97F4A7C15L + 3L) // dup sample
+    val df = spark.createDataset(keys).toDF("h").repartition(7)
+    val mCells = 1L << 16
+    val shared = GramCountSketch.build(df, mCells, "shared")
+    val perTask = GramCountSketch.build(df, mCells, "perTask", chunkWords = 64)
+    assert(java.util.Arrays.equals(perTask.lo, shared.lo),
+      "lo planes must match across build strategies")
+    assert(java.util.Arrays.equals(perTask.hi, shared.hi),
+      "hi planes must match across build strategies")
+  }
+
   test("atomic inserts under real thread races never miss a duplicate") {
     // every key is inserted exactly twice, once from each of two racing
     // threads — the adversarial schedule for the lo->hi transition

@@ -182,6 +182,34 @@ class DedupPlanShapeSpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.BroadcastGateMinBytesKey)
   }
 
+  test("duplicateSpans: a saturation-doomed sketch is skipped for the lazy exact count") {
+    // plane cap forced far below the sizing target (the shape of a
+    // beyond-plane-scale corpus, or a tight-executor cap on a big one):
+    // a saturated sketch passes ~everything, so the operator must keep
+    // the lazy exchange and never build/probe the sketch
+    val want = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+      .collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq // default confs
+    spark.conf.set(Dedup.BroadcastGateMinBytesKey, "0")
+    spark.conf.set(Dedup.SketchMaxBytesKey, "16")
+    // desired cells ≫ the 64-cell cap regardless of the toy relation's
+    // stats estimate — the predicted-saturation shape
+    spark.conf.set(Dedup.SketchCellsPerByteKey, "1000000")
+    try {
+      val spans = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+      val plan = spans.queryExecution.executedPlan.toString
+      assert(!plan.contains("gram_sketch_maybe_dup"),
+        s"an undersized-by-ratio sketch must not be built or probed:\n$plan")
+      assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftSemi"),
+        s"the fallback must be the lazy shuffled semi join:\n$plan")
+      assert(spans.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq == want,
+        "fallback rows must equal the lazy path's")
+    } finally {
+      spark.conf.unset(Dedup.BroadcastGateMinBytesKey)
+      spark.conf.unset(Dedup.SketchMaxBytesKey)
+      spark.conf.unset(Dedup.SketchCellsPerByteKey)
+    }
+  }
+
   test("temperatureResample and quantileBuckets broadcast their tiny side") {
     val langs = docs.withColumn("lang", TextAnalysis.langId(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))
