@@ -247,7 +247,11 @@ object GramCountSketch {
           // one sketch (2×planeBytes) — a bound the driver's own heap
           // already implies.
           val nWords = ((mCells + 63) / 64).toInt
-          val nChunks = (nWords + chunkWords - 1) / chunkWords
+          // Long ceil-div: nWords can sit near Int.MaxValue (a ~17 GB
+          // plane), where Int `nWords + chunkWords - 1` wraps negative
+          // and an empty chunk range would SILENTLY yield an all-zero
+          // sketch — no false negatives would become all false negatives
+          val nChunks = ((nWords.toLong + chunkWords - 1) / chunkWords).toInt
           val reduceParts = math.max(1, math.min(nChunks, sc.defaultParallelism))
           val cw = chunkWords
           val merged = rdd.mapPartitions { it =>

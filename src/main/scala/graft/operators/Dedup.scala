@@ -778,8 +778,15 @@ object Dedup {
     // (tight executors) on a big corpus, and ALWAYS at a corpus scale
     // whose desired cells exceed the largest constructible plane: there
     // the exact global count's exchange is intrinsic, so take it lazily
-    // and skip the build. See SketchMinSizingRatioKey.
-    val sketchDiscriminates = mCells.toDouble >=
+    // and skip the build. See SketchMinSizingRatioKey. The check only
+    // fires on a REAL size estimate: a non-file-backed input reports the
+    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue by default),
+    // which says "unknown", not "huge" — there the capped sketch keeps
+    // its r9 behavior (build at the cap; loadFactor is the observability
+    // knob if the guess was wrong).
+    val statsKnown = statsBytes < BigInt(
+      conf("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
+    val sketchDiscriminates = !statsKnown || mCells.toDouble >=
       desiredCells * conf(SketchMinSizingRatioKey, SketchMinSizingRatioDefault.toString).toDouble
     val dupPos =
       if (statsBytes <= BigInt(gate))

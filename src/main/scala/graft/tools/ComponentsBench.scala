@@ -30,6 +30,7 @@ object ComponentsBench {
     val nEdges = args.headOption.map(_.toLong).getOrElse(30000000L)
     val runs = args.drop(1).headOption.map(_.toInt).getOrElse(2)
     val chainLen = args.drop(2).headOption.map(_.toInt).getOrElse(100)
+    require(chainLen >= 2, s"chainLen=$chainLen: a chain needs at least one edge")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -41,6 +42,9 @@ object ComponentsBench {
 
     val perChain = (chainLen - 1).toLong
     val nChains = nEdges / perChain
+    // report the graph actually built: nEdges rounds DOWN to a multiple
+    // of (chainLen−1)
+    val actualEdges = nChains * perChain
     val nVerts = nChains * chainLen
     // edge e lives in chain e/(L-1) at offset e%(L-1): (head+j, head+j+1)
     val edges = spark.range(0, nChains * perChain).select(
@@ -63,10 +67,10 @@ object ComponentsBench {
       val sec = (System.nanoTime() - t0) / 1e9
       require(bad == 0L, s"$leg produced $bad wrong labels")
       best(leg) = math.min(best.getOrElse(leg, Double.MaxValue), sec)
-      println(f"""{"leg":"$leg","run":$run,"sec":$sec%.2f,"edges":$nEdges,"verts":$nVerts,"mismatches":$bad}""")
+      println(f"""{"leg":"$leg","run":$run,"sec":$sec%.2f,"edges":$actualEdges,"verts":$nVerts,"mismatches":$bad}""")
     }
     val legsJson = best.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"components_bench","edges":$nEdges,"chain_len":$chainLen,"best_sec":$legsJson}""")
+    println(s"""{"metric":"components_bench","edges":$actualEdges,"chain_len":$chainLen,"best_sec":$legsJson}""")
     spark.stop()
   }
 }

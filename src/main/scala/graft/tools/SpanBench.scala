@@ -64,6 +64,11 @@ object SpanBench {
     // a crashed leg (e.g. a deliberately undersized-heap run) doesn't
     // charge the next invocation a regeneration
     val corpusPath = new Path(s"$root/corpus_$n")
+    // reuse requires the _SUCCESS marker: a crashed prior invocation (the
+    // scaladoc anticipates deliberately-undersized-heap runs) can leave a
+    // partial parquet dir that would silently benchmark a smaller corpus
+    if (fs.exists(corpusPath) && !fs.exists(new Path(corpusPath, "_SUCCESS")))
+      fs.delete(corpusPath, true)
     if (!fs.exists(corpusPath)) {
       CurationBench.synth(spark, n)
         // what dedup+gate remove upstream, by planting arithmetic: exact

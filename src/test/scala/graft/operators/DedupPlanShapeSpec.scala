@@ -210,6 +210,34 @@ class DedupPlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans: unknown stats (RDD-backed input) keep the sketch, not the fallback") {
+    // a non-file-backed plan reports the defaultSizeInBytes SENTINEL
+    // (Long.MaxValue) — "unknown", not "huge": the saturation check must
+    // not read it as a beyond-plane-scale corpus and silently drop the
+    // pre-filter that r9 measured 4.2x on
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rdd = spark.sparkContext.parallelize(
+      docs.collect().toIndexedSeq)
+    val rddDocs = spark.createDataFrame(rdd,
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    assert(rddDocs.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(Long.MaxValue) / 2,
+      "precondition: the RDD-backed plan must report the unknown-size sentinel")
+    spark.conf.set(Dedup.BroadcastGateMinBytesKey, "0")
+    // tiny planes: the unknown-stats bypass must hold at ANY cap, and the
+    // shared test JVM shouldn't allocate the default 1 GiB planes
+    spark.conf.set(Dedup.SketchMaxBytesKey, "1048576")
+    try {
+      val spans = Dedup.duplicateSpans(rddDocs, col("doc_id"), col("text"), n = 3)
+      val plan = spans.queryExecution.executedPlan.toString
+      assert(plan.contains("gram_sketch_maybe_dup"),
+        s"unknown stats must keep the r9 capped-sketch behavior:\n$plan")
+    } finally {
+      spark.conf.unset(Dedup.BroadcastGateMinBytesKey)
+      spark.conf.unset(Dedup.SketchMaxBytesKey)
+    }
+  }
+
   test("temperatureResample and quantileBuckets broadcast their tiny side") {
     val langs = docs.withColumn("lang", TextAnalysis.langId(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))

@@ -2,7 +2,9 @@
 # Run a graft tool main directly against the sbt-compiled classes — same
 # JVM flags as build.sbt's forked run, but without taking the sbt project
 # lock (so benches can run while a test suite compiles/runs).
-# Usage: tools/runtool.sh [-JXmx] graft.tools.SpanBench args...
+# Usage: SPARK_DRIVER_MEM=24g tools/runtool.sh graft.tools.SpanBench args...
+# (heap defaults to 8g; set it via the SPARK_DRIVER_MEM env var, same as
+# the sbt-forked runs)
 set -euo pipefail
 MEM="${SPARK_DRIVER_MEM:-8g}"
 ADD_OPENS=""
