@@ -257,11 +257,22 @@ object GramCountSketch {
           val merged = rdd.mapPartitions { it =>
             val sk = new GramCountSketch(mCells)
             while (it.hasNext) insertRow(sk, atomic = false, it.next())
-            (0 until nChunks).iterator.map { c =>
+            // all-zero slices are DROPPED map-side (one word scan, no
+            // allocation): an absent chunk key leaves the zero-initialized
+            // output untouched, so sparse planes — the common case — skip
+            // the copy, serialization, and shuffle element entirely
+            (0 until nChunks).iterator.flatMap { c =>
               val from = c * cw
               val until = math.min(nWords, from + cw)
-              (c, (java.util.Arrays.copyOfRange(sk.lo, from, until),
-                java.util.Arrays.copyOfRange(sk.hi, from, until)))
+              var i = from
+              var nonZero = false
+              while (!nonZero && i < until) {
+                nonZero = sk.lo(i) != 0L || sk.hi(i) != 0L; i += 1
+              }
+              if (!nonZero) Iterator.empty
+              else Iterator.single(
+                (c, (java.util.Arrays.copyOfRange(sk.lo, from, until),
+                  java.util.Arrays.copyOfRange(sk.hi, from, until))))
             }
           }.reduceByKey({ (a, b) =>
             val (loA, hiA) = a; val (loB, hiB) = b

@@ -749,10 +749,17 @@ object Dedup {
     */
   def duplicateSpans(df: DataFrame, id: Column, text: Column, n: Int,
       maxBroadcastKeys: Long = 4000000L): DataFrame = {
+    // the (doc_id, pos, h) posting projection, shared by the lazy explode
+    // below and the sketch branch's cached explode — the two sites must
+    // stay in lockstep or the sketch path's spans would silently drift
+    // from the lazy path's (only their posexplode SOURCE differs: inline
+    // kernel here, the cached gram-array column there)
+    val postingCols = Seq(
+      col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
     val postings = df
       .select(id.as("doc_id"),
         posexplode(TextAnalysis.ngramHashesWideMultiset(text, n)))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+      .select(postingCols: _*)
     val lazyDupKeys = postings.groupBy(col("h"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
@@ -784,8 +791,19 @@ object Dedup {
     // which says "unknown", not "huge" — there the capped sketch keeps
     // its r9 behavior (build at the cap; loadFactor is the observability
     // knob if the guess was wrong).
-    val statsKnown = statsBytes < BigInt(
+    // "Unknown" is detected at the LEAVES, not just the root: Spark's
+    // size-only stats visitor SCALES a Project's sizeInBytes by its
+    // row-width ratio, so any projection over a non-file-backed input
+    // turns the Long.MaxValue sentinel into an arbitrary garbage
+    // magnitude below it (~4.6e18 for a half-width projection) — a
+    // root-only comparison would read that as a real beyond-plane-scale
+    // corpus and silently drop the pre-filter. A plan is size-known only
+    // when the root is below the sentinel AND no leaf reports it.
+    val sentinel = BigInt(
       conf("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
+    val statsKnown = statsBytes < sentinel &&
+      !df.queryExecution.optimizedPlan.collectLeaves()
+        .exists(_.stats.sizeInBytes >= sentinel)
     val sketchDiscriminates = !statsKnown || mCells.toDouble >=
       desiredCells * conf(SketchMinSizingRatioKey, SketchMinSizingRatioDefault.toString).toDouble
     val dupPos =
@@ -827,7 +845,7 @@ object Dedup {
         val bc = spark.sparkContext.broadcast(sketch)
         val cachedPostings = gramSrc
           .select(col("doc_id"), posexplode(col("hs")))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+          .select(postingCols: _*)
         val cand = cachedPostings
           .filter(Bridge.column(graft.functions.SketchMaybeDup(bc, Bridge.expression(col("h")))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -195,7 +195,11 @@ object Warc {
       * an envelope within `limit` — the truncated/absent-envelope
       * tolerance. The status is null for a non-status first line (e.g.
       * `request` records); envelope header names are matched
-      * case-insensitively; CRLF and bare-LF line endings both parse. */
+      * case-insensitively; CRLF and bare-LF line endings both parse.
+      * Header LINES are parsed from at most the first [[MaxEnvelopeScan]]
+      * head bytes (via [[cappedHeadEnd]]) — the same rule the EnvelopeOnly
+      * fallback applies — so envelope columns are projection-invariant
+      * even for an adversarial multi-MB envelope head. */
     private def parseHttpEnvelope(
         buf: Array[Byte], limit: Int): (java.lang.Integer, String, Int) = {
       var i = 0
@@ -207,9 +211,26 @@ object Warc {
         else i += 1
       }
       if (bodyStart < 0) return (null, null, -1)
-      val (status, ctype) = parseEnvelopeLines(buf, i)
+      val (status, ctype) = parseEnvelopeLines(buf, cappedHeadEnd(buf, i.toLong))
       (status, ctype, bodyStart)
     }
+
+    /** The DETERMINISTIC header-parse end for an envelope head of
+      * `headEnd` bytes: `headEnd` itself under the [[MaxEnvelopeScan]]
+      * cap, else the end of the last complete line within the cap (a
+      * trailing partial line is dropped rather than risking a truncated
+      * header value). Both the Full path and the EnvelopeOnly fallback
+      * apply THIS rule, so a retained envelope column has the same value
+      * under any projection — the cut depends only on the head bytes,
+      * never on read-chunk boundaries. Requires `buf` to hold at least
+      * `min(headEnd, MaxEnvelopeScan)` bytes. */
+    private def cappedHeadEnd(buf: Array[Byte], headEnd: Long): Int =
+      if (headEnd <= MaxEnvelopeScan) headEnd.toInt
+      else {
+        var j = MaxEnvelopeScan - 1
+        while (j >= 0 && buf(j) != '\n') j -= 1
+        j + 1
+      }
 
     /** (status, content-type) from the envelope head `buf[0, headEnd)` —
       * the line-level half of [[parseHttpEnvelope]], shared with the
@@ -230,9 +251,11 @@ object Warc {
       (status, ctype)
     }
 
-    /** Head bytes retained by the EnvelopeOnly fallback scan; envelope
-      * lines past this bound are not recoverable (the terminator search
-      * itself continues unbounded, in O(chunk) memory). */
+    /** Envelope-head bytes any path parses header lines from (the
+      * terminator search itself continues unbounded, in O(chunk) memory
+      * on the fallback path). Shared by [[parseHttpEnvelope]] and
+      * [[scanEnvelopeTail]] through [[cappedHeadEnd]] — one rule, so
+      * column pruning never changes a retained column's value. */
     private val MaxEnvelopeScan = 4 << 20
 
     /** Continues the envelope-terminator search past the 64 KiB head for
@@ -266,35 +289,41 @@ object Warc {
           acc.write(chunk, 0, n)
           if (acc.size >= MaxEnvelopeScan) accFull = true
         }
-        // Scan tail3 ++ chunk[0, n) for the terminator (patterns span at
-        // most 4 bytes, so a 3-byte overlap preserves cross-chunk hits).
-        val scan = new Array[Byte](3 + n)
-        System.arraycopy(tail, 0, scan, 0, 3)
-        System.arraycopy(chunk, 0, scan, 3, n)
+        // Scan for the terminator IN PLACE (patterns span at most 4
+        // bytes, so a 3-byte overlap preserves cross-chunk hits without
+        // re-copying the chunk — the old tail++chunk copy doubled memory
+        // traffic on exactly the crafted multi-GiB records this path
+        // exists to bound). Boundary first — logical positions -3..-1
+        // precede the chunk's — over a tiny tail++chunk-head window,
+        // then the chunk itself; a pattern extending past the chunk end
+        // is caught next round via the rolled tail, as before.
+        var headEnd = -1L // logical offset of the terminator start
+        val bndLen = 3 + math.min(n, 4)
+        val bnd = new Array[Byte](bndLen)
+        System.arraycopy(tail, 0, bnd, 0, 3)
+        System.arraycopy(chunk, 0, bnd, 3, bndLen - 3)
         var i = 0
-        var bodyOff = -1
-        while (bodyOff < 0 && i < scan.length - 1) {
-          if (scan(i) == '\r' && i + 3 < scan.length && scan(i + 1) == '\n' &&
-              scan(i + 2) == '\r' && scan(i + 3) == '\n') bodyOff = i
-          else if (scan(i) == '\n' && scan(i + 1) == '\n') bodyOff = i
+        while (headEnd < 0 && i < 3 && i < bndLen - 1) {
+          if (bnd(i) == '\r' && i + 3 < bndLen && bnd(i + 1) == '\n' &&
+              bnd(i + 2) == '\r' && bnd(i + 3) == '\n') headEnd = logical - 3 + i
+          else if (bnd(i) == '\n' && bnd(i + 1) == '\n') headEnd = logical - 3 + i
           else i += 1
         }
-        if (bodyOff >= 0) {
-          // Terminator starts at logical position logical - 3 + bodyOff.
+        var j = 0
+        while (headEnd < 0 && j < n - 1) {
+          if (chunk(j) == '\r' && j + 3 < n && chunk(j + 1) == '\n' &&
+              chunk(j + 2) == '\r' && chunk(j + 3) == '\n') headEnd = logical + j
+          else if (chunk(j) == '\n' && chunk(j + 1) == '\n') headEnd = logical + j
+          else j += 1
+        }
+        if (headEnd >= 0) {
           if (!skipFully(left)) return (null, null, false)
-          val headEnd = logical - 3 + bodyOff
           val bytes = acc.toByteArray
-          val end =
-            if (headEnd <= bytes.length) headEnd.toInt
-            else {
-              // Head exceeded the retention cap: parse what we kept,
-              // dropping a trailing partial line rather than risking a
-              // truncated header value.
-              var j = bytes.length - 1
-              while (j >= 0 && bytes(j) != '\n') j -= 1
-              j + 1
-            }
-          val (s, c) = parseEnvelopeLines(bytes, end)
+          // Same deterministic cap rule as the Full path: the retained
+          // prefix always covers min(headEnd, MaxEnvelopeScan) bytes
+          // (retention only stops once acc >= the cap), so the cut
+          // depends on the head bytes alone, never on chunk boundaries.
+          val (s, c) = parseEnvelopeLines(bytes, cappedHeadEnd(bytes, headEnd))
           return (s, c, true)
         }
         logical += n

@@ -97,8 +97,13 @@ object SpanBench {
       if (noCache) spark.conf.set(Dedup.GramCacheMaxBytesKey, "0")
       try {
         spark.catalog.clearCache()
+        // GC FIRST, then reset peaks, then read the baseline: resetting
+        // before the GC pins each pool's peak at the garbage-laden level
+        // left by synthesis / the previous leg, inflating every leg's
+        // delta by whatever the collector later reclaimed
+        System.gc()
         heapPools.foreach(_.resetPeakUsage())
-        val preGc = { System.gc(); heapPools.map(_.getUsage.getUsed).sum }
+        val preGc = heapPools.map(_.getUsage.getUsed).sum
         val t0 = System.nanoTime()
         fs.delete(new Path(s"$root/spans"), true)
         Dedup.duplicateSpans(corpus, $"doc_id", $"text", n = 13)

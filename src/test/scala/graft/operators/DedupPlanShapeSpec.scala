@@ -238,6 +238,37 @@ class DedupPlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans: a PROJECTED unknown-stats input still counts as unknown") {
+    // Spark's size-only stats visitor scales a Project's estimate by its
+    // row-width ratio, so a projection over an RDD-backed input turns the
+    // Long.MaxValue sentinel into garbage BELOW it — a root-only sentinel
+    // comparison reads that as a real beyond-plane-scale corpus and drops
+    // the sketch. The leaf-level check must classify it as unknown.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rdd = spark.sparkContext.parallelize(
+      docs.collect().toIndexedSeq.map(r => Row(r.getLong(0), r.getString(1), "pad")))
+    val wide = spark.createDataFrame(rdd,
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("pad", StringType))))
+    val projected = wide.select(col("doc_id"), col("text"))
+    val rootStats = projected.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(rootStats < BigInt(Long.MaxValue) && rootStats > BigInt(1L << 50),
+      s"precondition: the projected plan must report a SCALED (sub-sentinel, still " +
+        s"absurd) estimate, got $rootStats")
+    spark.conf.set(Dedup.BroadcastGateMinBytesKey, "0")
+    spark.conf.set(Dedup.SketchMaxBytesKey, "1048576")
+    try {
+      val spans = Dedup.duplicateSpans(projected, col("doc_id"), col("text"), n = 3)
+      val plan = spans.queryExecution.executedPlan.toString
+      assert(plan.contains("gram_sketch_maybe_dup"),
+        s"a scaled sentinel must not be read as a real beyond-plane-scale estimate:\n$plan")
+    } finally {
+      spark.conf.unset(Dedup.BroadcastGateMinBytesKey)
+      spark.conf.unset(Dedup.SketchMaxBytesKey)
+    }
+  }
+
   test("temperatureResample and quantileBuckets broadcast their tiny side") {
     val langs = docs.withColumn("lang", TextAnalysis.langId(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))

@@ -564,10 +564,17 @@ class WarcSourceSpec extends SparkSpec {
     val beyondCap = "HTTP/1.1 418 Teapot\r\nContent-Type: beyond/cap\r\nX-Pad: " +
       ("q" * (5 * 1024 * 1024)) + "\r\n\r\ntiny"
     val noTerm = "HTTP/1.1 200 OK\r\nContent-Type: never/ends\r\n" + ("z" * 1024 * 1024)
+    // content-type PAST the cap but before the terminator: both
+    // projections must apply the same deterministic cap rule and agree
+    // on null — not "null under pruning, past/cap under full read"
+    val ctypePastCap = "HTTP/1.1 302 Moved\r\nX-Pad: " + ("q" * (5 * 1024 * 1024)) +
+      "\r\nContent-Type: past/cap\r\n\r\nbody"
     Files.write(dir.resolve("a.warc"),
       record("response", "https://x.example.com/late", (lateEnv).getBytes(UTF_8) ++ hugeBody,
         ctype = "application/http; msgtype=response") ++
       record("response", "https://x.example.com/cap", beyondCap.getBytes(UTF_8),
+        ctype = "application/http; msgtype=response") ++
+      record("response", "https://x.example.com/pastcap", ctypePastCap.getBytes(UTF_8),
         ctype = "application/http; msgtype=response") ++
       record("response", "https://x.example.com/noterm", noTerm.getBytes(UTF_8),
         ctype = "application/http; msgtype=response") ++
@@ -577,11 +584,13 @@ class WarcSourceSpec extends SparkSpec {
     val envelopeOnly = spark.read.format("warc").load(dir.toString)
       .select(col("target_uri"), col("http_status"), col("http_content_type"))
       .as[(String, Option[Int], String)].collect().map(r => r._1 -> r).toMap
-    assert(envelopeOnly.size == 4, "framing must survive every pathological record")
+    assert(envelopeOnly.size == 5, "framing must survive every pathological record")
     assert(envelopeOnly("https://x.example.com/late") ==
       (("https://x.example.com/late", Some(200), "late/head")))
     assert(envelopeOnly("https://x.example.com/cap") ==
       (("https://x.example.com/cap", Some(418), "beyond/cap")))
+    assert(envelopeOnly("https://x.example.com/pastcap") ==
+      (("https://x.example.com/pastcap", Some(302), null)))
     assert(envelopeOnly("https://x.example.com/noterm") ==
       (("https://x.example.com/noterm", None, null)))
     assert(envelopeOnly("https://x.example.com/after") ==
