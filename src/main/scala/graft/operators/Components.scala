@@ -22,15 +22,37 @@ import org.apache.spark.sql.functions._
   *     collect: the fold runs inside a task on an executor; only the
   *     (touched-vertex, component) table comes back as a DataFrame.
   *
-  *   - **Distributed min-label propagation** (above threshold). Each round
-  *     is one edge join + one min-aggregate + a path-halving pointer jump;
-  *     labels only ever decrease, so sum(label) strictly decreases until
-  *     the fixpoint and convergence is one scalar aggregate per round-pair
-  *     (rounds run in fused pairs: monotonicity makes sum(t+2)==sum(t)
-  *     imply the fixpoint, halving the scheduled-job count). Per-round
-  *     lineage is truncated lazily (localCheckpoint, or reliable
-  *     `checkpoint` when `checkpointDir` is set), the per-round shuffle is
-  *     edge-sized, and nothing reaches the driver but the scalar.
+  *   - **Two-level contraction** (above threshold; the default distributed
+  *     strategy). Every edge lives in exactly ONE input partition, so a
+  *     per-partition union-find (a narrow `mapPartitions` — zero shuffle)
+  *     contracts all intra-partition connectivity away; what remains is
+  *     the vertices that appear in several partitions under different
+  *     local roots. One vertex-keyed shuffle groups those appearances,
+  *     stitch edges (min-root, other-root) link the local roots, and the
+  *     ITERATIVE part — a partitioner-aware min-label + path-halving RDD
+  *     loop whose edge set is partitioned once and never re-shuffled —
+  *     runs only on that contracted root graph, which is boundary-sized
+  *     (≤ one edge per cross-partition vertex appearance), not
+  *     edge-sized. When the root graph fits `localEdgeThreshold` it
+  *     collapses further into the single-task union-find. At 100 TB the
+  *     corpus-scale work is therefore one narrow pass plus two
+  *     vertex-sized exchanges, with convergence rounds paid only on data
+  *     orders of magnitude smaller. This stage is the one place in the
+  *     engine that drops to RDDs on purpose: an iterative fixpoint needs
+  *     a partitioning REUSED across jobs (join the same edge set every
+  *     round without re-exchanging it), which Catalyst cannot express —
+  *     exchange reuse never crosses a job boundary — and which a fixed
+  *     `HashPartitioner` gives for free (the GraphX execution model).
+  *     The previous DataFrame loop (one edge join + min-aggregate +
+  *     pointer jump per round, edge-sized shuffles every round) is kept,
+  *     plan-for-plan, behind `spark.graft.components.distStrategy=loop`
+  *     as the measured fallback; `ComponentsBench` A/Bs the two (30M
+  *     chain edges: 218.4 s loop vs the contraction's one-pass shape).
+  *     Labels only ever decrease in both, so sum(label) strictly
+  *     decreases until the fixpoint and convergence is one scalar
+  *     aggregate per fused round-pair; per-round lineage is truncated
+  *     (localCheckpoint, or reliable `checkpoint` when `checkpointDir`
+  *     is set) and nothing reaches the driver but the scalar.
   *
   * Either way, isolated vertices (the overwhelming corpus majority) never
   * enter the component computation — they are attached by one final
@@ -39,6 +61,11 @@ import org.apache.spark.sql.functions._
 object Components {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Distributed-path strategy: "contract" (default — per-partition
+    * union-find contraction, loop only on the stitched root graph) or
+    * "loop" (the DataFrame min-label loop over the full edge set). */
+  val DistStrategyKey = "spark.graft.components.distStrategy"
 
   /** → (id, component_id = min reachable id). `vertices` must have column
     * `id`; `edges` columns `src`/`dst` (undirected: both orientations are
@@ -64,7 +91,9 @@ object Components {
     *        (path logged at INFO) and deletes every finished round's
     *        snapshot as soon as the following round has materialized, so
     *        at most three snapshots (edges, previous labels, current
-    *        labels) are ever alive. The LAST snapshot outlives the call on
+    *        labels — four under the loop strategy, which also keeps its
+    *        symmetrized edge snapshot) are ever alive. The LAST snapshot
+    *        outlives the call on
     *        purpose — the returned DataFrame is lazy and may recompute
     *        from it; remove the logged subdirectory after consuming the
     *        result, or run with
@@ -117,27 +146,46 @@ object Components {
               df.sparkSession, rdd, df.schema),
             () => { rdd.unpersist(blocking = false); () })
         }
-      // materialize the symmetrized edge set once: the path choice needs
-      // its count, every propagation round joins against it, and the
-      // caller's edge lineage (e.g. near-dup pair mining) must not
-      // re-execute per use. Null endpoints are dropped up front — the old
-      // propagation joins ignored them implicitly; the union-find
-      // deserializer would throw on them.
-      val symSnap = snap(
+      // materialize the RAW (one-orientation) edge set once: the path
+      // choice needs its count and the caller's edge lineage (e.g.
+      // near-dup pair mining) must not re-execute per use. Null endpoints
+      // are dropped up front — the old propagation joins ignored them
+      // implicitly; the union-find deserializer would throw on them.
+      // Union-find is orientation-blind, so BOTH union-find paths (the
+      // single task and the contraction) consume raw edges directly —
+      // half the rows the symmetrized list would stream/exchange; only
+      // the DataFrame loop strategy pays for symmetrization (its message
+      // join needs both directions).
+      val rawSnap = snap(
         edges.select(col("src").cast("long"), col("dst").cast("long"))
-          .filter(col("src").isNotNull && col("dst").isNotNull)
-          .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst"))
-            .filter(col("src").isNotNull && col("dst").isNotNull)))
-      val sym = symSnap.df
-      val symCount = sym.count() // the one materializing action for sym
+          .filter(col("src").isNotNull && col("dst").isNotNull))
+      val raw = rawSnap.df
+      // the threshold contract stays stated in SYMMETRIZED rows
+      val symCount = 2L * raw.count()
       val labels =
-        if (symCount <= localEdgeThreshold) localUnionFind(sym)
+        if (symCount <= localEdgeThreshold) localUnionFind(raw)
         else {
-          // the loop's final labels are themselves truncated, so the edge
-          // blocks can be released as soon as the iteration is done; the
-          // union-find path stays lazy over sym and must keep them
-          val l = distributedLabels(sym, snap, maxIter, ourDir)
-          symSnap.release()
+          val strategy = vertices.sparkSession.sessionState.conf
+            .getConfString(DistStrategyKey, "contract")
+          // both strategies leave their final state truncated (the loop's
+          // labels / the contraction's minRoot+rootLabels), so the edge
+          // blocks can be released as soon as the eager work is done; the
+          // union-find path stays lazy over raw and must keep them. In
+          // reliable mode release() is a no-op and the raw checkpoint
+          // files stay — the contraction's persisted-only intermediates
+          // recompute from them on executor loss.
+          val l =
+            if (strategy == "loop") {
+              // symmetrize narrowly over the materialized raw blocks and
+              // snap the result — every propagation round joins it
+              val symSnap = snap(raw.union(
+                raw.select(col("dst").as("src"), col("src").as("dst"))))
+              symSnap.df.count()
+              val ll = distributedLabelsLoop(symSnap.df, snap, maxIter, ourDir)
+              symSnap.release()
+              ll
+            } else contractedLabels(raw, maxIter, ourDir, localEdgeThreshold)
+          rawSnap.release()
           l
         }
       vertices.select(col("id"))
@@ -158,60 +206,240 @@ object Components {
     * checkpoint files rather than executor storage. */
   private final case class Snap(df: DataFrame, release: () => Unit)
 
+  /** One disjoint-set pass over an edge iterator → (vertex, root) for
+    * every touched vertex. Path compression + min-root union, so the
+    * root IS the min reachable id — deterministic under any edge order.
+    * Memory: ~16 B per touched vertex (one LongMap entry). The rows are
+    * STREAMED off a primitive key snapshot — materializing boxed tuples
+    * for all touched vertices at once would multiply the task's memory;
+    * the final find() calls only compress values (every chain ends at an
+    * already-registered root), so iterating over the snapshot while the
+    * map's values update is safe. Shared by the single-task path, the
+    * contraction pass (per input partition), and the contracted root
+    * graph's below-threshold branch. */
+  private def unionFindRows(edges: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // compress the walked path onto the root
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      if (!parent.contains(r)) parent(r) = r // register roots as touched
+      r
+    }
+    edges.foreach { case (s, d) =>
+      val rs = find(s); val rd = find(d)
+      if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+    }
+    val ks = parent.keysIterator.toArray
+    ks.iterator.map(k => (k, find(k)))
+  }
+
   /** Below-threshold path: the whole edge list through ONE task's
-    * disjoint-set forest (path compression + min-root union, so the root
-    * IS the min reachable id — deterministic under any edge order). */
+    * disjoint-set forest. NOT a driver-side collect: the fold runs
+    * inside a task on an executor. */
   private def localUnionFind(sym: DataFrame): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._
     sym.select(col("src"), col("dst")).as[(Long, Long)]
       .coalesce(1)
-      .mapPartitions { it =>
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x // compress the walked path onto the root
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          if (!parent.contains(r)) parent(r) = r // register roots as touched
-          r
-        }
-        it.foreach { case (s, d) =>
-          val rs = find(s); val rd = find(d)
-          if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
-        }
-        // snapshot the keys as one primitive array (8 B/vertex), then
-        // STREAM the (id, root) rows — materializing boxed tuples for all
-        // touched vertices at once would multiply the task's memory. The
-        // final find() calls only compress values (every chain ends at an
-        // already-registered root), so iterating over the snapshot while
-        // the map's values update is safe.
-        val ks = parent.keysIterator.toArray
-        ks.iterator.map(k => (k, find(k)))
-      }
+      .mapPartitions(it => unionFindRows(it))
       .toDF("id", "comp")
   }
 
   /** Delete every rdd-* snapshot under this loop's PRIVATE checkpoint
-    * subdirectory except the lowest id (the edge set — joined every round)
-    * and the highest (the labels that just materialized). Checkpoint rdd
-    * ids are assigned in creation order and this loop creates its frames
-    * strictly sequentially, so everything between the two is a finished
-    * round's state that nothing can read again. */
-  private def pruneCheckpoints(sc: org.apache.spark.SparkContext, dir: String): Unit = {
+    * subdirectory except the `keepLowest` lowest ids (the edge sets the
+    * rounds keep reading — raw only for the contraction strategy; raw AND
+    * sym for the loop strategy) and the highest (the labels that just
+    * materialized). Checkpoint rdd ids are assigned in creation order and
+    * this loop creates its frames strictly sequentially, so everything
+    * between is a finished round's state that nothing can read again. */
+  private def pruneCheckpoints(
+      sc: org.apache.spark.SparkContext, dir: String, keepLowest: Int): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(sc.hadoopConfiguration)
     if (fs.exists(path)) {
       val rdds = fs.listStatus(path).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("rdd-"))
         .sortBy(_.getPath.getName.stripPrefix("rdd-").toLong)
-      rdds.drop(1).dropRight(1).foreach(s => fs.delete(s.getPath, true))
+      rdds.drop(keepLowest).dropRight(1).foreach(s => fs.delete(s.getPath, true))
     }
   }
 
-  /** Above-threshold path: fused-pair min-label propagation (see object
-    * doc). Returns (id, comp) for every edge-touched vertex. */
-  private def distributedLabels(
+  /** Default above-threshold path: two-level contraction (see object
+    * doc). Returns (id, comp) for every edge-touched vertex.
+    *
+    * Level 1 is one NARROW pass: every edge lives in exactly one input
+    * partition, so a per-partition union-find contracts all
+    * intra-partition connectivity, emitting one (vertex, local root) row
+    * per touched vertex per partition (task memory ~16 B per touched
+    * vertex in the partition — the same contract as the single-task
+    * path, but per ≤`maxPartitionBytes` slice). Level 2 stitches: a
+    * vertex seen in several partitions under different local roots
+    * proves those roots connected, so stitch edges (min root, other
+    * root) — at most one per cross-partition vertex appearance — form
+    * the contracted root graph, and only THAT graph pays iteration:
+    * single-task union-find when it fits `localEdgeThreshold`, else the
+    * partitioner-aware [[minLabelLoopRdd]]. Correctness: every original
+    * edge is contracted inside its own partition, so root connectivity
+    * under stitch edges equals vertex connectivity under the input; and
+    * the global min vertex of a component is the local min of every
+    * local component containing it, hence always itself a root — so the
+    * min over its root-graph component is exactly the component min. */
+  private def contractedLabels(
+      sym: DataFrame, maxIter: Int, reliableDir: Option[String],
+      localEdgeThreshold: Long): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = sym.sparkSession
+    val reliable = reliableDir.isDefined
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val part = new org.apache.spark.HashPartitioner(nPart)
+    // level 1: narrow contraction (zero shuffle), then ONE vertex-keyed
+    // exchange of the (vertex, local root) rows — ≤ one row per touched
+    // vertex per partition, i.e. vertex-sized plus boundary overlap
+    val members = sym.queryExecution.toRdd
+      .mapPartitions(it => unionFindRows(it.map(r => (r.getLong(0), r.getLong(1)))))
+      .partitionBy(part).persist(MEMORY_AND_DISK)
+    val minRoot = members.reduceByKey(part, math.min(_: Long, _: Long)) // co-partitioned: narrow
+    minRoot.persist(MEMORY_AND_DISK)
+    // the final assignment join reads minRoot lazily AFTER the caller
+    // releases sym's storage blocks — truncate so it never recomputes
+    // through them (reliable mode keeps sym's checkpoint FILES instead;
+    // a checkpoint here would be pruned by the loop's round cleanup)
+    if (!reliable) minRoot.localCheckpoint()
+    val rootEdges = members.join(minRoot, part) // co-partitioned: narrow
+      .flatMap { case (_, (root, mr)) => if (root != mr) Iterator((mr, root)) else Iterator.empty }
+      .distinct(nPart)
+    val nRootEdges = rootEdges.count() // materializes members + minRoot
+    log.info(s"components contraction: $nRootEdges stitch edges")
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"[cc] contraction: $nRootEdges stitch edges")
+    val rootLabels: Option[org.apache.spark.rdd.RDD[(Long, Long)]] =
+      if (nRootEdges == 0L) None // every component was partition-local
+      else if (nRootEdges <= localEdgeThreshold) {
+        val uf = rootEdges.coalesce(1).mapPartitions(it => unionFindRows(it))
+          .persist(MEMORY_AND_DISK)
+        if (!reliable) uf.localCheckpoint()
+        uf.count() // materialize before members' blocks go away
+        Some(uf)
+      } else {
+        val symRoots = rootEdges
+          .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+          .partitionBy(part).persist(MEMORY_AND_DISK)
+        val l = minLabelLoopRdd(symRoots, part, maxIter, reliableDir)
+        symRoots.unpersist(blocking = false) // l is truncated + materialized
+        Some(l)
+      }
+    members.unpersist(blocking = false)
+    val assigned = rootLabels match {
+      case None => minRoot // the local min IS the component min
+      case Some(rl) =>
+        // v's component = label of v's min local root (connected to all
+        // of v's roots); roots absent from the root graph keep their own
+        // id, which is already the component min
+        minRoot.map { case (v, mr) => (mr, v) }
+          .leftOuterJoin(rl, part)
+          .map { case (mr, (v, c)) => (v, c.getOrElse(mr)) }
+    }
+    val rows = assigned.mapPartitions(_.map { case (v, c) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](v, c)): org.apache.spark.sql.catalyst.InternalRow
+    })
+    org.apache.spark.sql.graft.Bridge.internalCreateDataFrame(spark, rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("comp", org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Min-label + path-halving fixpoint over a symmetrized,
+    * `part`-partitioned, persisted edge RDD — the iterative half of the
+    * contraction strategy, run only on the contracted root graph. The
+    * edge set is NEVER re-shuffled: each round's message join is narrow
+    * on both sides (edges and labels share `part`), and only
+    * vertex-sized message/label streams move (the message reduce is
+    * map-side combined). Rounds run in fused pairs with the monotone
+    * label-sum convergence scalar, per-pair lineage truncation
+    * (localCheckpoint, or reliable `checkpoint` + round pruning), and
+    * nothing reaches the driver but the scalar — the same contract as
+    * the DataFrame loop it replaces on this path. Returns truncated,
+    * materialized (id, comp) labels partitioned by `part`. */
+  private def minLabelLoopRdd(
+      symE: org.apache.spark.rdd.RDD[(Long, Long)],
+      part: org.apache.spark.Partitioner, maxIter: Int,
+      reliableDir: Option[String]): org.apache.spark.rdd.RDD[(Long, Long)] = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import org.apache.spark.rdd.RDD
+    val sc = symE.sparkContext
+    val reliable = reliableDir.isDefined
+    def truncate(r: RDD[(Long, Long)]): Unit = {
+      r.persist(MEMORY_AND_DISK)
+      if (reliable) r.checkpoint() else r.localCheckpoint()
+    }
+    // exact Long sum (RDD.sum() goes through Double)
+    def labelSum(r: RDD[(Long, Long)]): Long =
+      r.aggregate(0L)((a, kv) => a + kv._2, _ + _)
+    // initial label = min(id, min neighbor): round 1 from identity
+    // labels for the cost of one NARROW combine (symE is pre-partitioned)
+    var labels: RDD[(Long, Long)] = symE.reduceByKey(part, math.min(_: Long, _: Long))
+      .mapPartitions(
+        _.map { case (v, mn) => (v, math.min(v, mn)) },
+        preservesPartitioning = true)
+    truncate(labels)
+    var prevSum = labelSum(labels)
+    // one round as a PLAN; `cur` must be part-partitioned and persisted
+    // (it is referenced by both the message join and the halving join)
+    def round(cur: RDD[(Long, Long)]): (RDD[(Long, Long)], RDD[_]) = {
+      val inbox = symE.join(cur, part) // narrow on BOTH sides
+        .map { case (_, (dst, comp)) => (dst, comp) }
+        .reduceByKey(part, math.min(_: Long, _: Long)) // map-side combined: vertex-sized exchange
+      val prop = cur.leftOuterJoin(inbox, part) // narrow (inbox shares part)
+        .mapValues { case (own, in) => math.min(own, in.getOrElse(own)) }
+      prop.persist(MEMORY_AND_DISK) // referenced twice by the jump below
+      // path halving: comp ← label(comp). Labels are vertex ids, so the
+      // lookup hits; min travels 2^i hops by round i.
+      val jumped = prop.map { case (id, comp) => (comp, id) }
+        .leftOuterJoin(prop, part)
+        .map { case (comp, (id, cc)) => (id, cc.getOrElse(comp)) }
+        .partitionBy(part)
+      (jumped, prop)
+    }
+    var converged = false
+    var i = 0
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    while (!converged && i < maxIter) {
+      // fused pair: labels only ever decrease, so checking convergence
+      // after a round-PAIR is safe and halves the scheduled-job count
+      val steps = math.min(2, maxIter - i)
+      val (mid, midTmp) =
+        if (steps == 2) {
+          val (m, t) = round(labels)
+          m.persist(MEMORY_AND_DISK) // referenced twice by the outer round
+          (m, Seq[RDD[_]](t))
+        } else (labels, Seq.empty[RDD[_]])
+      val (next, nextTmp) = round(mid)
+      truncate(next)
+      val s = labelSum(next) // the pair's ONE action (reliable mode also
+      // writes next's checkpoint files right after it, before unpersists)
+      val prev = labels
+      labels = next
+      if (steps == 2) mid.unpersist(blocking = false)
+      (midTmp :+ nextTmp).foreach(_.unpersist(blocking = false))
+      prev.unpersist(blocking = false)
+      reliableDir.foreach(pruneCheckpoints(sc, _, keepLowest = 1))
+      converged = s == prevSum
+      prevSum = s
+      i += steps
+      if (dbg) println(s"[cc] rdd round $i sum=$s")
+    }
+    labels
+  }
+
+  /** The pre-contraction distributed path, kept behind
+    * `spark.graft.components.distStrategy=loop`: fused-pair min-label
+    * propagation over the FULL edge set in DataFrames — re-shuffles the
+    * edge-sized table every round, which the contraction strategy
+    * exists to avoid. Returns (id, comp) for every edge-touched vertex. */
+  private def distributedLabelsLoop(
       sym: DataFrame, snap: DataFrame => Snap, maxIter: Int,
       reliableDir: Option[String]): DataFrame = {
     // initial label = min(id, min neighbor): exactly what round 1 would
@@ -272,7 +500,7 @@ object Components {
       // retain one vertex-sized snapshot per round in the fault-tolerant
       // store. `next` just materialized, so everything between the edge
       // set and it is dead.
-      reliableDir.foreach(pruneCheckpoints(sym.sparkSession.sparkContext, _))
+      reliableDir.foreach(pruneCheckpoints(sym.sparkSession.sparkContext, _, keepLowest = 2))
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -306,6 +306,22 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("component_id"))
     }),
 
+    // q32's AT-SCALE plan path, forced at oracle scale: threshold 0 sends
+    // the pair graph through the two-level contraction (per-partition
+    // union-find + stitched root graph — the plan a >10M-edge dup graph
+    // gets), and the same DuckDB oracle as q32 hash-checks that the
+    // distributed path is exact, not just spec-pinned
+    "q76_dup_components_dist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+        n = 3, k = 8, bands = 4, minJaccardPermille = 200)
+      Components.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
+        localEdgeThreshold = 0L)
+        .select(col("id").as("doc_id"), col("component_id"))
+    }),
+
     // sequence packing: concatenation-order context-window assignment per
     // source shard — running token sum div capacity; shards pack in
     // parallel (see Packing scaladoc for why the shard key matters at scale)
@@ -782,7 +798,7 @@ object PipelineQueries {
     // component id is the min reached. Tractable because verified near-dup
     // components are small (reach rows = Σ component²), which is also why
     // the oracle stays SQL-expressible.
-    m += "q32_dup_components" ->
+    val q32Sql =
       s"""WITH RECURSIVE ${DuckSql.shingleCtes},
          |${DuckSql.minhashCte(8)},
          |bands AS ($bandSelects),
@@ -799,6 +815,9 @@ object PipelineQueries {
          |  UNION
          |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r)
          |SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id""".stripMargin
+    m += "q32_dup_components" -> q32Sql
+    // q76: the distributed contraction path must be EXACT — same oracle
+    m += "q76_dup_components_dist" -> q32Sql
 
     // q32's component closure + q48's hash-bucket assignment, keyed on the
     // cluster representative instead of the row id — the oracle replays the

@@ -20,9 +20,10 @@ import graft.operators.Components
   * worst realistic round count, not a flattering graph.
   *
   * Usage: runMain graft.tools.ComponentsBench [nEdges] [runs] [chainLen]
-  * Legs: `dist` (localEdgeThreshold=0 — the cluster path) and, for the
-  * crossover comparison, `local1task` (threshold=∞ — the single-task
-  * union-find streaming the same symmetrized edge list).
+  * Legs: `dist` / `distforce` (the contraction strategy at the default /
+  * zero threshold), `distloop` (the DataFrame loop fallback), and, for
+  * the crossover comparison, `local1task` (threshold=∞ — the single-task
+  * union-find streaming the raw edge list).
   */
 object ComponentsBench {
 
@@ -54,8 +55,23 @@ object ComponentsBench {
     val vertices = spark.range(0, nVerts).select(col("id"))
 
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (leg <- Seq("dist", "local1task"); run <- 0 until runs) {
-      val threshold = if (leg == "dist") 0L else Long.MaxValue
+    // dist = the default distributed strategy at the default 10M-edge
+    // threshold (two-level contraction; the stitched root graph fits the
+    // threshold and collapses into the single-task union-find — the path
+    // a real >10M-edge dup graph takes); distforce = same contraction
+    // but threshold 0, so the stitched root graph ALSO runs the
+    // partitioner-aware min-label loop (measures the loop itself);
+    // distloop = the pre-contraction DataFrame min-label loop over the
+    // full edge set; local1task = the single-task union-find crossover
+    // reference.
+    for (leg <- Seq("dist", "distforce", "distloop", "local1task"); run <- 0 until runs) {
+      val threshold = leg match {
+        case "local1task" => Long.MaxValue
+        case "dist" => 10000000L
+        case _ => 0L
+      }
+      if (leg == "distloop") spark.conf.set(Components.DistStrategyKey, "loop")
+      else spark.conf.unset(Components.DistStrategyKey)
       val t0 = System.nanoTime()
       val labels = Components.connectedComponents(
         vertices, edges, maxIter = 40, localEdgeThreshold = threshold)

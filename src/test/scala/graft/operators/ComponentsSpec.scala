@@ -41,14 +41,21 @@ class ComponentsSpec extends SparkSpec {
       es <- Gen.listOfN(m, Gen.zip(Gen.choose(1L, n.toLong), Gen.choose(1L, n.toLong)))
     } yield (n, es.filter(e => e._1 != e._2))
     val prop = Prop.forAll(gen) { case (n, es) =>
-      // BOTH execution paths against the same oracle: the default
-      // single-task union-find and the forced distributed loop
+      // ALL THREE execution paths against the same oracle: the default
+      // single-task union-find, the forced two-level contraction, and
+      // the kept-as-fallback DataFrame loop strategy
       val gotLocal = Components.connectedComponents(
         (1L to n.toLong).toDF("id"), es.toDF("src", "dst"))
         .as[(Long, Long)].collect().toMap
       val gotDist = Components.connectedComponents(
         (1L to n.toLong).toDF("id"), es.toDF("src", "dst"), localEdgeThreshold = 0L)
         .as[(Long, Long)].collect().toMap
+      spark.conf.set(Components.DistStrategyKey, "loop")
+      val gotLoop =
+        try Components.connectedComponents(
+          (1L to n.toLong).toDF("id"), es.toDF("src", "dst"), localEdgeThreshold = 0L)
+          .as[(Long, Long)].collect().toMap
+        finally spark.conf.unset(Components.DistStrategyKey)
       // union-find oracle
       val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
       def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
@@ -56,7 +63,7 @@ class ComponentsSpec extends SparkSpec {
       val expected = (1L to n.toLong).map { v =>
         v -> (1L to n.toLong).filter(u => find(u) == find(v)).min
       }.toMap
-      gotLocal == expected && gotDist == expected
+      gotLocal == expected && gotDist == expected && gotLoop == expected
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
     assert(res.passed, res.status.toString)
@@ -100,6 +107,38 @@ class ComponentsSpec extends SparkSpec {
     // alive: the edge set + the final labels (+ at most the last mid,
     // whose prune ran before the final round materialized)
     assert(rddDirs > 0 && rddDirs <= 3, s"expected <=3 surviving snapshots, got $rddDirs")
+  }
+
+  test("contraction: components scattered across many partitions stitch correctly") {
+    // a 200-vertex path repartitioned into 13 slices: edges of one
+    // component land in MANY partitions, so the per-partition union-find
+    // produces many local roots per chain and the stitch loop must
+    // reconnect them across every boundary (threshold 0 also forces the
+    // stitched root graph through the min-label loop, not the root UF)
+    val n = 200
+    val vertices = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+      .repartition(13)
+    val got = Components.connectedComponents(vertices, edges, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.toSet == Set(1L))
+  }
+
+  test("contraction: a below-threshold root graph collapses into the single-task union-find") {
+    // two 30-vertex paths (58 edges, 116 symmetrized): threshold 20 puts
+    // symCount ABOVE the gate (→ distributed contraction) while the
+    // stitched root graph stays BELOW it (→ the root-UF branch). Range
+    // partitioning keeps chain segments contiguous, so each chain
+    // contracts to ≤3 local roots — a handful of stitch edges, well
+    // under the 20-edge threshold.
+    val vertices = ((1L to 30L) ++ (101L to 130L)).toDF("id")
+    val edges = ((1L until 30L).map(i => (i, i + 1)) ++
+      (101L until 130L).map(i => (i, i + 1))).toDF("src", "dst")
+      .repartitionByRange(3, col("src"))
+    val got = Components.connectedComponents(vertices, edges, localEdgeThreshold = 20L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L, 101L))
+    assert((1L to 30L).forall(got(_) == 1L) && (101L to 130L).forall(got(_) == 101L))
   }
 
   test("connected components: empty edge set keeps every vertex its own component") {
