@@ -123,6 +123,26 @@ object Dedup {
     df.groupBy(md5(text).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("canonical_id"))
 
+  /** The exact-dedup DECISION in output-bounded form: every NON-canonical
+    * member of an exact-duplicate group, with the canonical it loses to.
+    * → (doc_id, canonical_id = min id of the group), duplicates only.
+    *
+    * This is the shape a 100 TB pass applies the decision with: the only
+    * exchange is one slim (id, 32-char md5) projection for the per-hash
+    * min window — the corpus TEXT never shuffles — and the result is
+    * duplicate-sized, so the follow-up `corpus ANTI JOIN dropList` joins
+    * against a broadcast. The keep-side alternative (semi join on
+    * `exactGroups`' canonical ids) exchanges the full corpus by id: its
+    * join key set is corpus-sized minus the duplicates, never
+    * broadcastable. Same keep set either way — anti-on-duplicates ≡
+    * semi-on-canonicals, pinned in `DedupSpec`. */
+  def exactDropList(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"), md5(text).as("content_hash"))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), col("canonical_id"))
+
   /** Corpus snapshot diff — the audit step after a pipeline change or a
     * source refresh: every doc id in either snapshot with its status
     * (`added` / `removed` / `changed` / `unchanged`) by content hash.

@@ -39,6 +39,12 @@ object PipelineQueries {
     "q18_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), col("text"), col("doc_id"))),
 
+    // the exact-dedup DECISION in its 100 TB shape: the output-bounded
+    // duplicate drop-list (one slim id+hash window exchange; the corpus
+    // text never shuffles, and the apply side anti-joins a broadcast)
+    "q77_exact_droplist" -> ((s, d) =>
+      Dedup.exactDropList(Tables.documents(s, d), col("text"), col("doc_id"))),
+
     // URL provenance tier: host extraction (userinfo/port-stripping
     // regexp), registrable-domain reduction (public-suffix second-level
     // heuristic), blocklist verdict — all map-side scans; URLs are
@@ -702,6 +708,11 @@ object PipelineQueries {
     m += "q18_dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
         |FROM documents GROUP BY md5(text)""".stripMargin
+
+    m += "q77_exact_droplist" ->
+      """WITH h AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        |           FROM documents)
+        |SELECT doc_id, canonical_id FROM h WHERE doc_id <> canonical_id""".stripMargin
 
     val toks = DuckSql.tokens("text")
     val enList = TextAnalysis.StopwordProfiles.toMap.apply("en")

@@ -279,12 +279,14 @@ object CurationBench {
           minTokens = 20L, minStopwordPermille = 10L, maxTopGramPermille = 300L))
       }
       free("02_pii_lang")
-      // 2a. exact dedup: content-hash groups, keep each group's canonical
+      // 2a. exact dedup: the decision applied as an ANTI join on the
+      // duplicate drop-list (output-bounded ≈ removed docs, broadcasts) —
+      // the semi join on canonical ids it replaces exchanged the full
+      // corpus text by doc_id against a corpus-sized keep list
       val exact = stage("04_exact_dedup") {
         kept.join(
-          Dedup.exactGroups(kept, $"text", $"doc_id")
-            .select($"canonical_id".as("doc_id")),
-          Seq("doc_id"), "left_semi")
+          Dedup.exactDropList(kept, $"text", $"doc_id").select("doc_id"),
+          Seq("doc_id"), "left_anti")
       }
       free("03_gate")
       // 2b. near-dup dedup, profiled in three sub-stages:

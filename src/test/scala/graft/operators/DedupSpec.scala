@@ -43,6 +43,31 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((2L, 1), (1L, 3)))
   }
 
+  test("exact drop-list: anti-on-duplicates ≡ semi-on-canonicals (property)") {
+    // the output-bounded apply form must keep EXACTLY the docs the
+    // keep-side form keeps, on any multiset of contents
+    val gen = Gen.listOf(Gen.zip(Gen.choose(1L, 40L), Gen.oneOf("a", "b", "c", "d")))
+      .map(_.distinctBy(_._1))
+    val prop = Prop.forAll(gen) { rows =>
+      val df = rows.toDF("id", "text")
+      val viaAnti = df.join(
+        Dedup.exactDropList(df, col("text"), col("id")).select(col("doc_id").as("id")),
+        Seq("id"), "left_anti").select("id").as[Long].collect().toSet
+      val viaSemi = df.join(
+        Dedup.exactGroups(df, col("text"), col("id"))
+          .select(col("canonical_id").as("id")),
+        Seq("id"), "left_semi").select("id").as[Long].collect().toSet
+      viaAnti == viaSemi
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+    // and the list itself names the loser→winner mapping
+    val df = Seq((5L, "x"), (2L, "x"), (9L, "y")).toDF("id", "text")
+    val drops = Dedup.exactDropList(df, col("text"), col("id"))
+      .as[(Long, Long)].collect().toSet
+    assert(drops == Set((5L, 2L)))
+  }
+
   test("n-gram jaccard pairs: hand-computed overlap") {
     // doc1/doc2 share 2 of their 3-gram shingles; doc3 shares none
     val df = Seq(
