@@ -127,21 +127,57 @@ object Dedup {
     * member of an exact-duplicate group, with the canonical it loses to.
     * → (doc_id, canonical_id = min id of the group), duplicates only.
     *
-    * This is the shape a 100 TB pass applies the decision with: the only
-    * exchange is one slim (id, 32-char md5) projection for the per-hash
-    * min window — the corpus TEXT never shuffles — and the result is
-    * duplicate-sized, so the follow-up `corpus ANTI JOIN dropList` joins
-    * against a broadcast. The keep-side alternative (semi join on
-    * `exactGroups`' canonical ids) exchanges the full corpus by id: its
-    * join key set is corpus-sized minus the duplicates, never
-    * broadcastable. Same keep set either way — anti-on-duplicates ≡
-    * semi-on-canonicals, pinned in `DedupSpec`. */
+    * This is the shape a 100 TB pass applies the decision with: the
+    * corpus TEXT is scanned ONCE (for the slim (id, 32-char md5)
+    * projection) and never shuffled — the per-hash min window exchanges
+    * and sorts only the 40 B/doc projection — and the result is
+    * duplicate-sized, so the follow-up `corpus ANTI JOIN dropList`
+    * joins against a broadcast. Spelling choices, A/B'd in
+    * `ExactDedupBench` at 10M docs/6.4 GB across three sessions: the
+    * window (this form), an aggregate + loser-join form (no sort, but a
+    * SECOND full text scan to name the losers), and the keep-side semi
+    * on `exactGroups`' canonicals all land in the host's I/O band
+    * (pooled bests 9.1 / 11.1 / 7.2 s, ordering flipping between
+    * sessions) — locally the forms are indistinguishable, so the choice
+    * is structural: at corpus scale one EXTRA full text scan (the agg
+    * spelling) dwarfs a slim-projection sort, and the semi's
+    * corpus-sized keep list is never broadcastable, so it exchanges the
+    * full corpus text by id. [[exactDeduplicate]] gates semi-vs-anti by
+    * input size. Same keep set every way — anti-on-duplicates ≡
+    * semi-on-canonicals is pinned in `DedupSpec`, and the q77 oracle
+    * replays this window in DuckDB. */
   def exactDropList(df: DataFrame, text: Column, id: Column): DataFrame =
     df.select(id.as("doc_id"), md5(text).as("content_hash"))
       .withColumn("canonical_id",
         min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"), col("canonical_id"))
+
+  /** Size bound (optimizer-estimated input bytes) under which
+    * [[exactDeduplicate]] keeps survivors with the semi join on
+    * `exactGroups`' canonical ids (one text scan fewer — the local
+    * winner) instead of the anti join on [[exactDropList]] (no corpus
+    * text exchange — the at-scale winner). An unknown-size input (the
+    * `defaultSizeInBytes` sentinel on non-file-backed plans) takes the
+    * anti path: scale-safe by default. */
+  val ExactSemiMaxBytesKey = "spark.graft.exact.semiMaxBytes"
+  val ExactSemiMaxBytesDefault: Long = 8L * 1024 * 1024 * 1024
+
+  /** One-call exact dedup: survivors of `df` keeping the min-id doc per
+    * content-hash group — `idCol` must name a column of `df`. Picks the
+    * apply shape by measured input size (see [[ExactSemiMaxBytesKey]]);
+    * both branches produce the identical keep set (property-pinned). */
+  def exactDeduplicate(df: DataFrame, text: Column, idCol: String): DataFrame = {
+    val gate = df.sparkSession.sessionState.conf
+      .getConfString(ExactSemiMaxBytesKey, ExactSemiMaxBytesDefault.toString).toLong
+    val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (statsBytes <= BigInt(gate))
+      df.join(exactGroups(df, text, col(idCol)).select(col("canonical_id").as(idCol)),
+        Seq(idCol), "left_semi")
+    else
+      df.join(exactDropList(df, text, col(idCol)).select(col("doc_id").as(idCol)),
+        Seq(idCol), "left_anti")
+  }
 
   /** Corpus snapshot diff — the audit step after a pipeline change or a
     * source refresh: every doc id in either snapshot with its status

@@ -279,14 +279,14 @@ object CurationBench {
           minTokens = 20L, minStopwordPermille = 10L, maxTopGramPermille = 300L))
       }
       free("02_pii_lang")
-      // 2a. exact dedup: the decision applied as an ANTI join on the
-      // duplicate drop-list (output-bounded ≈ removed docs, broadcasts) —
-      // the semi join on canonical ids it replaces exchanged the full
-      // corpus text by doc_id against a corpus-sized keep list
+      // 2a. exact dedup: content-hash groups, keep each group's canonical.
+      // The gated operator: at this 6.4 GB input it keeps the semi-join
+      // shape (one text scan fewer — ExactDedupBench pins the local
+      // ordering); above spark.graft.exact.semiMaxBytes it flips to the
+      // anti join on the output-bounded drop-list, where the corpus text
+      // never shuffles
       val exact = stage("04_exact_dedup") {
-        kept.join(
-          Dedup.exactDropList(kept, $"text", $"doc_id").select("doc_id"),
-          Seq("doc_id"), "left_anti")
+        Dedup.exactDeduplicate(kept, $"text", "doc_id")
       }
       free("03_gate")
       // 2b. near-dup dedup, profiled in three sub-stages:

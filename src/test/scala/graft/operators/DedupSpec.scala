@@ -66,6 +66,15 @@ class DedupSpec extends SparkSpec {
     val drops = Dedup.exactDropList(df, col("text"), col("id"))
       .as[(Long, Long)].collect().toSet
     assert(drops == Set((5L, 2L)))
+    // the gated one-call operator produces the same survivors through
+    // BOTH branches (gate forced each way)
+    val expect = Set(2L, 9L)
+    for (gate <- Seq("0", Long.MaxValue.toString)) {
+      spark.conf.set(Dedup.ExactSemiMaxBytesKey, gate)
+      try assert(Dedup.exactDeduplicate(df, col("text"), "id")
+        .select("id").as[Long].collect().toSet == expect, s"gate=$gate")
+      finally spark.conf.unset(Dedup.ExactSemiMaxBytesKey)
+    }
   }
 
   test("n-gram jaccard pairs: hand-computed overlap") {
