@@ -155,27 +155,42 @@ object Dedup {
 
   /** Size bound (optimizer-estimated input bytes) under which
     * [[exactDeduplicate]] keeps survivors with the semi join on
-    * `exactGroups`' canonical ids (one text scan fewer — the local
-    * winner) instead of the anti join on [[exactDropList]] (no corpus
-    * text exchange — the at-scale winner). An unknown-size input (the
-    * `defaultSizeInBytes` sentinel on non-file-backed plans) takes the
-    * anti path: scale-safe by default. */
+    * `exactGroups`' canonical ids instead of the anti join on
+    * [[exactDropList]]. Both branches scan the corpus text exactly twice
+    * (hash pass + apply pass — Spark never merges scans across join
+    * branches); what the gate decides is the EXCHANGE shape. Below it,
+    * the semi's corpus-sized canonical-id list is a tolerable exchange
+    * (or a broadcast under a raised threshold) and it skips the
+    * drop-list's window sort — the historical measured shape, inside the
+    * host band of the alternatives at 10M docs (`ExactDedupBench`).
+    * Above it the calculus flips: the keep list stops being
+    * broadcastable at corpus scale, so the semi exchanges the full
+    * corpus TEXT by id, while the drop-list path sorts only a slim
+    * 40 B/doc projection and anti-joins a duplicate-sized broadcast. An
+    * unknown-size input (the `defaultSizeInBytes` sentinel on
+    * non-file-backed plans) takes the anti path: scale-safe by default. */
   val ExactSemiMaxBytesKey = "spark.graft.exact.semiMaxBytes"
   val ExactSemiMaxBytesDefault: Long = 8L * 1024 * 1024 * 1024
 
   /** One-call exact dedup: survivors of `df` keeping the min-id doc per
     * content-hash group — `idCol` must name a column of `df`. Picks the
     * apply shape by measured input size (see [[ExactSemiMaxBytesKey]]);
-    * both branches produce the identical keep set (property-pinned). */
+    * both branches produce the identical keep set (property-pinned).
+    * Rows with a NULL id are dropped on BOTH branches: a row without an
+    * identity cannot carry a dedup decision, and leaving it to the join
+    * semantics would flip its fate across the gate (a semi join never
+    * matches a null key — drops it; an anti join never matches either —
+    * KEEPS it). */
   def exactDeduplicate(df: DataFrame, text: Column, idCol: String): DataFrame = {
     val gate = df.sparkSession.sessionState.conf
       .getConfString(ExactSemiMaxBytesKey, ExactSemiMaxBytesDefault.toString).toLong
     val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rows = df.filter(col(idCol).isNotNull)
     if (statsBytes <= BigInt(gate))
-      df.join(exactGroups(df, text, col(idCol)).select(col("canonical_id").as(idCol)),
+      rows.join(exactGroups(rows, text, col(idCol)).select(col("canonical_id").as(idCol)),
         Seq(idCol), "left_semi")
     else
-      df.join(exactDropList(df, text, col(idCol)).select(col("doc_id").as(idCol)),
+      rows.join(exactDropList(rows, text, col(idCol)).select(col("doc_id").as(idCol)),
         Seq(idCol), "left_anti")
   }
 

@@ -41,9 +41,16 @@ object PipelineQueries {
 
     // the exact-dedup DECISION in its 100 TB shape: the output-bounded
     // duplicate drop-list (one slim id+hash window exchange; the corpus
-    // text never shuffles, and the apply side anti-joins a broadcast)
+    // text never shuffles, and the apply side anti-joins a broadcast).
+    // Keyed on a 40-char text PREFIX (boilerplate-prefix dedup) rather
+    // than the full text so the oracle has real rows to hash at EVERY
+    // gate scale — the fixture has zero full-text duplicates below
+    // sf0.1, which would make a full-text oracle vacuously green (empty
+    // vs empty) exactly where the driver runs it; full-text semantics
+    // are pinned in DedupSpec instead
     "q77_exact_droplist" -> ((s, d) =>
-      Dedup.exactDropList(Tables.documents(s, d), col("text"), col("doc_id"))),
+      Dedup.exactDropList(Tables.documents(s, d),
+        substring(col("text"), 1, 40), col("doc_id"))),
 
     // URL provenance tier: host extraction (userinfo/port-stripping
     // regexp), registrable-domain reduction (public-suffix second-level
@@ -710,7 +717,8 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin
 
     m += "q77_exact_droplist" ->
-      """WITH h AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      """WITH h AS (SELECT doc_id,
+        |             MIN(doc_id) OVER (PARTITION BY md5(substring(text, 1, 40))) AS canonical_id
         |           FROM documents)
         |SELECT doc_id, canonical_id FROM h WHERE doc_id <> canonical_id""".stripMargin
 

@@ -54,6 +54,20 @@ object ComponentsBench {
       .withColumn("dst", col("src") + 1)
     val vertices = spark.range(0, nVerts).select(col("id"))
 
+    // warm the JVM once per strategy on a small graph before any timed
+    // leg: the first cold leg otherwise pays all of Spark's codegen/JIT
+    // constants (measured ~100 s of pure warmup on the 30M-edge graph —
+    // a per-process constant, not a property of the strategy)
+    val wEdges = spark.range(0, 100000).select(col("id").as("src"))
+      .withColumn("dst", col("src") + 1)
+    val wVerts = spark.range(0, 100001).select(col("id"))
+    for (strategy <- Seq(None, Some("loop")); threshold <- Seq(0L, Long.MaxValue)) {
+      strategy.fold(spark.conf.unset(Components.DistStrategyKey))(
+        spark.conf.set(Components.DistStrategyKey, _))
+      Components.connectedComponents(
+        wVerts, wEdges, maxIter = 40, localEdgeThreshold = threshold).count()
+    }
+
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // dist = the default distributed strategy at the default 10M-edge
     // threshold (two-level contraction; the stitched root graph fits the

@@ -281,10 +281,11 @@ object CurationBench {
       free("02_pii_lang")
       // 2a. exact dedup: content-hash groups, keep each group's canonical.
       // The gated operator: at this 6.4 GB input it keeps the semi-join
-      // shape (one text scan fewer — ExactDedupBench pins the local
-      // ordering); above spark.graft.exact.semiMaxBytes it flips to the
-      // anti join on the output-bounded drop-list, where the corpus text
-      // never shuffles
+      // shape (the historical measured form — ExactDedupBench shows the
+      // spellings band-indistinguishable at this size, and the semi
+      // skips the drop-list's window sort); above
+      // spark.graft.exact.semiMaxBytes it flips to the anti join on the
+      // output-bounded drop-list, where the corpus text never shuffles
       val exact = stage("04_exact_dedup") {
         Dedup.exactDeduplicate(kept, $"text", "doc_id")
       }

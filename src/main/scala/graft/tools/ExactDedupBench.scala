@@ -63,8 +63,11 @@ object ExactDedupBench {
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (leg <- Seq("anti", "antiagg", "semi"); run <- 0 until runs) {
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
+      // delete the previous run's multi-GB output OUTSIDE the timed
+      // window — the first run would otherwise be the only one not
+      // charged for cleanup I/O
       fs.delete(new Path(s"$root/out"), true)
+      val t0 = System.nanoTime()
       val out = leg match {
         case "anti" => corpus.join(
           Dedup.exactDropList(corpus, $"text", $"doc_id").select("doc_id"),

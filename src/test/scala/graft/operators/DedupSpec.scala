@@ -67,11 +67,17 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(drops == Set((5L, 2L)))
     // the gated one-call operator produces the same survivors through
-    // BOTH branches (gate forced each way)
+    // BOTH branches (gate forced each way) — including for a NULL id,
+    // which raw join semantics would flip across the gate (a semi join
+    // drops a null key, an anti join keeps it); the operator drops it
+    // on both branches
+    val withNull = Seq(
+      (Some(5L), "x"), (Some(2L), "x"), (Some(9L), "y"), (None, "y"))
+      .toDF("id", "text")
     val expect = Set(2L, 9L)
-    for (gate <- Seq("0", Long.MaxValue.toString)) {
+    for (gate <- Seq("0", Long.MaxValue.toString); d <- Seq(df, withNull)) {
       spark.conf.set(Dedup.ExactSemiMaxBytesKey, gate)
-      try assert(Dedup.exactDeduplicate(df, col("text"), "id")
+      try assert(Dedup.exactDeduplicate(d, col("text"), "id")
         .select("id").as[Long].collect().toSet == expect, s"gate=$gate")
       finally spark.conf.unset(Dedup.ExactSemiMaxBytesKey)
     }
