@@ -64,8 +64,15 @@ object Components {
 
   /** Distributed-path strategy: "contract" (default — per-partition
     * union-find contraction, loop only on the stitched root graph) or
-    * "loop" (the DataFrame min-label loop over the full edge set). */
+    * "loop" (the DataFrame min-label loop over the full edge set). Any
+    * other value is rejected — a typo must not silently select a
+    * strategy. */
   val DistStrategyKey = "spark.graft.components.distStrategy"
+
+  /** Default `localEdgeThreshold` (symmetrized rows) — shared with
+    * `ComponentsBench` so the bench's "default path" leg can never
+    * silently diverge from the library default. */
+  val DefaultLocalEdgeThreshold: Long = 10000000L
 
   /** → (id, component_id = min reachable id). `vertices` must have column
     * `id`; `edges` columns `src`/`dst` (undirected: both orientations are
@@ -110,7 +117,7 @@ object Components {
       edges: DataFrame,
       maxIter: Int = 25,
       checkpointDir: Option[String] = None,
-      localEdgeThreshold: Long = 10000000L): DataFrame = {
+      localEdgeThreshold: Long = DefaultLocalEdgeThreshold): DataFrame = {
     val sc = vertices.sparkSession.sparkContext
     // save the RAW checkpoint dir: setCheckpointDir appends a UUID segment
     // on every call, so restoring through the public setter would nest the
@@ -167,6 +174,9 @@ object Components {
         else {
           val strategy = vertices.sparkSession.sessionState.conf
             .getConfString(DistStrategyKey, "contract")
+          require(strategy == "contract" || strategy == "loop",
+            s"$DistStrategyKey=$strategy: must be 'contract' or 'loop' — " +
+              "refusing to silently pick a strategy for a typo")
           // both strategies leave their final state truncated (the loop's
           // labels / the contraction's minRoot+rootLabels), so the edge
           // blocks can be released as soon as the eager work is done; the
@@ -177,15 +187,21 @@ object Components {
           val l =
             if (strategy == "loop") {
               // symmetrize narrowly over the materialized raw blocks and
-              // snap the result — every propagation round joins it
+              // snap the result — every propagation round joins it; raw's
+              // own blocks are dead the moment sym materializes, so they
+              // are released BEFORE the loop runs, not after
               val symSnap = snap(raw.union(
                 raw.select(col("dst").as("src"), col("src").as("dst"))))
               symSnap.df.count()
+              rawSnap.release()
               val ll = distributedLabelsLoop(symSnap.df, snap, maxIter, ourDir)
               symSnap.release()
               ll
-            } else contractedLabels(raw, maxIter, ourDir, localEdgeThreshold)
-          rawSnap.release()
+            } else {
+              val ll = contractedLabels(raw, maxIter, ourDir, localEdgeThreshold)
+              rawSnap.release()
+              ll
+            }
           l
         }
       vertices.select(col("id"))
@@ -238,10 +254,10 @@ object Components {
   /** Below-threshold path: the whole edge list through ONE task's
     * disjoint-set forest. NOT a driver-side collect: the fold runs
     * inside a task on an executor. */
-  private def localUnionFind(sym: DataFrame): DataFrame = {
-    val spark = sym.sparkSession
+  private def localUnionFind(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
     import spark.implicits._
-    sym.select(col("src"), col("dst")).as[(Long, Long)]
+    raw.select(col("src"), col("dst")).as[(Long, Long)]
       .coalesce(1)
       .mapPartitions(it => unionFindRows(it))
       .toDF("id", "comp")
@@ -287,24 +303,24 @@ object Components {
     * local component containing it, hence always itself a root — so the
     * min over its root-graph component is exactly the component min. */
   private def contractedLabels(
-      sym: DataFrame, maxIter: Int, reliableDir: Option[String],
+      raw: DataFrame, maxIter: Int, reliableDir: Option[String],
       localEdgeThreshold: Long): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val spark = sym.sparkSession
+    val spark = raw.sparkSession
     val reliable = reliableDir.isDefined
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val part = new org.apache.spark.HashPartitioner(nPart)
     // level 1: narrow contraction (zero shuffle), then ONE vertex-keyed
     // exchange of the (vertex, local root) rows — ≤ one row per touched
     // vertex per partition, i.e. vertex-sized plus boundary overlap
-    val members = sym.queryExecution.toRdd
+    val members = raw.queryExecution.toRdd
       .mapPartitions(it => unionFindRows(it.map(r => (r.getLong(0), r.getLong(1)))))
       .partitionBy(part).persist(MEMORY_AND_DISK)
     val minRoot = members.reduceByKey(part, math.min(_: Long, _: Long)) // co-partitioned: narrow
     minRoot.persist(MEMORY_AND_DISK)
     // the final assignment join reads minRoot lazily AFTER the caller
-    // releases sym's storage blocks — truncate so it never recomputes
-    // through them (reliable mode keeps sym's checkpoint FILES instead;
+    // releases raw's storage blocks — truncate so it never recomputes
+    // through them (reliable mode keeps raw's checkpoint FILES instead;
     // a checkpoint here would be pruned by the loop's round cleanup)
     if (!reliable) minRoot.localCheckpoint()
     val rootEdges = members.join(minRoot, part) // co-partitioned: narrow
@@ -316,7 +332,10 @@ object Components {
       println(s"[cc] contraction: $nRootEdges stitch edges")
     val rootLabels: Option[org.apache.spark.rdd.RDD[(Long, Long)]] =
       if (nRootEdges == 0L) None // every component was partition-local
-      else if (nRootEdges <= localEdgeThreshold) {
+      // the threshold contract is stated in SYMMETRIZED rows, so the
+      // one-orientation stitch count compares at 2× — the single-task
+      // branch must honor the same executor-memory bound as the top gate
+      else if (2L * nRootEdges <= localEdgeThreshold) {
         val uf = rootEdges.coalesce(1).mapPartitions(it => unionFindRows(it))
           .persist(MEMORY_AND_DISK)
         if (!reliable) uf.localCheckpoint()

@@ -20,6 +20,24 @@ import graft.sources.Tables
   */
 object PipelineQueries {
 
+  /** Canonical-doc assignment: connected components over the VERIFIED
+    * near-dup pair graph (MinHash-LSH candidates that passed the exact
+    * Jaccard check — the q25 operator). ONE builder shared by q32 (the
+    * default execution path) and q76 (threshold 0 forces the distributed
+    * contraction) so the mining parameters can never drift between the
+    * two oracle-twinned queries. */
+  private def dupComponents(
+      s: SparkSession, d: String, localEdgeThreshold: Long): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+      n = 3, k = 8, bands = 4, minJaccardPermille = 200)
+    Components.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
+      localEdgeThreshold = localEdgeThreshold)
+      .select(col("id").as("doc_id"), col("component_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J14: deletion-neighborhood blocked levenshtein<=1 self-join — the
     // equi-join rewrite of the reference's fuzzy alias lookup
@@ -309,31 +327,17 @@ object PipelineQueries {
     // Jaccard check — the q25 operator; raw simhash collisions at sf0.1
     // form a 100×-denser graph of unverified sketch matches). Each doc
     // maps to the smallest doc_id it is transitively near-duplicate with.
-    "q32_dup_components" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
-        n = 3, k = 8, bands = 4, minJaccardPermille = 200)
-      Components.connectedComponents(
-        docs.select(col("doc_id").as("id")),
-        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
-        .select(col("id").as("doc_id"), col("component_id"))
-    }),
+    "q32_dup_components" -> ((s, d) =>
+      dupComponents(s, d, Components.DefaultLocalEdgeThreshold)),
 
     // q32's AT-SCALE plan path, forced at oracle scale: threshold 0 sends
     // the pair graph through the two-level contraction (per-partition
     // union-find + stitched root graph — the plan a >10M-edge dup graph
     // gets), and the same DuckDB oracle as q32 hash-checks that the
-    // distributed path is exact, not just spec-pinned
-    "q76_dup_components_dist" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
-        n = 3, k = 8, bands = 4, minJaccardPermille = 200)
-      Components.connectedComponents(
-        docs.select(col("doc_id").as("id")),
-        pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
-        localEdgeThreshold = 0L)
-        .select(col("id").as("doc_id"), col("component_id"))
-    }),
+    // distributed path is exact, not just spec-pinned. One shared builder
+    // (dupComponents) keeps the mining parameters in lockstep with q32 —
+    // only the threshold differs, by construction.
+    "q76_dup_components_dist" -> ((s, d) => dupComponents(s, d, 0L)),
 
     // sequence packing: concatenation-order context-window assignment per
     // source shard — running token sum div capacity; shards pack in

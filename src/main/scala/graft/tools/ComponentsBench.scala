@@ -78,10 +78,16 @@ object ComponentsBench {
     // distloop = the pre-contraction DataFrame min-label loop over the
     // full edge set; local1task = the single-task union-find crossover
     // reference.
+    // the default-threshold leg is only meaningful when the graph is
+    // actually above the library default — otherwise it would silently
+    // measure the single-task path twice
+    require(2 * actualEdges > Components.DefaultLocalEdgeThreshold,
+      s"nEdges=$actualEdges: the 'dist' leg needs 2·edges > " +
+        s"${Components.DefaultLocalEdgeThreshold} to exercise the distributed default")
     for (leg <- Seq("dist", "distforce", "distloop", "local1task"); run <- 0 until runs) {
       val threshold = leg match {
         case "local1task" => Long.MaxValue
-        case "dist" => 10000000L
+        case "dist" => Components.DefaultLocalEdgeThreshold
         case _ => 0L
       }
       if (leg == "distloop") spark.conf.set(Components.DistStrategyKey, "loop")
