@@ -55,9 +55,11 @@ object ComponentsBench {
     val vertices = spark.range(0, nVerts).select(col("id"))
 
     // warm the JVM once per strategy on a small graph before any timed
-    // leg: the first cold leg otherwise pays all of Spark's codegen/JIT
-    // constants (measured ~100 s of pure warmup on the 30M-edge graph —
-    // a per-process constant, not a property of the strategy)
+    // leg. This covers codegen/JIT but NOT the first big leg's one-time
+    // host costs (multi-GB shuffle-file page-cache population, heap
+    // arena growth) — measured ~70-100 s on whichever 30M-edge leg runs
+    // FIRST, with the same leg's second run landing at steady state — so
+    // compare legs by min over runs >= 2, never by a single first run
     val wEdges = spark.range(0, 100000).select(col("id").as("src"))
       .withColumn("dst", col("src") + 1)
     val wVerts = spark.range(0, 100001).select(col("id"))
