@@ -118,6 +118,15 @@ object Components {
       maxIter: Int = 25,
       checkpointDir: Option[String] = None,
       localEdgeThreshold: Long = DefaultLocalEdgeThreshold): DataFrame = {
+    // validate the strategy conf BEFORE any work: a typo must fail on the
+    // first call on ANY graph size, not after a >threshold production run
+    // has already paid the edge materialization (and, on the throw path,
+    // would leak the snapped edge blocks)
+    val strategy = vertices.sparkSession.sessionState.conf
+      .getConfString(DistStrategyKey, "contract")
+    require(strategy == "contract" || strategy == "loop",
+      s"$DistStrategyKey=$strategy: must be 'contract' or 'loop' — " +
+        "refusing to silently pick a strategy for a typo")
     val sc = vertices.sparkSession.sparkContext
     // save the RAW checkpoint dir: setCheckpointDir appends a UUID segment
     // on every call, so restoring through the public setter would nest the
@@ -172,11 +181,6 @@ object Components {
       val labels =
         if (symCount <= localEdgeThreshold) localUnionFind(raw)
         else {
-          val strategy = vertices.sparkSession.sessionState.conf
-            .getConfString(DistStrategyKey, "contract")
-          require(strategy == "contract" || strategy == "loop",
-            s"$DistStrategyKey=$strategy: must be 'contract' or 'loop' — " +
-              "refusing to silently pick a strategy for a typo")
           // both strategies leave their final state truncated (the loop's
           // labels / the contraction's minRoot+rootLabels), so the edge
           // blocks can be released as soon as the eager work is done; the

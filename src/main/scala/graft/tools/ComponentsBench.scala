@@ -54,21 +54,31 @@ object ComponentsBench {
       .withColumn("dst", col("src") + 1)
     val vertices = spark.range(0, nVerts).select(col("id"))
 
-    // warm the JVM once per strategy on a small graph before any timed
-    // leg. This covers codegen/JIT but NOT the first big leg's one-time
-    // host costs (multi-GB shuffle-file page-cache population, heap
-    // arena growth) — measured ~70-100 s on whichever 30M-edge leg runs
-    // FIRST, with the same leg's second run landing at steady state — so
-    // compare legs by min over runs >= 2, never by a single first run
+    // the default-threshold leg is only meaningful when the graph is
+    // actually above the library default — fail BEFORE the warmup jobs
+    require(2 * actualEdges > Components.DefaultLocalEdgeThreshold,
+      s"nEdges=$actualEdges: the 'dist' leg needs 2·edges > " +
+        s"${Components.DefaultLocalEdgeThreshold} to exercise the distributed default")
+
+    // warm the JVM once per timed code path on a small graph before any
+    // timed leg: (contract, stitch loop), (loop), (contract, stitch UF —
+    // the default-threshold 'dist' branch), (single-task). This covers
+    // codegen/JIT but NOT the first big leg's one-time host costs
+    // (multi-GB shuffle-file page-cache population, heap arena growth) —
+    // measured ~70-100 s on whichever 30M-edge leg runs FIRST, with the
+    // same leg's second run landing at steady state — so compare legs by
+    // min over runs >= 2, never by a single first run
     val wEdges = spark.range(0, 100000).select(col("id").as("src"))
       .withColumn("dst", col("src") + 1)
     val wVerts = spark.range(0, 100001).select(col("id"))
-    for (strategy <- Seq(None, Some("loop")); threshold <- Seq(0L, Long.MaxValue)) {
+    for ((strategy, threshold) <- Seq(
+        (None, 0L), (Some("loop"), 0L), (None, 150000L), (None, Long.MaxValue))) {
       strategy.fold(spark.conf.unset(Components.DistStrategyKey))(
         spark.conf.set(Components.DistStrategyKey, _))
       Components.connectedComponents(
         wVerts, wEdges, maxIter = 40, localEdgeThreshold = threshold).count()
     }
+    spark.conf.unset(Components.DistStrategyKey)
 
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // dist = the default distributed strategy at the default 10M-edge
@@ -80,12 +90,6 @@ object ComponentsBench {
     // distloop = the pre-contraction DataFrame min-label loop over the
     // full edge set; local1task = the single-task union-find crossover
     // reference.
-    // the default-threshold leg is only meaningful when the graph is
-    // actually above the library default — otherwise it would silently
-    // measure the single-task path twice
-    require(2 * actualEdges > Components.DefaultLocalEdgeThreshold,
-      s"nEdges=$actualEdges: the 'dist' leg needs 2·edges > " +
-        s"${Components.DefaultLocalEdgeThreshold} to exercise the distributed default")
     for (leg <- Seq("dist", "distforce", "distloop", "local1task"); run <- 0 until runs) {
       val threshold = leg match {
         case "local1task" => Long.MaxValue

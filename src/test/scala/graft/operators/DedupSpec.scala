@@ -75,10 +75,11 @@ class DedupSpec extends SparkSpec {
       (Some(5L), "x"), (Some(2L), "x"), (Some(9L), "y"), (None, "y"))
       .toDF("id", "text")
     val expect = Set(2L, 9L)
-    for (gate <- Seq("0", Long.MaxValue.toString); d <- Seq(df, withNull)) {
+    for (gate <- Seq("0", Long.MaxValue.toString);
+         (d, dName) <- Seq((df, "plain"), (withNull, "withNull"))) {
       spark.conf.set(Dedup.ExactSemiMaxBytesKey, gate)
       try assert(Dedup.exactDeduplicate(d, col("text"), "id")
-        .select("id").as[Long].collect().toSet == expect, s"gate=$gate")
+        .select("id").as[Long].collect().toSet == expect, s"gate=$gate input=$dName")
       finally spark.conf.unset(Dedup.ExactSemiMaxBytesKey)
     }
   }
