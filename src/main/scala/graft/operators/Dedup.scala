@@ -907,13 +907,19 @@ object Dedup {
         val gramSrc =
           if (useGramCache) gramRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else gramRows
+        val tBuild0 = System.nanoTime()
         val sketch = graft.functions.GramCountSketch.build(
           gramSrc.select(col("hs")), mCells, conf(SketchBuildKey, "auto"))
         val load = sketch.loadFactor
-        log.info(f"duplicateSpans gram sketch: $mCells%d cells, load $load%.3f" +
+        log.info(f"duplicateSpans gram sketch: $mCells%d cells, load $load%.3f, " +
+          f"build ${(System.nanoTime() - tBuild0) / 1e9}%.1f s" +
           (if (load > 0.5) " — UNDERSIZED (false-positive rate degrades fast above 0.5; " +
             s"raise $SketchMaxBytesKey or $SketchCellsPerByteKey)" else ""))
-        val bc = spark.sparkContext.broadcast(sketch)
+        // broadcast the query-only hi-plane view: the probe never reads
+        // lo, so the wire + executor-resident mass is half the sketch
+        val tBc0 = System.nanoTime()
+        val bc = spark.sparkContext.broadcast(sketch.dupFilter)
+        log.info(f"duplicateSpans sketch broadcast: ${(System.nanoTime() - tBc0) / 1e9}%.1f s")
         val cachedPostings = gramSrc
           .select(col("doc_id"), posexplode(col("hs")))
           .select(postingCols: _*)

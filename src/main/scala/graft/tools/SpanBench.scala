@@ -59,6 +59,24 @@ object SpanBench {
     import spark.implicits._
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
+    // Per-job wall breakdown: duplicateSpans runs a handful of distinct
+    // jobs (sketch build scan, candidate count, final write); the last
+    // stage's callsite names each one well enough to attribute the leg's
+    // total. Printed per leg, cleared between legs.
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+        starts.put(js.jobId, (System.nanoTime(), site))
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
+          jobLog.add(f"""{"job":${je.jobId},"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"site":"${site.takeWhile(_ != '\n')}"}""")
+        }
+      }
+    })
+
     // the corpus is a deterministic function of n, so a prior
     // invocation's parquet (keyed by n in the path) is reused as-is —
     // a crashed leg (e.g. a deliberately undersized-heap run) doesn't
@@ -104,11 +122,13 @@ object SpanBench {
         System.gc()
         heapPools.foreach(_.resetPeakUsage())
         val preGc = heapPools.map(_.getUsage.getUsed).sum
+        jobLog.clear()
         val t0 = System.nanoTime()
         fs.delete(new Path(s"$root/spans"), true)
         Dedup.duplicateSpans(corpus, $"doc_id", $"text", n = 13)
           .write.parquet(s"$root/spans")
         val sec = (System.nanoTime() - t0) / 1e9
+        jobLog.forEach(l => println(s"""{"leg":"$leg","run":$run,$l""".replace("{\"job\"", "\"job\"")))
         val rows = spark.read.parquet(s"$root/spans").count()
         val peakMb = (heapPools.map(_.getPeakUsage.getUsed).sum - preGc) / (1024 * 1024)
         best(leg) = math.min(best.getOrElse(leg, Double.MaxValue), sec)

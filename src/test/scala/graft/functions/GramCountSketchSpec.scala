@@ -92,6 +92,20 @@ class GramCountSketchSpec extends AnyFunSuite {
       s"~400 bits of 1024 expected, got ${sk.loadFactor}")
   }
 
+  test("dupFilter (query-only hi-plane view) answers exactly like the full sketch") {
+    check(Prop.forAll(
+      Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+      Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) {
+      (keys: List[Long], probes: List[Long]) =>
+        val sk = new GramCountSketch(1 << 13)
+        (keys ++ keys.take(keys.size / 2)).foreach(sk.insertSeq)
+        val filter = sk.dupFilter
+        // the view must agree on inserted keys, duplicated keys, and
+        // never-seen probes alike — it shares the live hi plane
+        (keys ++ probes).forall(k => filter.maybeDup(k) == sk.maybeDup(k))
+    })
+  }
+
   test("geometry mismatch and undersized/oversized sketches fail fast") {
     intercept[IllegalArgumentException] {
       new GramCountSketch(1 << 10).mergeInPlace(new GramCountSketch(1 << 11))
