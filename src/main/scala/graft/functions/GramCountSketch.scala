@@ -165,19 +165,25 @@ final class GramCountSketch(val mCells: Long) extends Serializable {
 }
 
 object GramCountSketch {
+  /** Cells per 64-byte cache line — the block probe 2 is confined to.
+    * Every piece of line arithmetic (the probe-2 mask, plane padding,
+    * the MaxCells headroom) derives from this ONE constant. */
+  private[functions] val LineCells: Long = 512L
+  private[functions] val LineWords: Long = LineCells / 64L
+
   /** Largest constructible cell count: one bit per cell per plane, and a
     * Java array holds at most ~Int.MaxValue longs (the VM refuses the
     * last few slots, hence the -8 headroom). Rounded DOWN to a whole
-    * 512-cell line so the line-padded word count never exceeds the bound. */
-  val MaxCells: Long = (Int.MaxValue.toLong - 8L) / 8L * 8L * 64L
+    * line so the line-padded word count never exceeds the bound. */
+  val MaxCells: Long = (Int.MaxValue.toLong - 8L) / LineWords * LineWords * 64L
 
   /** Plane length in words for a given cell count — padded to whole
-    * 512-bit lines (the blocked probe-2 placement may touch any cell of
-    * the trailing line). The perTask chunk merge MUST slice this same
+    * lines (the blocked probe-2 placement may touch any cell of the
+    * trailing line). The perTask chunk merge MUST slice this same
     * length, or the padding words would be silently dropped from the
     * merge. */
   @inline private[functions] def paddedWords(mCells: Long): Int =
-    (((mCells + 511) / 512) * 8).toInt
+    (((mCells + LineCells - 1) / LineCells) * LineWords).toInt
 
   /** Unsigned 64×64→high-64 multiply (Java 17 has only the signed
     * Math.multiplyHigh; the two correction terms lift it to unsigned). */
@@ -203,9 +209,10 @@ object GramCountSketch {
     * degrades its own false-positive rate — never correctness: no false
     * negatives either way). */
   @inline private[functions] def cellPos2(p1: Long, h: Long): Long = {
-    var o2 = mix2(h) & 511L
-    if (o2 == (p1 & 511L)) o2 ^= 1L
-    (p1 & ~511L) | o2
+    val mask = LineCells - 1L
+    var o2 = mix2(h) & mask
+    if (o2 == (p1 & mask)) o2 ^= 1L
+    (p1 & ~mask) | o2
   }
 
   /** The query-side probe over a hi plane — shared by the full sketch
@@ -331,8 +338,13 @@ object GramCountSketch {
             // output untouched, so sparse planes — the common case — skip
             // the copy, serialization, and shuffle element entirely
             (0 until nChunks).iterator.flatMap { c =>
-              val from = c * cw
-              val until = math.min(nWords, from + cw)
+              val from = c * cw // < nWords for every valid chunk, so fits Int
+              // Long min: at a near-max plane (nWords ~ Int.MaxValue) the
+              // LAST chunk's `from + cw` wraps negative in Int and the
+              // slice loop would silently emit nothing — dropping every
+              // bit of the top cell slice from the merge, i.e. false
+              // negatives, the one thing the sketch contract forbids
+              val until = math.min(nWords.toLong, from.toLong + cw).toInt
               var i = from
               var nonZero = false
               while (!nonZero && i < until) {

@@ -92,18 +92,55 @@ class GramCountSketchSpec extends AnyFunSuite {
       s"~400 bits of 1024 expected, got ${sk.loadFactor}")
   }
 
-  test("dupFilter (query-only hi-plane view) answers exactly like the full sketch") {
+  test("dupFilter survives a serialization round-trip and answers like the full sketch") {
+    // the filter's real job is riding a Broadcast — a Java-serialization
+    // round-trip of its private hi plane — so the parity check probes the
+    // DESERIALIZED copy, not the live view (which trivially shares state)
+    def roundTrip(f: GramDupFilter): GramDupFilter = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(f); oos.close()
+      new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[GramDupFilter]
+    }
     check(Prop.forAll(
       Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
       Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) {
       (keys: List[Long], probes: List[Long]) =>
         val sk = new GramCountSketch(1 << 13)
         (keys ++ keys.take(keys.size / 2)).foreach(sk.insertSeq)
-        val filter = sk.dupFilter
-        // the view must agree on inserted keys, duplicated keys, and
-        // never-seen probes alike — it shares the live hi plane
+        val filter = roundTrip(sk.dupFilter)
+        // must agree on inserted keys, duplicated keys, and never-seen
+        // probes alike
         (keys ++ probes).forall(k => filter.maybeDup(k) == sk.maybeDup(k))
     })
+  }
+
+  test("non-line-multiple geometries: padding absorbs probe 2 past mCells") {
+    // production sizing (statsBytes × cellsPerByte) is essentially never
+    // a multiple of the 512-cell line, so the partial-trailing-line path
+    // (probe 2 landing in padding cells) is the one prod runs
+    check(Prop.forAll(
+      Gen.chooseNum(64L, 5000L),
+      Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) {
+      (m: Long, keys: List[Long]) =>
+        val sk = new GramCountSketch(m)
+        (keys ++ keys).foreach(sk.insertSeq) // every key duplicated
+        keys.forall(sk.maybeDup) // and none may throw past-plane indexing
+    })
+  }
+
+  test("perTask == shared on a non-line-multiple geometry with a partial last chunk") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val keys = (0L until 3000L).map(i => i * 0x9E3779B97F4A7C15L + 3L) ++
+      (0L until 700L).map(i => i * 0x9E3779B97F4A7C15L + 3L)
+    val df = spark.createDataset(keys).toDF("h").repartition(5)
+    val mCells = 577L // padded to 16 words; chunkWords=5 slices 5/5/5/1
+    val shared = GramCountSketch.build(df, mCells, "shared")
+    val perTask = GramCountSketch.build(df, mCells, "perTask", chunkWords = 5)
+    assert(java.util.Arrays.equals(perTask.lo, shared.lo))
+    assert(java.util.Arrays.equals(perTask.hi, shared.hi))
   }
 
   test("geometry mismatch and undersized/oversized sketches fail fast") {
