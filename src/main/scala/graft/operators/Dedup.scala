@@ -530,7 +530,10 @@ object Dedup {
     * shingles — each output-bounded or ~2% of the old fat-exchange
     * design, which shipped every doc's shingle array through the band
     * join (measured at 10M docs: ~34 GB exchanged, ~800 s; this shape
-    * re-measured ~3-4× faster, see README). */
+    * re-measured ~3-4× faster, see README). The corpus is scanned twice
+    * (signature pass + candidate verify) BY CHOICE: a cross-pass shingle
+    * cache was measured 2.1× slower at 10M docs — see the rejection note
+    * in the body. */
   def minhashNearDupPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int, k: Int, bands: Int, minJaccardPermille: Int,
@@ -543,7 +546,17 @@ object Dedup {
     // fine WITHOUT a cache because the expensive subtree (the band
     // exchange) is deduped by ReusedExchange across all references; an
     // operator-internal persist was measured SLOWER single-shot at 10M
-    // docs (cache fill breaks the exchange reuse).
+    // docs (cache fill breaks the exchange reuse). A size-gated
+    // cross-pass SHINGLE cache (persist (doc, hs) once, derive the
+    // signature from the cached arrays, read candidates' arrays back in
+    // the verify — duplicateSpans' gram-cache trade) was also built and
+    // measured at 10M docs (LshBench, r10): 95.4 vs 45.3 s best-of-3,
+    // identical pairs — REJECTED. The cache fill serializes the many
+    // concurrent AQE stage materializations behind one uncached
+    // computation, evicts/spills ~25 GB, and un-pipelines the minhash
+    // kernel from the parquet scan, while the second scan it saves is
+    // cheap (scan + shingle + minhash measured ~19 s end-to-end in
+    // LshBench's `sig` leg). The two-scan shape stays.
     val cand = bucketedPairs(base, k, bands, maxBucketSize)
     val candIds = cand.select(col("a_id").as("doc"))
       .unionByName(cand.select(col("b_id").as("doc")))

@@ -63,27 +63,7 @@ object SpanBench {
     // jobs (sketch build scan, candidate count, final write); the last
     // stage's callsite names each one well enough to attribute the leg's
     // total. Printed per leg, cleared between legs.
-    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
-        jobStarts.put(js.jobId, (System.nanoTime(), site))
-      }
-      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        Option(jobStarts.remove(je.jobId)).foreach { case (t0, site) =>
-          val sec = String.format(java.util.Locale.ROOT, "%.2f",
-            Double.box((System.nanoTime() - t0) / 1e9))
-          jobLog.add(s"""{"job":${je.jobId},"sec":$sec,"site":"${site.takeWhile(_ != '\n')}"}""")
-        }
-      }
-    })
-    // listener events are delivered async — the LAST (often largest) job's
-    // end event may land after the action returns; drain before reading
-    def drainJobLog(): Unit = {
-      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-      while (!jobStarts.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
-    }
+    val jobs = new JobBreakdown.Recorder(spark.sparkContext)
 
     // the corpus is a deterministic function of n, so a prior
     // invocation's parquet (keyed by n in the path) is reused as-is —
@@ -130,14 +110,13 @@ object SpanBench {
         System.gc()
         heapPools.foreach(_.resetPeakUsage())
         val preGc = heapPools.map(_.getUsage.getUsed).sum
-        jobLog.clear()
+        jobs.clear()
         val t0 = System.nanoTime()
         fs.delete(new Path(s"$root/spans"), true)
         Dedup.duplicateSpans(corpus, $"doc_id", $"text", n = 13)
           .write.parquet(s"$root/spans")
         val sec = (System.nanoTime() - t0) / 1e9
-        drainJobLog()
-        jobLog.forEach(l => println(s"""{"leg":"$leg","run":$run,$l""".replace("{\"job\"", "\"job\"")))
+        jobs.drain(l => println(s"""{"leg":"$leg","run":$run,$l""".replace("{\"job\"", "\"job\"")))
         val rows = spark.read.parquet(s"$root/spans").count()
         val peakMb = (heapPools.map(_.getPeakUsage.getUsed).sum - preGc) / (1024 * 1024)
         best(leg) = math.min(best.getOrElse(leg, Double.MaxValue), sec)
