@@ -24,9 +24,15 @@ object Sampling {
     * realizes a `p` rate as ⌊kp⌋±1 rows in a contiguous block (exact per
     * 1000-run, never biased overall) rather than an i.i.d. draw — fine
     * for rates/splits, but don't treat adjacent-id decisions as
-    * independent. */
+    * independent. NULL stratum/key hash as the empty string — `concat`
+    * would otherwise null-propagate and every consumer's `bucket < rate`
+    * comparison would silently DROP null-key rows at any rate (the
+    * convention [[hashSplit]] documents, now enforced here for every
+    * caller). */
   def sampleBucket(stratum: Column, key: Column): Column =
-    pmod(Dedup.rollingHash(concat(stratum, lit(":"), key.cast("string"))), lit(1000L))
+    pmod(Dedup.rollingHash(concat(
+      coalesce(stratum.cast("string"), lit("")), lit(":"),
+      coalesce(key.cast("string"), lit("")))), lit(1000L))
 
   /** Deterministic train/val/test assignment: the row's hash bucket falls
     * into one of the cumulative per-mille ranges of `splitsPermille`
@@ -46,7 +52,14 @@ object Sampling {
       salt: String = "v1"): DataFrame = {
     require(splitsPermille.map(_._2).sum == 1000,
       s"split per-milles must sum to 1000, got ${splitsPermille.map(_._2).sum}")
-    val bucket = sampleBucket(lit(salt), coalesce(key.cast("string"), lit("")))
+    // the sum check alone admits e.g. (1100, -100): a negative entry's
+    // bucket range is empty, so that split silently gets ZERO rows while
+    // its neighbor absorbs the excess — fail fast instead
+    require(splitsPermille.forall(_._2 >= 0),
+      s"split per-milles must be >= 0, got $splitsPermille")
+    require(!df.columns.contains("split"),
+      "hashSplit adds a `split` column; the input already has one")
+    val bucket = sampleBucket(lit(salt), key)
     val (assign, _) = splitsPermille.foldLeft((lit(null).cast("string"): Column, 0)) {
       case ((acc, cum), (name, p)) =>
         (when(bucket >= cum && bucket < cum + p, name).otherwise(acc), cum + p)
@@ -79,7 +92,16 @@ object Sampling {
       "leakFreeSplit emits a component_id column, and df already has one — " +
         "it may come from a DIFFERENT clustering run; rename or drop it first " +
         "so the split key's provenance stays unambiguous")
-    val c = clusters.select(col("id").as("__lfs_id"), col("component_id").as("__lfs_comp"))
+    val c0 = clusters.select(col("id").as("__lfs_id"), col("component_id").as("__lfs_comp"))
+    // an id mapped to TWO different components would (a) multiply corpus
+    // rows through the left join and (b) let copies of one document land
+    // in BOTH train and test — the exact leakage this function exists to
+    // prevent. The cluster map is aggregated per id (slim — pair-endpoint
+    // sized) and a conflicting assignment fails the job at run time;
+    // exact duplicate (id, comp) rows collapse harmlessly.
+    val c = c0.groupBy(col("__lfs_id"))
+      .agg(first(col("__lfs_comp")).as("__lfs_comp"),
+        countDistinct(col("__lfs_comp")).as("__lfs_nc"))
     val compType = c.schema("__lfs_comp").dataType
     // the singleton-cluster fallback is id.cast(compType); a lossy or
     // unrepresentable cast (string doc ids vs numeric component ids)
@@ -93,8 +115,14 @@ object Sampling {
         "and collapse every unclustered row onto one split key; align the types (e.g. build " +
         "the cluster map with component_id cast to the id's type)")
     val joined = df.join(c, id === col("__lfs_id"), "left")
-      .withColumn("component_id", coalesce(col("__lfs_comp"), id.cast(compType)))
-      .drop("__lfs_id", "__lfs_comp")
+      .withColumn("component_id",
+        when(col("__lfs_nc") > 1,
+          raise_error(concat(
+            lit("leakFreeSplit: the cluster map assigns multiple component_ids to id "),
+            col("__lfs_id").cast("string"),
+            lit(" — a document would land in more than one split"))).cast(compType))
+          .otherwise(coalesce(col("__lfs_comp"), id.cast(compType))))
+      .drop("__lfs_id", "__lfs_comp", "__lfs_nc")
     hashSplit(joined, col("component_id"), splitsPermille, salt)
   }
 
@@ -107,6 +135,9 @@ object Sampling {
       key: Column,
       ratesPermille: Map[String, Int],
       defaultPermille: Int): DataFrame = {
+    require((defaultPermille +: ratesPermille.values.toSeq).forall(r => r >= 0 && r <= 1000),
+      s"keep rates are per-mille probabilities and must lie in [0, 1000]; " +
+        s"got default=$defaultPermille, rates=$ratesPermille")
     val rate = ratesPermille.foldLeft(lit(defaultPermille): Column) {
       case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
     }
@@ -136,9 +167,30 @@ object Sampling {
     * → input columns + (cum_weight, kept). */
   def budgetSelect(
       df: DataFrame, group: Column, order: Seq[Column], weight: Column,
-      budget: Long): DataFrame =
+      budget: Long): DataFrame = {
+    // fail fast on collision like the sibling operators: the natural
+    // upstream (temperatureResample) also emits `kept`, and silently
+    // replacing it would discard the temperature decision for every row
+    require(!df.columns.contains("kept") && !df.columns.contains("cum_weight"),
+      "budgetSelect adds cum_weight/kept columns; the input already has one — " +
+        "apply and drop the upstream decision first (e.g. .filter($\"kept\").drop(\"kept\"))")
     Prefix.runningSum(df, group, order, weight, "cum_weight")
       .withColumn("kept", col("cum_weight") <= budget)
+  }
+
+  /** THE salted order hash: the raw polynomial hash preserves magnitude
+    * order for short keys (no mod wrap below ~1e9), so ordering by it
+    * would just sort by id length and a salt change would barely
+    * reshuffle. One multiply-and-wrap mixes it: h < P and the Knuth
+    * constant keep the product < 2^62 (exact in i64 and in DuckDB HUGEINT
+    * alike), and the thousands of mod wraps decorrelate rank from key
+    * shape and amplify the salt. [[hashSampleK]], [[shuffleShards]] and
+    * their DuckDB oracles all replay this one definition. */
+  private[operators] def mixedHash(key: Column, salt: String): Column = {
+    val h = Dedup.rollingHash(
+      concat(lit(salt), lit(":"), coalesce(key.cast("string"), lit(""))))
+    pmod(h * lit(2654435761L), lit(graft.functions.RollingHash.Mod))
+  }
 
   /** Exactly-k-per-group deterministic sample — "pick 100 eval docs per
     * language", reproducibly: rows rank within their group by the salted
@@ -157,20 +209,6 @@ object Sampling {
     * [[Prefix.runningSum]] (eager sampling job above the size gate,
     * by-name resolution — see the Prefix scaladoc).
     * → input columns + sample_rank (1-based). */
-  /** THE salted order hash: the raw polynomial hash preserves magnitude
-    * order for short keys (no mod wrap below ~1e9), so ordering by it
-    * would just sort by id length and a salt change would barely
-    * reshuffle. One multiply-and-wrap mixes it: h < P and the Knuth
-    * constant keep the product < 2^62 (exact in i64 and in DuckDB HUGEINT
-    * alike), and the thousands of mod wraps decorrelate rank from key
-    * shape and amplify the salt. [[hashSampleK]], [[shuffleShards]] and
-    * their DuckDB oracles all replay this one definition. */
-  private[operators] def mixedHash(key: Column, salt: String): Column = {
-    val h = Dedup.rollingHash(
-      concat(lit(salt), lit(":"), coalesce(key.cast("string"), lit(""))))
-    pmod(h * lit(2654435761L), lit(graft.functions.RollingHash.Mod))
-  }
-
   def hashSampleK(
       df: DataFrame, group: Column, key: Column, k: Int,
       salt: String = "v1"): DataFrame = {
@@ -273,24 +311,42 @@ object Sampling {
     * document-level decisions may then differ AT the rate boundary
     * across engines (never across runs of the same engine).
     *
-    * → input columns + (keep_permille, kept); filter on `kept` to apply.
+    * The keep rate quantizes to PARTS PER BILLION (bucket = hash mod 10⁹
+    * against ⌊r_g·10⁹⌋), not the per-mille grid [[sampleBucket]] uses for
+    * rates and splits: realistic multilingual imbalances are 10⁴-10⁵×
+    * (English vs a low-resource language), where a per-mille floor is a
+    * 10-100% relative bias on the damped group's realized rate — and any
+    * group beyond 1000^(1/(1−α)) times the smallest (α = 0: just 1000×)
+    * would floor to 0 and be silently dropped ENTIRELY instead of
+    * downsampled. Per-billion pushes that extinction bound to 10⁹× and
+    * the quantization bias below anything a corpus can resolve. The mod-
+    * 10⁹ bucket over the [0, 10⁹+7) hash range is ~7e-9 biased toward
+    * buckets 0-6 — identical in the oracle's replay, invisible next to
+    * the rate itself.
+    *
+    * → input columns + (keep_ppb, kept); filter on `kept` to apply.
     */
   def temperatureResample(
       df: DataFrame, group: Column, key: Column, alpha: Double): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    require(!df.columns.contains("keep_ppb") && !df.columns.contains("kept"),
+      "temperatureResample adds keep_ppb/kept columns; the input already has one")
     val sizes = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
     val ratio = min(col("__n")).over(Window.partitionBy()).cast("double") / col("__n")
     val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
     val rates = broadcast(sizes
-      .withColumn("keep_permille", floor(rate * lit(1000.0)).cast("long"))
-      .select(col("__g"), col("keep_permille")))
+      .withColumn("keep_ppb", floor(rate * lit(1.0e9)).cast("long"))
+      .select(col("__g"), col("keep_ppb")))
     // null-safe: groupBy above counts NULL as a group, so the join must
     // match it too — a plain === would silently drop null-group rows —
     // and the bucket hash follows hashSplit's convention (null stratum
-    // hashes as the empty string) instead of propagating null into `kept`
+    // and null key hash as the empty string) instead of propagating null
+    // into `kept`
     df.join(rates, group <=> col("__g"))
       .drop("__g")
       .withColumn("kept",
-        sampleBucket(coalesce(group.cast("string"), lit("")), key) < col("keep_permille"))
+        pmod(Dedup.rollingHash(concat(
+          coalesce(group.cast("string"), lit("")), lit(":"),
+          coalesce(key.cast("string"), lit("")))), lit(1000000000L)) < col("keep_ppb"))
   }
 }

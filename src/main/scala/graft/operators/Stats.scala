@@ -31,6 +31,17 @@ object Stats {
       psPermille: Seq[Int]): DataFrame = {
     require(psPermille.nonEmpty && psPermille.forall(p => p > 0 && p <= 1000),
       s"quantiles must be in (0, 1000] permille, got $psPermille")
+    require(psPermille.distinct.size == psPermille.size,
+      s"duplicate quantiles would emit duplicate output columns, got $psPermille")
+    // the sibling-module collision guards: the helper columns would
+    // silently REPLACE same-named input columns (withColumn semantics)
+    // before the quantile reads them, and an output name colliding with a
+    // group column would be ambiguous downstream
+    require(!df.columns.contains("__rn") && !df.columns.contains("__n"),
+      "groupedQuantiles uses __rn/__n helper columns; the input already has one")
+    val outNames = s"n_$valueCol" +: psPermille.map(p => s"p${p}_$valueCol")
+    require(!outNames.exists(groupCols.contains),
+      s"a group column collides with an output column name (${outNames.mkString(", ")})")
     val grp = groupCols.map(col)
     // nulls pinned LAST explicitly: Spark's ASC default is NULLS FIRST but
     // DuckDB/Postgres default NULLS LAST — without the pin a nullable
@@ -67,6 +78,13 @@ object Stats {
       df: DataFrame, groupCols: Seq[String], valueCol: String, tieCol: String,
       cutsPermille: Seq[Int]): DataFrame = {
     val grp = groupCols.map(col)
+    // collision guards in the sibling-module style: a pre-existing
+    // p<NN>_<valueCol> column would be ambiguous after the threshold
+    // join, and __t_/bucket would silently collide
+    require(!cutsPermille.exists(p => df.columns.contains(s"p${p}_$valueCol")),
+      s"the input already carries a p<NN>_$valueCol column the threshold join would shadow")
+    require(!df.columns.exists(_.startsWith("__t_")) && !df.columns.contains("bucket"),
+      "quantileBuckets uses __t_* helper columns and emits `bucket`; the input already has one")
     val thresholds = broadcast(
       groupedQuantiles(df, groupCols, valueCol, tieCol, cutsPermille)
         .select((groupCols.map(g => col(g).as(s"__t_$g")) ++

@@ -1151,7 +1151,7 @@ object PipelineQueries {
       s"""WITH b AS (SELECT doc_id, source,
          |  CASE WHEN source = 'src0' THEN 3000 WHEN source = 'src1' THEN 1500
          |       WHEN source = 'src2' THEN 0 ELSE 800 END AS w,
-         |  ${DuckSql.rollingHash("'v1:' || coalesce(source, '') || ':' || CAST(doc_id AS VARCHAR)")} % 1000 AS bk
+         |  ${DuckSql.rollingHash("'v1:' || coalesce(source, '') || ':' || coalesce(CAST(doc_id AS VARCHAR), '')")} % 1000 AS bk
          |  FROM documents),
          |r AS (SELECT doc_id, source,
          |  (w // 1000) + (CASE WHEN bk < (w % 1000) THEN 1 ELSE 0 END) AS reps FROM b)
@@ -1227,17 +1227,22 @@ object PipelineQueries {
          |    AS BIGINT) <= 800 AS kept
          |FROM t""".stripMargin
 
-    // q58: rate = floor(sqrt(min_n/n)·1000) — sqrt is IEEE-correctly
-    // rounded on both engines, so the permille rates match exactly
+    // q58: rate = floor(sqrt(min_n/n)·1e9) — parts-per-billion buckets
+    // (the permille grid silently extinguished groups beyond 1000× at
+    // low α — see the operator scaladoc); sqrt and the ×1e9 multiply are
+    // IEEE-correctly rounded on both engines, so the ppb rates match
+    // exactly. Nulls: coalesce mirrors the operator's null-as-"" hash
+    // convention, and the IS NOT DISTINCT FROM join mirrors its <=> rate
+    // join (no-op on this fixture, which has no null lang/doc_id).
     m += "q58_temperature_mix" ->
       s"""WITH s AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
          |r AS (SELECT lang,
-         |  CAST(floor(sqrt((SELECT MIN(n) FROM s) * 1.0 / n) * 1000) AS BIGINT) AS keep_permille
+         |  CAST(floor(sqrt((SELECT MIN(n) FROM s) * 1.0 / n) * 1000000000) AS BIGINT) AS keep_ppb
          |  FROM s)
-         |SELECT d.doc_id, d.lang, r.keep_permille,
-         |  ${DuckSql.rollingHash("d.lang || ':' || CAST(d.doc_id AS VARCHAR)")} % 1000
-         |    < r.keep_permille AS kept
-         |FROM documents d JOIN r USING (lang)""".stripMargin
+         |SELECT d.doc_id, d.lang, r.keep_ppb,
+         |  ${DuckSql.rollingHash("coalesce(d.lang, '') || ':' || coalesce(CAST(d.doc_id AS VARCHAR), '')")} % 1000000000
+         |    < r.keep_ppb AS kept
+         |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang""".stripMargin
 
     // q56: q32's recursive component closure + a keep-best window on top
     m += "q56_canonical_pick" ->
@@ -1364,7 +1369,7 @@ object PipelineQueries {
 
     m += "q48_hash_split" ->
       s"""WITH b AS (SELECT doc_id,
-         |  ${DuckSql.rollingHash("'v1' || ':' || CAST(doc_id AS VARCHAR)")} % 1000 AS bk
+         |  ${DuckSql.rollingHash("'v1' || ':' || coalesce(CAST(doc_id AS VARCHAR), '')")} % 1000 AS bk
          |  FROM documents)
          |SELECT doc_id,
          |  CASE WHEN bk < 900 THEN 'train' WHEN bk < 950 THEN 'val' ELSE 'test' END AS split
@@ -1421,10 +1426,12 @@ object PipelineQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
 
+    // coalesce mirrors sampleBucket's null-as-"" convention (no-op here:
+    // the fixture has no null lang/doc_id)
     m += "q36_stratified_sample" ->
       s"""WITH l AS (SELECT doc_id, ${DuckSql.langIdSql("text")} AS lang FROM documents)
          |SELECT doc_id, lang FROM l
-         |WHERE ${DuckSql.rollingHash("lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000 <
+         |WHERE ${DuckSql.rollingHash("coalesce(lang, '') || ':' || coalesce(CAST(doc_id AS VARCHAR), '')")} % 1000 <
          |      CASE WHEN lang = 'en' THEN 200 ELSE 500 END""".stripMargin
 
     m += "q33_asof_join" ->

@@ -347,7 +347,7 @@ object CurationBench {
       // 5. temperature mix (α=0.5): damp the dominant language
       val mixed = stage("08_temperature_mix") {
         Sampling.temperatureResample(clean, $"lang", $"doc_id", alpha = 0.5)
-          .filter($"kept").drop("keep_permille", "kept")
+          .filter($"kept").drop("keep_ppb", "kept")
       }
       free("07_decontam")
       // 5b (bpe mode). exact tokenizer accounting: train BPE on the

@@ -121,11 +121,11 @@ class SamplingSpec extends SparkSpec {
     val df = (Seq(("a", 0L)) ++ (1L to 4L).map(("b", _))).toDF("g", "id")
     def rates(alpha: Double): Map[String, Long] =
       Sampling.temperatureResample(df, col("g"), col("id"), alpha)
-        .select("g", "keep_permille").distinct()
+        .select("g", "keep_ppb").distinct()
         .as[(String, Long)].collect().toMap
-    assert(rates(0.5) == Map("a" -> 1000L, "b" -> 500L)) // √(1/4)
-    assert(rates(1.0) == Map("a" -> 1000L, "b" -> 1000L)) // natural
-    assert(rates(0.0) == Map("a" -> 1000L, "b" -> 250L)) // 1/4: equal E[n]
+    assert(rates(0.5) == Map("a" -> 1000000000L, "b" -> 500000000L)) // √(1/4)
+    assert(rates(1.0) == Map("a" -> 1000000000L, "b" -> 1000000000L)) // natural
+    assert(rates(0.0) == Map("a" -> 1000000000L, "b" -> 250000000L)) // 1/4: equal E[n]
   }
 
   test("temperatureResample: a NULL group is a group, not silently dropped") {
@@ -133,17 +133,59 @@ class SamplingSpec extends SparkSpec {
       .toDF("g", "id")
     val got = Sampling.temperatureResample(df, col("g"), col("id"), alpha = 0.5)
     assert(got.count() == 5, "null-group row survives the rate join")
-    assert(got.filter(col("g").isNull).select("keep_permille", "kept")
-      .as[(Long, Boolean)].head() == ((1000L, true))) // min group: keeps all, kept non-null
+    assert(got.filter(col("g").isNull).select("keep_ppb", "kept")
+      .as[(Long, Boolean)].head() == ((1000000000L, true))) // min group: keeps all, kept non-null
   }
 
   test("temperatureResample: kept is the hash-bucket decision, min group keeps all") {
     val df = (Seq(("a", 0L)) ++ (1L to 40L).map(("b", _))).toDF("g", "id")
+    val bucketPpb = pmod(Dedup.rollingHash(concat(
+      coalesce(col("g").cast("string"), lit("")), lit(":"),
+      coalesce(col("id").cast("string"), lit("")))), lit(1000000000L))
     val got = Sampling.temperatureResample(df, col("g"), col("id"), alpha = 0.5)
-      .withColumn("bucket", Sampling.sampleBucket(col("g"), col("id")))
+      .withColumn("bucket", bucketPpb)
       .as[(String, Long, Long, Boolean, Long)].collect()
     assert(got.forall { case (_, _, rate, kept, bucket) => kept == (bucket < rate) })
     assert(got.filter(_._1 == "a").forall(_._4)) // smallest group: all kept
+  }
+
+  test("temperatureResample: a >1000× dominant group is DAMPED, never extinguished") {
+    // the permille-resolution regression: at α=0, a group 2001× the
+    // smallest flooring to the 1/1000 grid got keep rate 0 — every row
+    // silently dropped where "equalize counts" should keep ~1
+    val df = (Seq(("min", 0L)) ++ (1L to 2001L).map(("big", _))).toDF("g", "id")
+    val rates = Sampling.temperatureResample(df, col("g"), col("id"), alpha = 0.0)
+      .select("g", "keep_ppb").distinct().as[(String, Long)].collect().toMap
+    assert(rates("big") == (1.0e9 / 2001).toLong,
+      s"dominant group must keep a positive ppb rate, got ${rates("big")}")
+    assert(rates("min") == 1000000000L)
+  }
+
+  test("temperatureResample and stratifiedHashSample: null keys get a decision, not NULL") {
+    val df = Seq(("a", Some(1L)), ("a", None), ("b", Some(2L))).toDF("g", "id")
+    val t = Sampling.temperatureResample(df, col("g"), col("id"), alpha = 1.0)
+    // α=1: every group keeps all — a null key must still realize kept=true
+    assert(t.count() == 3 && t.filter(col("kept")).count() == 3)
+    // rate 1000 keeps EVERY row; the null-key row used to vanish (NULL
+    // bucket < rate is NULL, filtered)
+    val s = Sampling.stratifiedHashSample(df, col("g"), col("id"),
+      ratesPermille = Map.empty, defaultPermille = 1000)
+    assert(s.count() == 3, "null-key row must survive a keep-all rate")
+  }
+
+  test("leakFreeSplit: a cluster map with conflicting components fails, not duplicates") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val conflicted = Seq((1L, 10L), (1L, 20L)).toDF("id", "component_id")
+    val ex = intercept[Exception] {
+      Sampling.leakFreeSplit(df, col("doc_id"), conflicted,
+        Seq("train" -> 900, "test" -> 100)).collect()
+    }
+    assert(ex.getMessage != null)
+    // exact duplicate rows (same id, SAME component) collapse harmlessly
+    val dupRows = Seq((1L, 10L), (1L, 10L)).toDF("id", "component_id")
+    val ok = Sampling.leakFreeSplit(df, col("doc_id"), dupRows,
+      Seq("train" -> 900, "test" -> 100))
+    assert(ok.count() == 2, "duplicate identical map rows must not multiply the corpus")
   }
 
   test("epochUpsample: integer epochs replicate, weight 0 drops, 1000 passes through") {
