@@ -319,8 +319,14 @@ object Sampling {
     * group beyond 1000^(1/(1−α)) times the smallest (α = 0: just 1000×)
     * would floor to 0 and be silently dropped ENTIRELY instead of
     * downsampled. Per-billion pushes that extinction bound to 10⁹× and
-    * the quantization bias below anything a corpus can resolve. The mod-
-    * 10⁹ bucket over the [0, 10⁹+7) hash range is ~7e-9 biased toward
+    * the quantization bias below anything a corpus can resolve. The fine
+    * bucket MUST come from the [[mixedHash]]-style Knuth-mixed hash, not
+    * the raw polynomial: the raw hash's LOW bits are uniform (mod 1000
+    * was fine) but its HIGH bits are not — measured on 10⁶ "en:id" keys,
+    * 99% of raw hashes fell below 0.707·10⁹, which would realize a 0.707
+    * rate as ~0.99. After the multiply-and-wrap the same keys measure
+    * mean 0.5000 and P(bucket < 0.7071·10⁹) = 0.7071 exactly. The mod-10⁹
+    * bucket over the [0, 10⁹+7) mixed range keeps a ~7e-9 bias toward
     * buckets 0-6 — identical in the oracle's replay, invisible next to
     * the rate itself.
     *
@@ -342,11 +348,13 @@ object Sampling {
     // and the bucket hash follows hashSplit's convention (null stratum
     // and null key hash as the empty string) instead of propagating null
     // into `kept`
+    val mixed = pmod(
+      Dedup.rollingHash(concat(
+        coalesce(group.cast("string"), lit("")), lit(":"),
+        coalesce(key.cast("string"), lit("")))) * lit(2654435761L),
+      lit(graft.functions.RollingHash.Mod))
     df.join(rates, group <=> col("__g"))
       .drop("__g")
-      .withColumn("kept",
-        pmod(Dedup.rollingHash(concat(
-          coalesce(group.cast("string"), lit("")), lit(":"),
-          coalesce(key.cast("string"), lit("")))), lit(1000000000L)) < col("keep_ppb"))
+      .withColumn("kept", pmod(mixed, lit(1000000000L)) < col("keep_ppb"))
   }
 }

@@ -1231,16 +1231,19 @@ object PipelineQueries {
     // (the permille grid silently extinguished groups beyond 1000× at
     // low α — see the operator scaladoc); sqrt and the ×1e9 multiply are
     // IEEE-correctly rounded on both engines, so the ppb rates match
-    // exactly. Nulls: coalesce mirrors the operator's null-as-"" hash
-    // convention, and the IS NOT DISTINCT FROM join mirrors its <=> rate
-    // join (no-op on this fixture, which has no null lang/doc_id).
+    // exactly. The bucket comes from the Knuth-MIXED hash (the raw
+    // polynomial's high bits are non-uniform; the product stays < 2^62,
+    // exact in BIGINT). Nulls: coalesce mirrors the operator's
+    // null-as-"" hash convention, and the IS NOT DISTINCT FROM join
+    // mirrors its <=> rate join (no-op on this fixture, which has no
+    // null lang/doc_id).
     m += "q58_temperature_mix" ->
       s"""WITH s AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
          |r AS (SELECT lang,
          |  CAST(floor(sqrt((SELECT MIN(n) FROM s) * 1.0 / n) * 1000000000) AS BIGINT) AS keep_ppb
          |  FROM s)
          |SELECT d.doc_id, d.lang, r.keep_ppb,
-         |  ${DuckSql.rollingHash("coalesce(d.lang, '') || ':' || coalesce(CAST(d.doc_id AS VARCHAR), '')")} % 1000000000
+         |  ((${DuckSql.rollingHash("coalesce(d.lang, '') || ':' || coalesce(CAST(d.doc_id AS VARCHAR), '')")} * 2654435761) % ${DuckSql.P}) % 1000000000
          |    < r.keep_ppb AS kept
          |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang""".stripMargin
 

@@ -139,14 +139,27 @@ class SamplingSpec extends SparkSpec {
 
   test("temperatureResample: kept is the hash-bucket decision, min group keeps all") {
     val df = (Seq(("a", 0L)) ++ (1L to 40L).map(("b", _))).toDF("g", "id")
-    val bucketPpb = pmod(Dedup.rollingHash(concat(
+    val bucketPpb = pmod(pmod(Dedup.rollingHash(concat(
       coalesce(col("g").cast("string"), lit("")), lit(":"),
-      coalesce(col("id").cast("string"), lit("")))), lit(1000000000L))
+      coalesce(col("id").cast("string"), lit("")))) * lit(2654435761L),
+      lit(graft.functions.RollingHash.Mod)), lit(1000000000L))
     val got = Sampling.temperatureResample(df, col("g"), col("id"), alpha = 0.5)
       .withColumn("bucket", bucketPpb)
       .as[(String, Long, Long, Boolean, Long)].collect()
     assert(got.forall { case (_, _, rate, kept, bucket) => kept == (bucket < rate) })
     assert(got.filter(_._1 == "a").forall(_._4)) // smallest group: all kept
+  }
+
+  test("temperatureResample: realized keep fraction tracks the rate (hash uniformity)") {
+    // the fine ppb bucket must come from the MIXED hash: the raw
+    // polynomial's high bits are non-uniform (measured: 99% of 1e6
+    // "en:id" raw hashes below 0.707e9), which realized a 0.1 rate as
+    // far more than 10% of rows
+    val df = ((1L to 100L).map(("a", _)) ++ (1L to 10000L).map(("b", _))).toDF("g", "id")
+    val kept = Sampling.temperatureResample(df, col("g"), col("id"), alpha = 0.5)
+      .filter(col("g") === "b" && col("kept")).count()
+    // rate_b = sqrt(100/10000) = 0.1 → E[kept] = 1000
+    assert(math.abs(kept - 1000L) < 150, s"realized $kept of 10000 at rate 0.1")
   }
 
   test("temperatureResample: a >1000× dominant group is DAMPED, never extinguished") {
