@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   * sum — so even a corpus packed into a handful of shards never
   * serializes a shard's order through one task: parallelism comes from
   * range slices, shard count only shapes the output. Deterministic by
-  * construction: same (shard, id, token count) rows → same bins, on any
-  * partitioning, any engine, any retry.
+  * construction — same (shard, id, token count) rows → same bins, on any
+  * partitioning, any engine, any retry — PROVIDED `idCol` is unique per
+  * row within its shard (the same precondition [[Sampling.hashSampleK]]
+  * and [[Sampling.shuffleShards]] document): duplicate ids tie on the
+  * whole packing order and resolve by engine/scan order, so their
+  * relative offsets are arbitrary (per Prefix's Ties note).
   */
 object Packing {
 
@@ -41,6 +45,9 @@ object Packing {
       df: DataFrame, shardCol: String, idCol: String, tokenCount: Column,
       capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
+    val emitted = Seq("__tok", "__cuminc", "pack_offset", "bin_id", "offset_in_bin", "spans_boundary")
+    require(!df.columns.exists(emitted.contains),
+      s"sequencePacking adds ${emitted.mkString("/")} columns; the input already has one")
     df.withColumn("__tok", coalesce(tokenCount.cast("long"), lit(0L)))
       .transform(Prefix.runningSum(_, col(shardCol), Seq(col(idCol)), col("__tok"), "__cuminc"))
       // EXCLUSIVE prefix: tokens strictly before this doc in its shard

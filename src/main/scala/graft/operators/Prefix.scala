@@ -89,31 +89,52 @@ private[operators] object Prefix {
 
   /** `df` + `out` = the INCLUSIVE running sum of `weight` within each
     * `group`, ordered by `order` (which must be total). The sum's type is
-    * `sum(weight)`'s (long for integral weights, double for doubles). */
+    * `sum(weight)`'s (long for integral weights, double for doubles; for
+    * decimals the two-pass result is cast back to that type, so the
+    * output schema never depends on the size gate). A NULL weight counts
+    * as 0 in BOTH branches — the bare window-`sum` convention (skip
+    * nulls) would make a null-weight row's running total depend on which
+    * range SLICE it landed in (a slice whose seen weights are all null
+    * sums to NULL, not 0), breaking the slice-boundary-invariance
+    * contract; pinning null→0 makes the two branches agree on any data. */
   def runningSum(
       df: DataFrame, group: Column, order: Seq[Column], weight: Column,
       out: String): DataFrame = {
     require(!df.columns.exists(Helpers.contains),
       s"Prefix.runningSum uses ${Helpers.mkString("/")} helper columns; the input already has one")
     val spark = df.sparkSession
-    val threshold = spark.sessionState.conf
-      .getConfString(TwoPassMinBytesKey, TwoPassMinBytesDefault.toString).toLong
+    val confStr = spark.sessionState.conf
+      .getConfString(TwoPassMinBytesKey, TwoPassMinBytesDefault.toString)
+    val threshold =
+      try confStr.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$TwoPassMinBytesKey must be a plain byte count (no size suffixes), got '$confStr'")
+      }
+    val w0 = coalesce(weight, lit(0))
+    // the declared output type — sum(weight)'s — computed once so the
+    // two-pass branch (whose offset ADDITION can widen a decimal) can
+    // cast back to it
+    val sumType = df.select(sum(w0)).schema.head.dataType
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)) {
       // small input: the whole prefix fits ordinary per-group window sorts
       val w = Window.partitionBy(group).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      df.withColumn(out, sum(weight).over(w))
+      df.withColumn(out, sum(w0).over(w))
     } else {
       val part = spark.sessionState.conf.numShufflePartitions
       val ranged = df
-        .withColumn("__pfx_w", weight)
+        .withColumn("__pfx_w", w0)
         .repartitionByRange(part, (group +: order): _*)
+      // validate BEFORE the eager boundary-sampling pass below: `ranged`
+      // has the same column names the internal frame re-resolves against,
+      // and failing here costs zero jobs instead of a corpus-scale one
+      resolveOrFail(ranged, group +: order)
       // ONE materialized shuffle: boundaries sampled once, map outputs
       // reused by both consumers below via RDD object identity
       val base = Bridge.internalCreateDataFrame(
           spark, ranged.queryExecution.toRdd, ranged.schema)
         .withColumn("__pfx_pid", spark_partition_id())
-      resolveOrFail(base, group +: order)
       val wLoc = Window.partitionBy(col("__pfx_pid"), group).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = base.withColumn("__pfx_cum", sum(col("__pfx_w")).over(wLoc))
@@ -123,9 +144,17 @@ private[operators] object Prefix {
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = totals.select(col("__pfx_tpid"), col("__pfx_tg"),
         sum(col("__pfx_tw")).over(wOff).as("__pfx_off"))
-      local.join(broadcast(offsets),
+      // no forced broadcast() hint: the offsets table is ~(#groups +
+      // #slices) rows — tiny for the usual handful of groups, where AQE's
+      // runtime-exact stage size converts the join to a broadcast anyway
+      // (the plan pin collects first and still sees BroadcastHashJoin) —
+      // but a high-cardinality group key (millions of distinct groups)
+      // would force-collect a multi-GB table onto the driver and every
+      // executor; AQE instead degrades that case to a shuffled join,
+      // slow-but-alive where the hint was a driver OOM
+      local.join(offsets,
           col("__pfx_pid") === col("__pfx_tpid") && (group <=> col("__pfx_tg")))
-        .withColumn(out, col("__pfx_cum") + coalesce(col("__pfx_off"), lit(0)))
+        .withColumn(out, (col("__pfx_cum") + coalesce(col("__pfx_off"), lit(0))).cast(sumType))
         .drop(Helpers: _*)
     }
   }

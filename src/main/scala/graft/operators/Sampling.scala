@@ -17,20 +17,41 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The decision-hash mixer every sampling BUCKET goes through — a
+    * QUADRATIC mix `h·((h + K) mod P) mod P` of the engine-neutral
+    * polynomial hash (every product ≤ ~3.7e18, exact in i64 and in the
+    * oracle's BIGINT replay). Two defects of weaker forms, both measured
+    * on 10⁶ real keys:
+    *
+    *  - the RAW polynomial's high bits are non-uniform (99% of "en:id"
+    *    hashes below 0.707e9), so only its mod-1000 tail was usable;
+    *  - `hash(salt:key)` is AFFINE in the key's suffix polynomial, so
+    *    two stages' decisions over the same keys under different salts
+    *    are deterministically related — an affine (multiply-mod-P) mix
+    *    is a bijection and PRESERVES that dependence (measured: a 0.95
+    *    split realized 0.973 on the survivors of an upstream 0.66
+    *    sampling stage — chained samplers compound percent-level bias).
+    *
+    * The quadratic mix breaks the affine relation (the difference of two
+    * salted mixes is key-dependent): measured P(keep₂ | keep₁) = 0.9505
+    * at an independent 0.95, ppb-bucket mean 0.4999, P(pm < 707) =
+    * 0.7066 — uniform marginals AND pairwise-independent decisions
+    * across salts/strata. */
+  private[operators] def decisionHash(s: Column): Column = {
+    val h = Dedup.rollingHash(s)
+    pmod(h * pmod(h + lit(2654435761L), lit(graft.functions.RollingHash.Mod)),
+      lit(graft.functions.RollingHash.Mod))
+  }
+
   /** Per-mille keep-bucket of a (stratum, key) pair — pinned hash
-    * arithmetic, shared by the oracle generator. The polynomial hash is
-    * engine-neutral but NOT avalanche-mixed: consecutive integer keys
-    * land in consecutive buckets, so any k-row run of sequential ids
-    * realizes a `p` rate as ⌊kp⌋±1 rows in a contiguous block (exact per
-    * 1000-run, never biased overall) rather than an i.i.d. draw — fine
-    * for rates/splits, but don't treat adjacent-id decisions as
-    * independent. NULL stratum/key hash as the empty string — `concat`
+    * arithmetic ([[decisionHash]] mod 1000), shared by the oracle
+    * generator. NULL stratum/key hash as the empty string — `concat`
     * would otherwise null-propagate and every consumer's `bucket < rate`
     * comparison would silently DROP null-key rows at any rate (the
     * convention [[hashSplit]] documents, now enforced here for every
     * caller). */
   def sampleBucket(stratum: Column, key: Column): Column =
-    pmod(Dedup.rollingHash(concat(
+    pmod(decisionHash(concat(
       coalesce(stratum.cast("string"), lit("")), lit(":"),
       coalesce(key.cast("string"), lit("")))), lit(1000L))
 
@@ -320,15 +341,13 @@ object Sampling {
     * would floor to 0 and be silently dropped ENTIRELY instead of
     * downsampled. Per-billion pushes that extinction bound to 10⁹× and
     * the quantization bias below anything a corpus can resolve. The fine
-    * bucket MUST come from the [[mixedHash]]-style Knuth-mixed hash, not
-    * the raw polynomial: the raw hash's LOW bits are uniform (mod 1000
-    * was fine) but its HIGH bits are not — measured on 10⁶ "en:id" keys,
-    * 99% of raw hashes fell below 0.707·10⁹, which would realize a 0.707
-    * rate as ~0.99. After the multiply-and-wrap the same keys measure
-    * mean 0.5000 and P(bucket < 0.7071·10⁹) = 0.7071 exactly. The mod-10⁹
-    * bucket over the [0, 10⁹+7) mixed range keeps a ~7e-9 bias toward
-    * buckets 0-6 — identical in the oracle's replay, invisible next to
-    * the rate itself.
+    * bucket comes from [[decisionHash]] (see its scaladoc: the raw
+    * polynomial's high bits are badly non-uniform — a 0.707 rate
+    * realized as ~0.99 — and an affine mix fixes the marginal but keeps
+    * chained stages' decisions correlated; the quadratic mix fixes
+    * both, measured). The mod-10⁹ bucket over the [0, 10⁹+7) mixed
+    * range keeps a ~7e-9 bias toward buckets 0-6 — identical in the
+    * oracle's replay, invisible next to the rate itself.
     *
     * → input columns + (keep_ppb, kept); filter on `kept` to apply.
     */
@@ -348,13 +367,11 @@ object Sampling {
     // and the bucket hash follows hashSplit's convention (null stratum
     // and null key hash as the empty string) instead of propagating null
     // into `kept`
-    val mixed = pmod(
-      Dedup.rollingHash(concat(
-        coalesce(group.cast("string"), lit("")), lit(":"),
-        coalesce(key.cast("string"), lit("")))) * lit(2654435761L),
-      lit(graft.functions.RollingHash.Mod))
+    val bucket = pmod(decisionHash(concat(
+      coalesce(group.cast("string"), lit("")), lit(":"),
+      coalesce(key.cast("string"), lit("")))), lit(1000000000L))
     df.join(rates, group <=> col("__g"))
       .drop("__g")
-      .withColumn("kept", pmod(mixed, lit(1000000000L)) < col("keep_ppb"))
+      .withColumn("kept", bucket < col("keep_ppb"))
   }
 }

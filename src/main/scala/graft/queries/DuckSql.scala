@@ -28,6 +28,14 @@ object DuckSql {
       s"list_reduce(list_transform(string_split_regex($expr, ''), x -> CAST(unicode(x) AS BIGINT)), " +
       s"(a, b) -> (a * 31 + b) % $P) END)" // BIGINT cast: lambda arithmetic would stay INT32 and overflow
 
+  /** The quadratic decision mix over an already-computed hash COLUMN
+    * (mirrors [[graft.operators.Sampling.decisionHash]]): `h·((h + K)
+    * mod P) mod P` — pass a column NAME, not the rollingHash expression,
+    * or the list_reduce evaluates twice. Every product ≤ ~3.7e18, exact
+    * in BIGINT. */
+  def decisionMix(hCol: String): String =
+    s"(($hCol * (($hCol + 2654435761) % $P)) % $P)"
+
   /** Base-37 twin of [[rollingHash]] — the independent second hash of the
     * wide ~60-bit gram key (a salted base-31 hash would preserve every
     * equal-length collision; a different base does not). */

@@ -862,9 +862,10 @@ object PipelineQueries {
          |  UNION
          |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
          |comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id),
-         |b AS (SELECT doc_id, component_id,
-         |  ${DuckSql.rollingHash("'v1' || ':' || CAST(component_id AS VARCHAR)")} % 1000 AS bk
-         |  FROM comp)
+         |h AS (SELECT doc_id, component_id,
+         |  ${DuckSql.rollingHash("'v1' || ':' || coalesce(CAST(component_id AS VARCHAR), '')")} AS h0
+         |  FROM comp),
+         |b AS (SELECT doc_id, component_id, ${DuckSql.decisionMix("h0")} % 1000 AS bk FROM h)
          |SELECT doc_id, component_id,
          |  CASE WHEN bk < 900 THEN 'train' WHEN bk < 950 THEN 'val' ELSE 'test' END AS split
          |FROM b""".stripMargin
@@ -1148,11 +1149,14 @@ object PipelineQueries {
     // q64: range(reps) is empty for reps <= 0, so unnest drops zero-weight
     // rows exactly like the Spark filter; bucket replays sampleBucket
     m += "q64_epoch_mix" ->
-      s"""WITH b AS (SELECT doc_id, source,
+      s"""WITH h AS (SELECT doc_id, source,
+         |  ${DuckSql.rollingHash("'v1:' || coalesce(source, '') || ':' || coalesce(CAST(doc_id AS VARCHAR), '')")} AS h0
+         |  FROM documents),
+         |b AS (SELECT doc_id, source,
          |  CASE WHEN source = 'src0' THEN 3000 WHEN source = 'src1' THEN 1500
          |       WHEN source = 'src2' THEN 0 ELSE 800 END AS w,
-         |  ${DuckSql.rollingHash("'v1:' || coalesce(source, '') || ':' || coalesce(CAST(doc_id AS VARCHAR), '')")} % 1000 AS bk
-         |  FROM documents),
+         |  ${DuckSql.decisionMix("h0")} % 1000 AS bk
+         |  FROM h),
          |r AS (SELECT doc_id, source,
          |  (w // 1000) + (CASE WHEN bk < (w % 1000) THEN 1 ELSE 0 END) AS reps FROM b)
          |SELECT doc_id, source, CAST(unnest(range(reps)) AS BIGINT) AS epoch
@@ -1241,11 +1245,13 @@ object PipelineQueries {
       s"""WITH s AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
          |r AS (SELECT lang,
          |  CAST(floor(sqrt((SELECT MIN(n) FROM s) * 1.0 / n) * 1000000000) AS BIGINT) AS keep_ppb
-         |  FROM s)
-         |SELECT d.doc_id, d.lang, r.keep_ppb,
-         |  ((${DuckSql.rollingHash("coalesce(d.lang, '') || ':' || coalesce(CAST(d.doc_id AS VARCHAR), '')")} * 2654435761) % ${DuckSql.P}) % 1000000000
-         |    < r.keep_ppb AS kept
-         |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang""".stripMargin
+         |  FROM s),
+         |h AS (SELECT doc_id, lang,
+         |  ${DuckSql.rollingHash("coalesce(lang, '') || ':' || coalesce(CAST(doc_id AS VARCHAR), '')")} AS h0
+         |  FROM documents)
+         |SELECT h.doc_id, h.lang, r.keep_ppb,
+         |  ${DuckSql.decisionMix("h0")} % 1000000000 < r.keep_ppb AS kept
+         |FROM h JOIN r ON h.lang IS NOT DISTINCT FROM r.lang""".stripMargin
 
     // q56: q32's recursive component closure + a keep-best window on top
     m += "q56_canonical_pick" ->
@@ -1371,9 +1377,10 @@ object PipelineQueries {
          |FROM s2""".stripMargin
 
     m += "q48_hash_split" ->
-      s"""WITH b AS (SELECT doc_id,
-         |  ${DuckSql.rollingHash("'v1' || ':' || coalesce(CAST(doc_id AS VARCHAR), '')")} % 1000 AS bk
-         |  FROM documents)
+      s"""WITH h AS (SELECT doc_id,
+         |  ${DuckSql.rollingHash("'v1' || ':' || coalesce(CAST(doc_id AS VARCHAR), '')")} AS h0
+         |  FROM documents),
+         |b AS (SELECT doc_id, ${DuckSql.decisionMix("h0")} % 1000 AS bk FROM h)
          |SELECT doc_id,
          |  CASE WHEN bk < 900 THEN 'train' WHEN bk < 950 THEN 'val' ELSE 'test' END AS split
          |FROM b""".stripMargin
@@ -1432,9 +1439,12 @@ object PipelineQueries {
     // coalesce mirrors sampleBucket's null-as-"" convention (no-op here:
     // the fixture has no null lang/doc_id)
     m += "q36_stratified_sample" ->
-      s"""WITH l AS (SELECT doc_id, ${DuckSql.langIdSql("text")} AS lang FROM documents)
-         |SELECT doc_id, lang FROM l
-         |WHERE ${DuckSql.rollingHash("coalesce(lang, '') || ':' || coalesce(CAST(doc_id AS VARCHAR), '')")} % 1000 <
+      s"""WITH l AS (SELECT doc_id, ${DuckSql.langIdSql("text")} AS lang FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  ${DuckSql.rollingHash("coalesce(lang, '') || ':' || coalesce(CAST(doc_id AS VARCHAR), '')")} AS h0
+         |  FROM l)
+         |SELECT doc_id, lang FROM h
+         |WHERE ${DuckSql.decisionMix("h0")} % 1000 <
          |      CASE WHEN lang = 'en' THEN 200 ELSE 500 END""".stripMargin
 
     m += "q33_asof_join" ->

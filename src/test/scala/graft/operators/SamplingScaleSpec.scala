@@ -58,6 +58,28 @@ class SamplingScaleSpec extends SparkSpec {
     assert(got.size == 5000 && got == want)
   }
 
+  test("runningSum: NULL weights count as 0, identically in both branches") {
+    // the bare window-sum convention (skip nulls) would make a null-weight
+    // row's total depend on which range slice it landed in; the pinned
+    // null→0 convention must agree across the gate
+    val df = spark.range(0, 3000).select(
+      col("id"),
+      pmod(col("id"), lit(3)).cast("string").as("g"),
+      when(pmod(col("id"), lit(7)) === 0, lit(null).cast("long"))
+        .otherwise(pmod(hash(col("id")), lit(20)) + 20).as("w"))
+    def run(force: Long) = withTwoPassMinBytes(force) {
+      Prefix.runningSum(df, col("g"), Seq(col("id").asc), col("w"), "cum")
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+    }
+    val twoPass = run(0L)
+    val naivePath = run(Long.MaxValue)
+    assert(twoPass.size == 3000 && twoPass == naivePath)
+    // id=0 is the FIRST row of its group and carries a null weight: its
+    // running total must be 0, not NULL (the Long decode above would have
+    // thrown on NULL) and not the old all-nulls-prefix NULL
+    assert(twoPass(0L) == 0L)
+  }
+
   test("budgetSelect ≡ naive on double weights") {
     val df = spark.range(0, 1000).select(
       col("id"),

@@ -139,15 +139,29 @@ class SamplingSpec extends SparkSpec {
 
   test("temperatureResample: kept is the hash-bucket decision, min group keeps all") {
     val df = (Seq(("a", 0L)) ++ (1L to 40L).map(("b", _))).toDF("g", "id")
-    val bucketPpb = pmod(pmod(Dedup.rollingHash(concat(
+    val bucketPpb = pmod(Sampling.decisionHash(concat(
       coalesce(col("g").cast("string"), lit("")), lit(":"),
-      coalesce(col("id").cast("string"), lit("")))) * lit(2654435761L),
-      lit(graft.functions.RollingHash.Mod)), lit(1000000000L))
+      coalesce(col("id").cast("string"), lit("")))), lit(1000000000L))
     val got = Sampling.temperatureResample(df, col("g"), col("id"), alpha = 0.5)
       .withColumn("bucket", bucketPpb)
       .as[(String, Long, Long, Boolean, Long)].collect()
     assert(got.forall { case (_, _, rate, kept, bucket) => kept == (bucket < rate) })
     assert(got.filter(_._1 == "a").forall(_._4)) // smallest group: all kept
+  }
+
+  test("chained sampling decisions are independent across salts (the quadratic mix)") {
+    // hash(salt:key) is affine in the key's suffix polynomial, so under
+    // the raw or affine-mixed hash a second-stage decision over the
+    // SURVIVORS of a first stage is deterministically related to it —
+    // measured as a multi-percent conditional bias. The quadratic
+    // decisionHash pins the conditional rate at the marginal.
+    val df = spark.range(0, 20000).toDF("id")
+    val s1 = Sampling.hashSplit(df, col("id"), Seq("a" -> 600, "b" -> 400), salt = "s1")
+    val survivors = s1.filter(col("split") === "a").drop("split")
+    val s2 = Sampling.hashSplit(survivors, col("id"), Seq("a" -> 500, "b" -> 500), salt = "s2")
+    val frac = s2.filter(col("split") === "a").count().toDouble / survivors.count()
+    assert(math.abs(frac - 0.5) < 0.02,
+      s"conditional second-split fraction $frac must track the marginal 0.5")
   }
 
   test("temperatureResample: realized keep fraction tracks the rate (hash uniformity)") {
