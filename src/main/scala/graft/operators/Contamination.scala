@@ -80,11 +80,6 @@ object Contamination {
     else rel
   }
 
-  /** → (bench_id, train_id, n_shared, bench_size, contaminated_permille)
-    * for every cross-corpus pair with `n_shared ≥ minShared`.
-    * `contaminated_permille` = ⌊n_shared·1000 / bench_size⌋: how much of
-    * the benchmark doc's shingle set the train doc covers.
-    */
   /** Inverted-index postings of a corpus: one row per (doc, distinct
     * shingle hash), the per-doc shingle count riding along. Shared by the
     * batch operator and [[graft.streaming.StreamingContamination]]'s
@@ -101,7 +96,37 @@ object Contamination {
       .select(col(idAlias), size(col("hs")).cast("long").as(sizeAlias),
         explode(col("hs")).as("h"))
 
-  /** @param normalize applied to BOTH texts before shingling — the standard
+  /** The hot-shingle-cap pipeline shared verbatim by [[ngramOverlapPairs]]
+    * and [[ngramOverlapSpans]] — the scaladoc on each operator promises
+    * matched cap semantics, so the plumbing exists ONCE and only the df
+    * aggregate differs (`count` over the pairs operator's per-doc-distinct
+    * postings ≡ `countDistinct(train_id)` over the spans operator's
+    * position-carrying ones): semi-filter the train postings to
+    * bench-relevant shingles (persisted above the gate), drop shingles in
+    * more than `maxShingleFreq` train docs, and join the surviving bench
+    * postings back. */
+  private def capAndJoin(
+      bench: DataFrame, b: DataFrame, t: DataFrame, train: DataFrame,
+      maxShingleFreq: Long, dfAgg: Column): DataFrame = {
+    val build = benchBuild(bench)
+    val benchH = b.select(col("h")).distinct()
+    val tRel = benchRelevant(t, benchH, train, build)
+    val survivingH = tRel
+      .groupBy(col("h")).agg(dfAgg.as("__df"))
+      .filter(col("__df") <= maxShingleFreq)
+      .select(col("h"))
+    val bFiltered = b.join(build(survivingH), Seq("h"))
+    // joining the bench-relevant slice is output-identical to joining the
+    // full postings: bFiltered's shingles are a subset of the bench set
+    tRel.join(build(bFiltered.withColumnRenamed("h", "h2")), col("h") === col("h2"))
+  }
+
+  /** → (bench_id, train_id, n_shared, bench_size, contaminated_permille)
+    * for every cross-corpus pair with `n_shared ≥ minShared`.
+    * `contaminated_permille` = ⌊n_shared·1000 / bench_size⌋: how much of
+    * the benchmark doc's shingle set the train doc covers.
+    *
+    * @param normalize applied to BOTH texts before shingling — the standard
     *        contamination practice is to compare case-/punctuation-folded
     *        n-grams (e.g. `c => lower(c)`), since an eval answer pasted into
     *        a train doc rarely survives verbatim. Default `identity` keeps
@@ -131,17 +156,7 @@ object Contamination {
     // populates [[benchRelevant]]'s cache while building the broadcast,
     // the join pass reads it back) — never as a corpus-sized skewed
     // exchange.
-    val build = benchBuild(bench)
-    val benchH = b.select(col("h")).distinct()
-    val tRel = benchRelevant(t, benchH, train, build)
-    val survivingH = tRel
-      .groupBy(col("h")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxShingleFreq)
-      .select(col("h"))
-    val bFiltered = b.join(build(survivingH), Seq("h"))
-    // joining the bench-relevant slice is output-identical to joining the
-    // full postings: bFiltered's shingles are a subset of the bench set
-    tRel.join(build(bFiltered.withColumnRenamed("h", "h2")), col("h") === col("h2"))
+    capAndJoin(bench, b, t, train, maxShingleFreq, count(lit(1)))
       .groupBy(col("bench_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"), max(col("bench_size")).as("bench_size"))
       .filter(col("n_shared") >= minShared)
@@ -194,16 +209,8 @@ object Contamination {
     // enters an exchange; the count_distinct's internal (h, train_id)
     // dedup exchange carries only bench-relevant rows). The previous form
     // stacked lag/sum windows over a full corpus-posting exchange.
-    val build = benchBuild(bench)
-    val benchH = b.select(col("h")).distinct()
-    val tRel = benchRelevant(t, benchH, train, build)
-    val survivingH = tRel
-      .groupBy(col("h")).agg(countDistinct(col("train_id")).as("__df"))
-      .filter(col("__df") <= maxShingleFreq)
-      .select(col("h"))
-    val bFiltered = b.join(build(survivingH), Seq("h"))
-    val joined = tRel
-      .join(build(bFiltered.withColumnRenamed("h", "h2")), col("h") === col("h2"))
+    val joined = capAndJoin(bench, b, t, train, maxShingleFreq,
+      countDistinct(col("train_id")))
     // per-pair distinct-shingle count as the same run-opener trick (h is
     // unique per (bench_id, train posting), so positions are unique within
     // a pair and the merge windows below see no duplicates)
@@ -249,12 +256,25 @@ object Contamination {
   def semanticOverlapPairs(
       bench: DataFrame, benchId: Column, benchEmb: Column,
       train: DataFrame, trainId: Column, trainEmb: Column,
-      minScoreQ: Long): DataFrame =
+      minScoreQ: Long): DataFrame = {
+    // the broadcast() below is a FORCED hint that bypasses every size
+    // threshold — the same hazard BenchBroadcastMaxBytes guards in the
+    // n-gram operator — so a bench side too big to materialize on the
+    // driver must fail fast with the documented LSH-bucketing pointer,
+    // not OOM mid-collect
+    val max = bench.sparkSession.sessionState.conf
+      .getConfString(BenchBroadcastMaxBytesKey, BenchBroadcastMaxBytesDefault.toString).toLong
+    require(bench.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(max),
+      s"semanticOverlapPairs force-broadcasts the benchmark side, and this bench's " +
+        s"optimizer estimate exceeds $BenchBroadcastMaxBytesKey ($max bytes); for a " +
+        "benchmark too big to broadcast, pre-bucket both sides with " +
+        "Similarity.lshTopK's sign-random-projection tables and confirm within buckets")
     train.select(trainId.as("train_id"), trainEmb.as("__t_emb"))
       .crossJoin(broadcast(bench.select(benchId.as("bench_id"), benchEmb.as("__b_emb"))))
       .withColumn("score", Similarity.quantizedDot(col("__b_emb"), col("__t_emb")))
       .filter(col("score") >= minScoreQ)
       .select(col("bench_id"), col("train_id"), col("score"))
+  }
 
   /** Per-benchmark-doc contamination summary: how many train docs overlap
     * it and the worst coverage. Benchmark docs with no qualifying overlap

@@ -44,14 +44,21 @@ object Similarity {
   def quantizedDot(a: Column, b: Column): Column =
     bridge2(graft.functions.QuantizedDot(_, _))(a, b)
 
-  /** Built-ins-only reference form of [[quantizedDot]] (for the spec). */
-  def quantizedDotComposed(a: Column, b: Column): Column =
+  /** Built-ins-only reference form of [[quantizedDot]] (for the spec).
+    * Length-mismatched inputs truncate to the shorter array like the
+    * native kernel does — bare `zip_with` pads the short side with nulls
+    * and the aggregate would return NULL where [[quantizedDot]] returns
+    * the truncated dot, silently weakening the equivalence property on
+    * malformed rows. */
+  def quantizedDotComposed(a: Column, b: Column): Column = {
+    val n = least(size(a), size(b))
     aggregate(
       zip_with(
-        transform(a, x => floor(x.cast("double") * 1000).cast("long")),
-        transform(b, x => floor(x.cast("double") * 1000).cast("long")),
+        transform(slice(a, lit(1), n), x => floor(x.cast("double") * 1000).cast("long")),
+        transform(slice(b, lit(1), n), x => floor(x.cast("double") * 1000).cast("long")),
         (x, y) => x * y),
       lit(0L), (acc, v) => acc + v)
+  }
 
   /** Brute-force top-k: for every query row, the k corpus rows with the
     * highest `score` (ties by corpus id asc), excluding self-matches on
@@ -67,13 +74,7 @@ object Similarity {
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", score(col("q_emb"), col("c_emb")))
-    scored
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+    rankTopK(scored, k)
   }
 
   /** Sign-random-projection bucket id from `planes` hyperplanes — the
@@ -85,19 +86,6 @@ object Similarity {
       graft.functions.LshBucket(
         org.apache.spark.sql.graft.Bridge.expression(emb), planes, table))
 
-  /** IVF (inverted-file) ANN top-k: k-means partitions the corpus into
-    * `nlist` cells; a query probes only its `nprobe` nearest cells and
-    * re-ranks exactly within them. The index build is one MLlib KMeans fit
-    * (seeded — deterministic) + one broadcast-argmin assignment pass; the
-    * query path is two broadcast joins + the exact scorer. Complements
-    * [[lshTopK]]: IVF adapts to the data's cluster structure (higher
-    * recall on clustered corpora), LSH needs no training pass.
-    *
-    * Scale shape: centroids are tiny (`nlist` rows → broadcast); the
-    * corpus shuffles once on cell id; per-query work is
-    * `nprobe/nlist` of the corpus — never corpus².
-    * → (query_id, neighbor_id, rank, score).
-    */
   /** Seeded k-means cell table (cell_id, centroid) over `corpus.embedding`
     * — the coarse quantizer shared by [[ivfTopK]] and [[semDedup]].
     * Random init: k-means|| initialization is itself several distributed
@@ -115,24 +103,55 @@ object Similarity {
       .toDF("cell_id", "centroid")
   }
 
-  /** Top-`n` nearest cells per row — rank over a broadcast cross join with
-    * the tiny centroid table (the usual topOnePerGroup pattern). */
+  /** Top-`n` nearest cells per row, MAP-SIDE: the centroid table is tiny
+    * and already driver-derived (one k-means fit), so it is collected
+    * once (eager, at call time) and embedded as a single array literal;
+    * each row ranks every cell inside one expression
+    * (sort by (−score, cell_id), slice n, explode) and the corpus never
+    * enters an exchange for its assignment. The previous spelling —
+    * cross join × centroids then a row_number window partitioned by id —
+    * shuffled `nlist` copies of EVERY embedding through the window
+    * exchange (nlist× the corpus embedding mass at 10M rows) before any
+    * cell-keyed work; same (−score asc, cell_id asc) order, identical
+    * assignments. Keep nlist modest (≤ a few thousand): the literal is
+    * nlist·dim floats riding in the plan. */
   private def assignCells(
       df: DataFrame, idCol: String, embCol: String, centroids: DataFrame, n: Int,
       score: (Column, Column) => Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__dist").asc, col("cell_id").asc)
-    df.crossJoin(broadcast(centroids))
-      .withColumn("__dist", -score(col(embCol), col("centroid")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= n)
-      .select(col(idCol), col(embCol), col("cell_id"))
+    require(n >= 1, s"cell assignment needs n >= 1, got $n")
+    val cents = centroids.select(col("cell_id"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    require(cents.nonEmpty, "empty centroid table")
+    val centArr = typedlit(cents)
+    val ranked = array_sort(transform(centArr, c =>
+      struct((-score(col(embCol), c.getField("_2"))).as("d"),
+        c.getField("_1").as("cid"))))
+    df.withColumn("__cells", slice(ranked, 1, n))
+      .select(col(idCol), col(embCol), explode(col("__cells")).as("__c"))
+      .select(col(idCol), col(embCol), col("__c.cid").as("cell_id"))
   }
 
+  /** IVF (inverted-file) ANN top-k: k-means partitions the corpus into
+    * `nlist` cells; a query probes only its `nprobe` nearest cells and
+    * re-ranks exactly within them. The index build is one MLlib KMeans fit
+    * (seeded — deterministic) + one map-side assignment pass
+    * ([[assignCells]]); the query path is the cell-keyed equi-join + the
+    * exact scorer. Complements [[lshTopK]]: IVF adapts to the data's
+    * cluster structure (higher recall on clustered corpora), LSH needs no
+    * training pass.
+    *
+    * Scale shape: centroids are tiny (`nlist` rows, collected once);
+    * assignment is map-side; the corpus shuffles once on cell id;
+    * per-query work is `nprobe/nlist` of the corpus — never corpus².
+    * → (query_id, neighbor_id, rank, score).
+    */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int, nprobe: Int,
       score: (Column, Column) => Column, seed: Long = 42L,
       maxIter: Int = 10): DataFrame = {
+    require(k >= 1 && nlist >= 1 && nprobe >= 1,
+      s"ivfTopK needs k/nlist/nprobe >= 1, got k=$k nlist=$nlist nprobe=$nprobe " +
+        "(a non-positive nprobe would silently probe nothing and return an empty result)")
     val centroids = fitCells(corpus, nlist, seed, maxIter)
     val corpusCells = assignCells(
       corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
@@ -146,13 +165,7 @@ object Similarity {
       .join(corpusCells, col("probe_cell") === corpusCells("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", score(col("q_emb"), col("c_emb")))
-    scored
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+    rankTopK(scored, k)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
@@ -174,6 +187,9 @@ object Similarity {
       corpus: DataFrame, nlist: Int, minScoreQ: Long,
       score: (Column, Column) => Column, seed: Long = 42L,
       maxIter: Int = 10, nassign: Int = 1): DataFrame = {
+    require(nlist >= 1 && nassign >= 1,
+      s"semDedup needs nlist/nassign >= 1, got nlist=$nlist nassign=$nassign " +
+        "(a non-positive nassign would silently mine zero pairs and mark every doc keep=true)")
     val centroids = fitCells(corpus, nlist, seed, maxIter)
     // overlap assignment (`nassign` > 1): each vector joins its top-n
     // cells, so a pair straddling a cell boundary still meets in the
@@ -236,6 +252,11 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, planes: Int,
       probeBits: Int, tables: Int): DataFrame = {
     require(planes >= 1 && planes < 63, s"planes must be in [1, 62], got $planes")
+    // same silent-empty failure mode the planes check exists for:
+    // tables=0 explodes an empty array — zero candidates, no error
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    require(probeBits >= 0 && probeBits <= planes,
+      s"probeBits must be in [0, planes], got $probeBits")
     val cBuckets = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(col("embedding"), planes, t).as("b")))
     val c = corpus

@@ -23,8 +23,11 @@ import graft.SparkSpec
   */
 class PlanSanitySpec extends SparkSpec {
 
+  // q37 left this list when assignCells became a map-side literal-ranked
+  // expression (the centroid cross join + per-id window was its only
+  // nested loop); its plan is now cell-keyed equi-joins only
   private val quadraticByDesign =
-    Set("q26_ann_topk", "q31_embed_dup", "q37_ann_ivf", "q65_semantic_contamination")
+    Set("q26_ann_topk", "q31_embed_dup", "q65_semantic_contamination")
 
   test("no undeclared nested-loop/cartesian joins across the whole registry") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
