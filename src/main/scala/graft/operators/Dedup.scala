@@ -716,10 +716,34 @@ object Dedup {
     * full recall with 3 bands; higher distances degrade to best-effort).
     * Banding: 3 × 10-bit chunks equi-join, then `bit_count(xor)` verify.
     * → (a_id, b_id, hamming). */
+  /** SimHash pigeonhole-banding geometry — ONE definition shared by
+    * [[simhashNearDupPairs]] and the streaming twin
+    * ([[graft.streaming.StreamingDedup]]): 3 × 10-bit chunks give full
+    * recall at hamming ≤ 2 by pigeonhole. A drifted private copy on
+    * either side would silently break the spec-pinned streaming ≡ batch
+    * parity. */
+  private[graft] val SimHashChunks = 3
+  private[graft] val SimHashChunkBits = 10
+  private[graft] val SimHashChunkMask: Long = (1L << SimHashChunkBits) - 1L
+  private[graft] def simhashChunk(sig: Column, c: Int): Column =
+    shiftright(sig, c * SimHashChunkBits) % (SimHashChunkMask + 1L)
+  /** The first chunk index on which `a` and `b` agree, -1 if none — the
+    * exactly-once-without-distinct gate, JVM form (the batch operator
+    * spells the same test as Columns). */
+  private[graft] def firstSharedSimHashChunk(a: Long, b: Long): Int = {
+    var c = 0
+    while (c < SimHashChunks) {
+      if (((a >> (c * SimHashChunkBits)) & SimHashChunkMask) ==
+        ((b >> (c * SimHashChunkBits)) & SimHashChunkMask)) return c
+      c += 1
+    }
+    -1
+  }
+
   def simhashNearDupPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int): DataFrame = {
     val sigs = simhashSignatures(df, id, text)
-    val chunks = (0 until 3).map { c =>
-      struct(lit(c).as("chunk"), (shiftright(col("sig"), c * 10) % 1024).as("val"))
+    val chunks = (0 until SimHashChunks).map { c =>
+      struct(lit(c).as("chunk"), simhashChunk(col("sig"), c).as("val"))
     }
     val buckets = sigs.select(col("doc"), col("sig"), explode(array(chunks: _*)).as("bk"))
       .select(col("doc"), col("sig"), col("bk.chunk").as("chunk"), col("bk.val").as("val"))
@@ -732,7 +756,7 @@ object Dedup {
     // chunk — exactly-once without a distinct() shuffle (both signatures
     // are in the row, so the first shared chunk is a cheap expression)
     def chunkEq(c: Int): Column =
-      (shiftright(col("a_sig"), c * 10) % 1024) === (shiftright(col("b_sig"), c * 10) % 1024)
+      simhashChunk(col("a_sig"), c) === simhashChunk(col("b_sig"), c)
     val firstShared = when(chunkEq(0), 0).when(chunkEq(1), 1).otherwise(2)
     joined
       .filter(col("chunk") === firstShared)

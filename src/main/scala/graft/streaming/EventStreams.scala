@@ -55,6 +55,15 @@ object EventStreams {
     * same bound the shortcut had plus at most the few sessions a delay
     * keeps amendable. Emits in Append mode: each session exactly once,
     * in start order, when final.
+    *
+    * Delivery contract: events are assumed delivered ONCE. This operator
+    * keeps no per-event-id state (its state is the session accumulator),
+    * so a redelivered event_id still above the watermark merges twice
+    * and inflates n_events/total_value. Under an at-least-once source,
+    * compose [[dedupEvents]] (same watermark) upstream — it holds the
+    * per-id state this operator deliberately does not, and the pair is
+    * then end-to-end idempotent. The same applies to
+    * [[windowedTypeCounts]].
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long, watermarkDelay: String = "0 seconds")
       : Dataset[Session] = {

@@ -37,8 +37,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state partitions and cannot see each other's eviction state; lifting
   * this would require a second pair-keyed dedup stage — a shuffle the
   * exactly-once-without-distinct design exists to avoid). Redelivered
-  * doc_ids (at-least-once sources) are idempotent: a doc already present
-  * in the bucket neither re-emits its pairs nor occupies a second slot.
+  * doc_ids (at-least-once sources) are idempotent WHILE the doc is still
+  * resident in its bucket: a doc already present neither re-emits its
+  * pairs nor occupies a second slot. The idempotence guard is
+  * bucket-presence-based, so the one replay it cannot absorb is a doc
+  * that the `maxBucket` cap has already EVICTED: its redelivery
+  * re-enters the bucket and may re-emit pairs against entries it paired
+  * with before eviction. Absorbing that too would mean remembering
+  * evicted ids until watermark expiry (state the cap exists to bound) or
+  * a pair-keyed dedup shuffle; under a source that replays past a hot
+  * bucket's eviction horizon, dedup pairs downstream (they are
+  * value-identical rows — a `dropDuplicates` over the bounded pair
+  * stream, not the corpus).
   */
 object StreamingDedup {
 
@@ -53,19 +63,6 @@ object StreamingDedup {
     * latest event-time seen (for the retention timeout). */
   final case class BucketState(entries: List[(Long, Long)], lastMs: Long)
 
-  private val Chunks = 3
-  private val ChunkBits = 10
-  private val ChunkMask = (1 << ChunkBits) - 1
-
-  private def firstSharedChunk(a: Long, b: Long): Int = {
-    var c = 0
-    while (c < Chunks) {
-      if (((a >> (c * ChunkBits)) & ChunkMask) == ((b >> (c * ChunkBits)) & ChunkMask)) return c
-      c += 1
-    }
-    -1
-  }
-
   def nearDupPairs(
       docs: Dataset[Doc],
       maxHamming: Int,
@@ -73,11 +70,18 @@ object StreamingDedup {
       retentionMs: Long = 3600000L,
       maxBucket: Int = 1024): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
+    import graft.operators.Dedup.{SimHashChunks, simhashChunk}
     val sig = graft.operators.Dedup.simhash(graft.operators.Dedup.tokenHashes(col("text")))
-    val chunkCols = (0 until Chunks).map(c => shiftright(col("sig"), c * ChunkBits) % (ChunkMask + 1))
+    val chunkCols = (0 until SimHashChunks).map(c => simhashChunk(col("sig"), c))
     val keyed = docs
       .withWatermark("ts", watermarkDelay)
       .withColumn("sig", sig)
+      // null text → null signature: DROP the row like the batch twin's
+      // equi-join silently does — without this filter the non-nullable
+      // Keyed encoder throws on the first null-text doc and the restarted
+      // query replays the same offset forever (a poison pill, where batch
+      // parity calls for a silent skip)
+      .filter(col("sig").isNotNull)
       .select(col("doc_id"), col("sig"), col("ts"),
         posexplode(array(chunkCols: _*)).as(Seq("chunk", "value")))
       .as[Keyed]
@@ -103,7 +107,8 @@ object StreamingDedup {
               if (!entries.exists(_._1 == k.doc_id)) {
                 entries.foreach { case (pid, psig) =>
                   val ham = java.lang.Long.bitCount(psig ^ k.sig)
-                  if (ham <= maxHamming && firstSharedChunk(psig, k.sig) == k.chunk)
+                  if (ham <= maxHamming &&
+                    graft.operators.Dedup.firstSharedSimHashChunk(psig, k.sig) == k.chunk)
                     out += NearDupPair(math.min(pid, k.doc_id), math.max(pid, k.doc_id), ham)
                 }
                 entries = ((k.doc_id, k.sig) :: entries).take(maxBucket)

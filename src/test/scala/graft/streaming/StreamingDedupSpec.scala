@@ -54,6 +54,22 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a null-text doc is silently skipped like the batch twin, not a poison pill") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val pairs = StreamingDedup.nearDupPairs(input.toDS(), maxHamming = 2)
+    val q = pairs.writeStream
+      .format("memory").queryName("sdd_null").outputMode(OutputMode.Append()).start()
+    try {
+      // without the null-sig filter the non-nullable Keyed encoder threw
+      // here and the restarted query replayed the same offset forever
+      input.addData(Doc(1, textA, ts(0)), Doc(2, null, ts(0)), Doc(3, textA, ts(1)))
+      q.processAllAvailable()
+      val got = spark.table("sdd_null").as[NearDupPair].collect().toSet
+      assert(got == Set(NearDupPair(1, 3, 0)), s"null-text doc must drop out silently: $got")
+    } finally q.stop()
+  }
+
   test("streaming pairs match the batch operator on the same corpus") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
