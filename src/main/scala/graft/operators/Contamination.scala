@@ -266,9 +266,13 @@ object Contamination {
       .getConfString(BenchBroadcastMaxBytesKey, BenchBroadcastMaxBytesDefault.toString).toLong
     require(bench.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(max),
       s"semanticOverlapPairs force-broadcasts the benchmark side, and this bench's " +
-        s"optimizer estimate exceeds $BenchBroadcastMaxBytesKey ($max bytes); for a " +
-        "benchmark too big to broadcast, pre-bucket both sides with " +
-        "Similarity.lshTopK's sign-random-projection tables and confirm within buckets")
+        s"optimizer SIZE ESTIMATE (${bench.queryExecution.optimizedPlan.stats.sizeInBytes} " +
+        s"bytes) exceeds $BenchBroadcastMaxBytesKey ($max bytes). The estimate is a coarse " +
+        "upper bound that inflates through upstream joins/filters — if the bench is " +
+        "genuinely small, materialize it first (cache + count, or write/re-read) so the " +
+        s"stats tighten, or raise $BenchBroadcastMaxBytesKey. For a benchmark genuinely " +
+        "too big to broadcast, pre-bucket both sides with Similarity.lshTopK's " +
+        "sign-random-projection tables and confirm within buckets")
     train.select(trainId.as("train_id"), trainEmb.as("__t_emb"))
       .crossJoin(broadcast(bench.select(benchId.as("bench_id"), benchEmb.as("__b_emb"))))
       .withColumn("score", Similarity.quantizedDot(col("__b_emb"), col("__t_emb")))

@@ -144,15 +144,23 @@ private[operators] object Prefix {
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = totals.select(col("__pfx_tpid"), col("__pfx_tg"),
         sum(col("__pfx_tw")).over(wOff).as("__pfx_off"))
-      // no forced broadcast() hint: the offsets table is ~(#groups +
-      // #slices) rows — tiny for the usual handful of groups, where AQE's
-      // runtime-exact stage size converts the join to a broadcast anyway
-      // (the plan pin collects first and still sees BroadcastHashJoin) —
-      // but a high-cardinality group key (millions of distinct groups)
-      // would force-collect a multi-GB table onto the driver and every
-      // executor; AQE instead degrades that case to a shuffled join,
-      // slow-but-alive where the hint was a driver OOM
-      local.join(offsets,
+      // broadcast-hint policy is AQE-conditional. The offsets table is
+      // ~(#groups + #slices) rows — tiny for the usual handful of groups
+      // — but a high-cardinality group key (millions of distinct groups)
+      // makes it multi-GB, where a FORCED broadcast() hint (which
+      // bypasses every size threshold) is a driver OOM. With AQE enabled
+      // we therefore omit the hint: AQE's runtime-exact stage size
+      // converts the tiny case to a broadcast anyway (the plan pin
+      // collects first and still sees BroadcastHashJoin) and degrades
+      // the huge case to a shuffled join, slow-but-alive. With AQE
+      // DISABLED nothing performs that conversion and the tiny offsets
+      // table would drive a corpus-scale sort-merge shuffle of `local`
+      // — so there we restore the hint and accept the (session-owner's)
+      // cardinality responsibility, keeping non-AQE sessions fast.
+      val offsetsHinted =
+        if (spark.sessionState.conf.adaptiveExecutionEnabled) offsets
+        else broadcast(offsets)
+      local.join(offsetsHinted,
           col("__pfx_pid") === col("__pfx_tpid") && (group <=> col("__pfx_tg")))
         .withColumn(out, (col("__pfx_cum") + coalesce(col("__pfx_off"), lit(0))).cast(sumType))
         .drop(Helpers: _*)

@@ -120,8 +120,16 @@ object Sampling {
     // prevent. The cluster map is aggregated per id (slim — pair-endpoint
     // sized) and a conflicting assignment fails the job at run time;
     // exact duplicate (id, comp) rows collapse harmlessly.
+    // ignoreNulls on BOTH aggregates: countDistinct already skips NULLs,
+    // so a map holding (id, NULL) next to (id, comp) passes the conflict
+    // guard with __lfs_nc=1 — and first() with ignoreNulls=false would
+    // then return NULL or comp depending on partition order, flipping the
+    // row's split key between the id-fallback and the real component
+    // across runs. With ignoreNulls=true the pick is the real component
+    // whenever one exists, and a NULL-only id deterministically falls
+    // back to its own id (singleton cluster) — NULL means "no cluster".
     val c = c0.groupBy(col("__lfs_id"))
-      .agg(first(col("__lfs_comp")).as("__lfs_comp"),
+      .agg(first(col("__lfs_comp"), ignoreNulls = true).as("__lfs_comp"),
         countDistinct(col("__lfs_comp")).as("__lfs_nc"))
     val compType = c.schema("__lfs_comp").dataType
     // the singleton-cluster fallback is id.cast(compType); a lossy or

@@ -339,6 +339,31 @@ object PipelineQueries {
     // only the threshold differs, by construction.
     "q76_dup_components_dist" -> ((s, d) => dupComponents(s, d, 0L)),
 
+    // q78: the contraction's partitioner-aware min-label stitch LOOP,
+    // forced at oracle scale. q76 cannot reach it: the toy dup graph's
+    // components are single pairs, each contracted inside its own
+    // partition, so the stitched root graph has ZERO edges and the loop
+    // trivially skips — the loop's arithmetic was only ever spec-tested.
+    // This query builds a graph the loop MUST solve: map-side chain
+    // edges (doc_id → doc_id−1 within blocks of 50), hash-repartitioned
+    // on src so every chain straddles many partitions — level 1's
+    // per-partition union-find then yields multiple roots per chain and
+    // the stitched root graph is itself chain-shaped, exactly the
+    // worst-case diameter the RDD min-label loop exists for. threshold 0
+    // forces the distributed gate at BOTH levels. The oracle is closed
+    // form (component min = the block floor), so DuckDB hash-checks the
+    // loop's labels exactly at every SF.
+    "q78_chain_components_dist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs
+        .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - 1L).as("dst"))
+        .repartition(32, col("src"))
+      Components.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges, localEdgeThreshold = 0L)
+        .select(col("id").as("doc_id"), col("component_id"))
+    }),
+
     // sequence packing: concatenation-order context-window assignment per
     // source shard — running token sum div capacity; shards pack in
     // parallel (see Packing scaladoc for why the shard key matters at scale)
@@ -841,6 +866,13 @@ object PipelineQueries {
     m += "q32_dup_components" -> q32Sql
     // q76: the distributed contraction path must be EXACT — same oracle
     m += "q76_dup_components_dist" -> q32Sql
+
+    // q78: block-chain graph (doc_id → doc_id−1 within blocks of 50), so
+    // the component min is the block floor in closed form — no recursive
+    // CTE needed, and the stitch loop's labels hash-check exactly
+    m += "q78_chain_components_dist" ->
+      """SELECT doc_id, doc_id - doc_id % 50 AS component_id
+        |FROM documents""".stripMargin
 
     // q32's component closure + q48's hash-bucket assignment, keyed on the
     // cluster representative instead of the row id — the oracle replays the

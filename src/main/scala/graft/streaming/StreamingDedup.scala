@@ -54,6 +54,52 @@ object StreamingDedup {
 
   final case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
+  /** Streaming twin of [[graft.operators.Dedup.exactDeduplicate]]: keep
+    * exactly one document per content hash (the same engine-neutral
+    * `md5(text)` key as every batch exact-dedup spelling) on an ingest
+    * stream, with bounded state.
+    *
+    * Relation to the batch operator's gated apply shapes (semi /
+    * drop-list anti): a stream needs NEITHER. Both batch spellings exist
+    * to ship a globally-computed keep decision back onto a corpus-sized
+    * table without shuffling its text; on a stream the decision IS the
+    * state lookup — `dropDuplicatesWithinWatermark` holds (hash →
+    * seen) exactly as long as the watermark horizon, so each arriving
+    * duplicate is dropped at its own state probe and nothing is ever
+    * materialized or joined back. The drop-list materializes the
+    * decision for a later join; the stream applies it in place — the
+    * hash-keyed state is the drop-list, streamed.
+    *
+    * Two documented deltas from batch, both intrinsic to bounded state:
+    *  - SURVIVOR IDENTITY: batch keeps the global min id per group; a
+    *    stream cannot know it and keeps the FIRST ARRIVAL within the
+    *    horizon. When ingest order is id-monotonic (a crawl increment's
+    *    natural order — the spec's replay pins this case) the keep sets
+    *    are identical; in general the streaming pick is still exactly
+    *    one survivor per group, just arrival-ordered.
+    *  - HORIZON: a duplicate arriving later than `watermarkDelay` past
+    *    its twin's event time re-admits (its state has been reclaimed) —
+    *    the price of state bounded at O(docs per horizon), the same
+    *    trade [[graft.streaming.EventStreams.dedupEvents]] documents.
+    *    The periodic batch pass over the landed corpus subsumes these.
+    *
+    * Redelivery (at-least-once sources): a replayed doc hashes onto its
+    * own state entry and is dropped — within the horizon the output is
+    * exactly-once per content hash with NO extra machinery. */
+  def exactDeduplicate(
+      docs: org.apache.spark.sql.DataFrame,
+      text: org.apache.spark.sql.Column,
+      watermarkDelay: String,
+      tsCol: String = "ts"): org.apache.spark.sql.DataFrame = {
+    require(!docs.columns.contains("__content_hash"),
+      "exactDeduplicate adds an internal __content_hash column; rename the input's")
+    docs
+      .withColumn("__content_hash", md5(text))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
+  }
+
   /** One doc fanned out to one band bucket (public: encoder codegen). */
   final case class Keyed(doc_id: Long, sig: Long, ts: Timestamp, chunk: Int, value: Long)
 

@@ -51,6 +51,17 @@ object AnnRecallBench {
     val ivf = recallOf(Similarity.ivfTopK(
       queries, emb, k = 5, nlist = 16, nprobe = 4,
       Similarity.quantizedDot, maxIter = 3))
+    // recall-vs-nprobe curve (r11): the published basis for q37's
+    // registered nprobe — one point per probe width at the registered
+    // nlist/maxIter, so a user picking the recall/cost trade has the
+    // curve, not a single sample. nprobe=nlist probes every cell and
+    // must read 1.000 (the sweep's self-check).
+    val curve = Seq(2, 4, 6, 8, 12, 16).map { np =>
+      np -> recallOf(Similarity.ivfTopK(
+        queries, emb, k = 5, nlist = 16, nprobe = np,
+        Similarity.quantizedDot, maxIter = 3))
+    }
+    val curveJson = curve.map { case (np, r) => f""""$np":$r%.3f""" }.mkString("{", ",", "}")
     val int8 = recallOf(Similarity.lshTopKInt8(
       queries, emb, k = 5, planes = 6, probeBits = 2, tables = 8))
 
@@ -82,7 +93,7 @@ object AnnRecallBench {
     val violations = sem.groupBy(_._2).valuesIterator
       .map(rows => rows.map(r => find(r._1)).distinct.length - 1).sum
 
-    println(f"""{"metric":"ann_recall","sf_dir":"$sfDir","n_vectors":${emb.count()},"n_queries":${queries.count()},"k":5,"exact_pairs":${exact.size},"recall_at_5":{"q27_lsh":$lsh%.3f,"q37_ivf":$ivf%.3f,"q52_int8":$int8%.3f},"semdedup":{"exact_tau_pairs":${exactPairs.size},"recall":$semRecall%.3f,"soundness_violations":$violations}}""")
+    println(f"""{"metric":"ann_recall","sf_dir":"$sfDir","n_vectors":${emb.count()},"n_queries":${queries.count()},"k":5,"exact_pairs":${exact.size},"recall_at_5":{"q27_lsh":$lsh%.3f,"q37_ivf":$ivf%.3f,"q52_int8":$int8%.3f},"ivf_recall_vs_nprobe":$curveJson,"semdedup":{"exact_tau_pairs":${exactPairs.size},"recall":$semRecall%.3f,"soundness_violations":$violations}}""")
     spark.stop()
   }
 }

@@ -33,6 +33,7 @@ object ComponentsBench {
     val chainLen = args.drop(2).headOption.map(_.toInt).getOrElse(100)
     require(chainLen >= 2, s"chainLen=$chainLen: a chain needs at least one edge")
 
+    println(IoProbe.row("pre", "/tmp/graft_cc_scratch"))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "64")
@@ -113,6 +114,7 @@ object ComponentsBench {
     }
     val legsJson = best.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"components_bench","edges":$actualEdges,"chain_len":$chainLen,"best_sec":$legsJson}""")
+    println(IoProbe.row("post", "/tmp/graft_cc_scratch"))
     spark.stop()
   }
 }

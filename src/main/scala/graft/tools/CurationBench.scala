@@ -199,6 +199,7 @@ object CurationBench {
     val n = num.headOption.map(_.toLong).getOrElse(10000000L)
     val runs = num.drop(1).headOption.map(_.toInt).getOrElse(2)
     val root = "/tmp/graft_curation_bench"
+    println(IoProbe.row("pre", root))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "64")
@@ -396,6 +397,7 @@ object CurationBench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"curation_stages","n_docs":$n,"runs":$runs,"skew":$skew,"bpe":$bpe,"stages":$stagesJson}""")
     println(f"""{"metric":"curation_total","n_docs":$n,"skew":$skew,"bpe":$bpe,"sec":$total%.2f,"docs_per_sec":${n / total}%.0f,"final_rows":${rowsOut.last._2}}""")
+    println(IoProbe.row("post", root))
     fs.delete(new Path(root), true)
     spark.stop()
   }

@@ -36,6 +36,7 @@ object ExactDedupBench {
     val runs = args.drop(1).headOption.map(_.toInt).getOrElse(2)
 
     val root = "/tmp/graft_exactdedup_bench"
+    println(IoProbe.row("pre", root))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "64")
@@ -99,6 +100,7 @@ object ExactDedupBench {
     }
     val legsJson = best.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"exact_dedup_bench","n_docs":$n,"runs":$runs,"best_sec":$legsJson}""")
+    println(IoProbe.row("post", root))
     fs.delete(new Path(s"$root/out"), true)
     spark.stop()
   }

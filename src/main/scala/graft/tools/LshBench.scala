@@ -47,6 +47,7 @@ object LshBench {
     val legs = if (legs0.isEmpty) Seq("pairs") else legs0.toSeq
 
     val root = "/tmp/graft_lsh_bench"
+    println(IoProbe.row("pre", root))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "64")
@@ -92,10 +93,16 @@ object LshBench {
       val out = leg match {
         case "pairs" =>
           Dedup.minhashNearDupPairs(corpus, $"doc_id", $"text", 3, 8, 4, 800)
+        case "pairs_join" | "pairs_collect" =>
+          // force one bucketedPairs strategy (r11 A/B: window+join vs
+          // the single-aggregate collect shape) for this leg only
+          spark.conf.set(Dedup.LshPairStrategyKey, leg.stripPrefix("pairs_"))
+          try Dedup.minhashNearDupPairs(corpus, $"doc_id", $"text", 3, 8, 4, 800)
+          finally spark.conf.unset(Dedup.LshPairStrategyKey)
         case "sig" =>
           Dedup.minhashSignatures(corpus, $"doc_id", $"text", 3, 8)
         case other => throw new IllegalArgumentException(
-          s"unknown leg '$other' (pairs | sig)")
+          s"unknown leg '$other' (pairs | pairs_join | pairs_collect | sig)")
       }
       out.write.parquet(s"$root/out")
       val sec = (System.nanoTime() - t0) / 1e9
@@ -107,6 +114,7 @@ object LshBench {
     }
     val legsJson = best.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"lsh_bench","n_docs":$n,"runs":$runs,"best_sec":$legsJson}""")
+    println(IoProbe.row("post", root))
     fs.delete(new Path(s"$root/out"), true)
     spark.stop()
   }

@@ -45,6 +45,7 @@ object SpanBench {
     val legs = if (legs0.isEmpty) Seq("shared", "perTask") else legs0.toSeq
 
     val root = "/tmp/graft_span_bench"
+    println(IoProbe.row("pre", root))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "64")
@@ -137,6 +138,7 @@ object SpanBench {
     }
     val legsJson = best.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"span_bench","n_docs":$n,"runs":$runs,"best_sec":$legsJson}""")
+    println(IoProbe.row("post", root))
     fs.delete(new Path(s"$root/spans"), true)
     spark.stop()
   }

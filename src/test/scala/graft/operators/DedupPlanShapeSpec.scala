@@ -57,23 +57,41 @@ class DedupPlanShapeSpec extends SparkSpec {
     try body finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
-  test("LSH near-dup pairs (capping off): slim band exchange, no bucket window") {
+  private def withPairStrategy[A](s: String)(body: => A): A = {
+    spark.conf.set(Dedup.LshPairStrategyKey, s)
+    try body finally spark.conf.unset(Dedup.LshPairStrategyKey)
+  }
+
+  test("LSH near-dup pairs (collect strategy, the default): one grouped bucket " +
+    "aggregate — no window, no band self-join, band exchange still slim") {
     withNoAutoBroadcast {
-    val pairs = Dedup.minhashNearDupPairs(
-      docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4, minJaccardPermille = 200,
-      maxBucketSize = Int.MaxValue)
-    val plan = pairs.queryExecution.executedPlan.toString
-    assertSlimBandExchange(plan)
-    assert(!plan.contains("Window"),
-      s"uncapped mode must not pay the bucket-count window:\n$plan")
-    // band + pair-dedup agg + candidate-id distinct + two verify joins
-    // (candidate side + the reused candidate-shingle exchange)
-    assert(nDistinctExchanges(pairs) <= 6, s"LSH pair plan grew extra shuffles:\n$plan")
+    for (cap <- Seq(10000, Int.MaxValue)) {
+      val pairs = Dedup.minhashNearDupPairs(
+        docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4, minJaccardPermille = 200,
+        maxBucketSize = cap)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assertSlimBandExchange(plan)
+      // the cap is a size filter on the collected bucket row — neither
+      // cap mode pays a window sort or a self-join build/probe
+      assert(!plan.contains("Window"),
+        s"collect strategy must not pay the bucket-count window (cap=$cap):\n$plan")
+      assert(!"ShuffledHashJoin \\[a?band".r.findFirstIn(plan).isDefined,
+        s"collect strategy must not self-join the band exchange (cap=$cap):\n$plan")
+      // collect_list on the high-cardinality bucket key goes through the
+      // object aggregate (sort-fallback bounded per partition)
+      assert(plan.contains("ObjectHashAggregate"),
+        s"bucket collect aggregate missing (cap=$cap):\n$plan")
+      // band + pair-dedup agg + candidate-id distinct + two verify joins
+      // (candidate side + the reused candidate-shingle exchange)
+      assert(nDistinctExchanges(pairs) <= 6,
+        s"LSH pair plan grew extra shuffles (cap=$cap):\n$plan")
+    }
     }
   }
 
-  test("capped LSH near-dup pairs: slim band exchange, bucket-count window on slim rows") {
-    withNoAutoBroadcast {
+  test("capped LSH near-dup pairs (join strategy): slim band exchange, " +
+    "bucket-count window on slim rows, exchanges reused") {
+    withNoAutoBroadcast { withPairStrategy("join") {
     val pairs = Dedup.minhashNearDupPairs(
       docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4, minJaccardPermille = 200)
     val plan = pairs.queryExecution.executedPlan.toString
@@ -96,7 +114,7 @@ class DedupPlanShapeSpec extends SparkSpec {
     val finalPlan = pairs.queryExecution.executedPlan.toString
     assert(finalPlan.contains("Reused"),
       s"shared exchanges must be reused across join sides:\n$finalPlan")
-    }
+    } }
   }
 
   test("simhash near-dup pairs keep the single-exchange shape") {

@@ -188,6 +188,34 @@ class DedupSpec extends SparkSpec {
     assert(all.count() == 28)
   }
 
+  test("LSH pair strategies collect ≡ join: identical pairs, capped and uncapped") {
+    // mixed fixture: a >cap boilerplate cluster (docs 1-6), a private pair
+    // that ALSO grazes the hot band-0 bucket (7/8 — the band-survival
+    // contract), and a genuine small pair (9/10); both strategies must
+    // emit the same set under the same cap, and under no cap
+    val sig = ((1 to 6).map(i => (i.toLong, 100L, 10L + i, 20L + i, 30L + i)) ++ Seq(
+      (7L, 100L, 7L, 77L, 777L),
+      (8L, 100L, 8L, 88L, 777L),
+      (9L, 900L, 9L, 99L, 999L),
+      (10L, 900L, 9L, 91L, 991L)))
+      .toDF("doc", "mh_0", "mh_1", "mh_2", "mh_3")
+    def run(strategy: String, cap: Int): Set[(Long, Long)] = {
+      spark.conf.set(Dedup.LshPairStrategyKey, strategy)
+      try Dedup.lshCandidates(sig, k = 4, bands = 4, maxBucketSize = cap)
+        .as[(Long, Long)].collect().toSet
+      finally spark.conf.unset(Dedup.LshPairStrategyKey)
+    }
+    for (cap <- Seq(5, Int.MaxValue)) {
+      val c = run("collect", cap)
+      val j = run("join", cap)
+      assert(c == j, s"cap=$cap: collect $c != join $j")
+    }
+    assert(run("collect", 5) == Set((7L, 8L), (9L, 10L)))
+    intercept[IllegalArgumentException] {
+      run("bogus", 5)
+    }
+  }
+
   test("simhash: identical docs hamming 0; banded pairs = brute force at hamming<=2") {
     val docs = Seq(
       (1, "alpha beta gamma delta"),

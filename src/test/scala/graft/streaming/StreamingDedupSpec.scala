@@ -54,6 +54,38 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exactDeduplicate ≡ batch on a replayed id-monotonic stream; redelivery exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    // duplicate groups: {1,2,4} share textA, {3,6} share textC, 5 unique
+    val docs = Seq(
+      Doc(1, textA, ts(0)), Doc(2, textA, ts(1)), Doc(3, textC, ts(1)),
+      Doc(4, textA, ts(2)), Doc(5, textB, ts(2)), Doc(6, textC, ts(3)))
+    def run(batches: Seq[Seq[Doc]], name: String): Set[Long] = {
+      val input = MemoryStream[Doc]
+      val out = StreamingDedup.exactDeduplicate(input.toDF(), col("text"), "10 minutes")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).select("doc_id").as[Long].collect().toSet
+      } finally q.stop()
+    }
+    val batch = Dedup.exactDeduplicate(
+        docs.toDF(), col("text"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == Set(1L, 3L, 5L))
+    // id-monotonic ingest (the crawl-increment order the scaladoc pins):
+    // first arrival per hash == min id per hash == the batch keep set —
+    // across two different micro-batchings of the SAME stream
+    assert(run(Seq(docs), "sed_one") == batch)
+    assert(run(docs.grouped(2).toSeq, "sed_many") == batch)
+    // at-least-once redelivery: a replayed doc (including the KEPT one)
+    // hashes onto its own state entry and is dropped — output stays
+    // exactly-once per content hash
+    val replayed = run(Seq(docs, Seq(docs.head), Seq(docs(3))), "sed_replay")
+    assert(replayed == batch)
+  }
+
   test("a null-text doc is silently skipped like the batch twin, not a poison pill") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
