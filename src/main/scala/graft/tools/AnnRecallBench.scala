@@ -49,7 +49,7 @@ object AnnRecallBench {
       queries, emb, k = 5, planes = 6, Similarity.quantizedDot,
       probeBits = 2, tables = 8))
     val ivf = recallOf(Similarity.ivfTopK(
-      queries, emb, k = 5, nlist = 16, nprobe = 4,
+      queries, emb, k = 5, nlist = 16, nprobe = 8,
       Similarity.quantizedDot, maxIter = 3))
     // recall-vs-nprobe curve (r11): the published basis for q37's
     // registered nprobe — one point per probe width at the registered
