@@ -357,7 +357,12 @@ object PipelineQueries {
     // worst-case diameter the RDD min-label loop exists for. threshold 0
     // forces the distributed gate at BOTH levels. The oracle is closed
     // form (component min = the block floor), so DuckDB hash-checks the
-    // loop's labels exactly at every SF.
+    // loop's labels exactly at every SF. Toy cost (~3.5 s at sf0.1, the
+    // suite's most expensive query) is FIXED stitch-round overhead: the
+    // ~30-fragment root chains take ~4 fused label rounds, each a
+    // scheduler round-trip over a few-hundred-edge graph — the same
+    // documented price q75/q76 pay for oracling an at-scale plan path,
+    // amortized to noise on a real >10M-edge graph (ComponentsBench).
     "q78_chain_components_dist" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val edges = docs

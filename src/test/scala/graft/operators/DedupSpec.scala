@@ -216,6 +216,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("LSH pair strategies collect ≡ join: property over random signature tables and caps") {
+    // small value domain forces heavy bucket collisions (including
+    // over-cap buckets and multi-band shared pairs); both strategies
+    // must agree on every drawn table under every drawn cap
+    val gen = for {
+      nDocs <- Gen.choose(2, 30)
+      cap <- Gen.oneOf(2, 3, 5, Int.MaxValue)
+      rows <- Gen.listOfN(nDocs, Gen.listOfN(4, Gen.choose(0L, 3L)))
+    } yield (rows.zipWithIndex.map { case (mh, i) =>
+      (i.toLong, mh(0), mh(1), mh(2), mh(3)) }, cap)
+    val prop = Prop.forAll(gen) { case (rows, cap) =>
+      val sig = rows.toDF("doc", "mh_0", "mh_1", "mh_2", "mh_3")
+      def run(strategy: String): Set[(Long, Long)] = {
+        spark.conf.set(Dedup.LshPairStrategyKey, strategy)
+        try Dedup.lshCandidates(sig, k = 4, bands = 4, maxBucketSize = cap)
+          .as[(Long, Long)].collect().toSet
+        finally spark.conf.unset(Dedup.LshPairStrategyKey)
+      }
+      run("collect") == run("join")
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(30))
+    assert(res.passed, res.status.toString)
+  }
+
   test("simhash: identical docs hamming 0; banded pairs = brute force at hamming<=2") {
     val docs = Seq(
       (1, "alpha beta gamma delta"),
