@@ -215,6 +215,29 @@ class SamplingSpec extends SparkSpec {
     assert(ok.count() == 2, "duplicate identical map rows must not multiply the corpus")
   }
 
+  test("leakFreeSplit: a (id, NULL) row beside (id, comp) resolves to comp, deterministically") {
+    // countDistinct skips NULLs, so this map passes the conflict guard
+    // with one distinct component — and first() with ignoreNulls=false
+    // returned NULL or comp depending on partition order, flipping the
+    // row's split key between the id-fallback and the real component
+    // across runs. ignoreNulls=true pins the real component.
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val withNull = Seq((1L, Some(10L)), (1L, None), (3L, None))
+      .toDF("id", "component_id")
+    val expected = (1 to 6).map { rep =>
+      // vary the map's physical row order/partitioning — the aggregation
+      // pick must not care
+      val shuffled = withNull.repartition(rep)
+      Sampling.leakFreeSplit(df, col("doc_id"), shuffled,
+        Seq("train" -> 500, "test" -> 500))
+        .select("doc_id", "component_id").as[(Long, Long)].collect().toSet
+    }
+    assert(expected.toSet.size == 1, s"nondeterministic across layouts: $expected")
+    // doc 1 keys by its real component; doc 3's NULL-only entry means
+    // "no cluster" and falls back to its own id, like an absent row
+    assert(expected.head == Set((1L, 10L), (2L, 2L), (3L, 3L)))
+  }
+
   test("epochUpsample: integer epochs replicate, weight 0 drops, 1000 passes through") {
     // scattered keys: the polynomial hash maps CONSECUTIVE keys to
     // consecutive buckets (a 50-id run can sit entirely below the
