@@ -126,16 +126,36 @@ object Bpe {
 
   /** ONE distributed pass: the (word, count) histogram of `text`'s
     * whitespace tokens, top `maxWords` by count (ties by word — the
-    * deterministic head every rerun reproduces). */
+    * deterministic head every rerun reproduces).
+    *
+    * Scale note (found by the r11 30M step-up, 9.7 → 92.9 s at 3×):
+    * the global sort+limit plans as per-partition top-K merged on the
+    * driver, and once the corpus's distinct-word count passes
+    * partitions × maxWords every partition ships its FULL maxWords head
+    * — the singleton tail (which dominates a growing vocabulary) rides
+    * the sort and the driver merge for nothing. The fix is an EXACT
+    * pre-filter: if at least maxWords words occur ≥ 2 times, every
+    * count-1 word is provably outside the top-maxWords cut (the order
+    * is count desc first), so the sort runs over the multi-occurrence
+    * words only. The probe costs one count over the slim (word, count)
+    * aggregate, persisted across its two consumers — never the corpus. */
   def wordHistogram(df: DataFrame, text: Column, maxWords: Int): Array[(String, Long)] = {
     require(maxWords > 0, s"maxWords must be positive, got $maxWords")
-    df.select(explode(split(text, "\\s+")).as("w"))
+    val counts = df.select(explode(split(text, "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w").asc)
-      .limit(maxWords)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val multi = counts.filter(col("c") >= 2)
+      val base = if (multi.count() >= maxWords) multi else counts
+      base.orderBy(col("c").desc, col("w").asc)
+        .limit(maxWords)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    } finally {
+      counts.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Train `numMerges` merges on `df`'s text. See the object doc for the

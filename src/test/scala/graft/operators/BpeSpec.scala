@@ -101,4 +101,21 @@ class BpeSpec extends SparkSpec {
     assert(hist.length == 3)
     assert(hist.map(_._1).toSeq == Seq("common", "rare0", "rare1")) // count desc, word asc
   }
+
+  test("singleton pre-filter is exact on both sides of its threshold") {
+    // ≥ maxWords multi-occurrence words: the filtered branch fires and no
+    // singleton can reach the head (count desc outranks them all)
+    val manyMulti = (Seq.fill(2)(Seq.tabulate(5)(i => s"multi$i").mkString(" ")) ++
+      Seq.tabulate(20)(i => s"single$i")).toDF("text")
+    val h1 = Bpe.wordHistogram(manyMulti, col("text"), maxWords = 4)
+    assert(h1.toSeq == (0 until 4).map(i => (s"multi$i", 2L)),
+      s"filtered branch must equal the naive head, got ${h1.toSeq}")
+    // < maxWords multi words: the unfiltered branch fires and singletons
+    // legitimately fill the head's tail (ties by word asc)
+    val fewMulti = (Seq.fill(2)(Seq("alpha").mkString(" ")) ++
+      Seq("s1", "s0")).toDF("text")
+    val h2 = Bpe.wordHistogram(fewMulti, col("text"), maxWords = 3)
+    assert(h2.toSeq == Seq(("alpha", 2L), ("s0", 1L), ("s1", 1L)),
+      s"unfiltered branch must keep singletons in the head, got ${h2.toSeq}")
+  }
 }
