@@ -106,8 +106,17 @@ object LshBench {
           finally spark.conf.unset(Dedup.LshPairStrategyKey)
         case "sig" =>
           Dedup.minhashSignatures(corpus, $"doc_id", $"text", 3, 8)
+        case "jaccard_join" | "jaccard_collect" =>
+          // the EXACT inverted-index operator under the same A/B: df cap
+          // 100 (the corpus-scale hot-shingle setting — boilerplate
+          // shingles prune; posting pair mass stays bounded at df²/2)
+          spark.conf.set(Dedup.JaccardPairStrategyKey, leg.stripPrefix("jaccard_"))
+          try Dedup.jaccardPairs(corpus, $"doc_id", $"text", n = 3,
+            minJaccardPermille = 800, maxShingleFreq = 100L)
+          finally spark.conf.unset(Dedup.JaccardPairStrategyKey)
         case other => throw new IllegalArgumentException(
-          s"unknown leg '$other' (pairs | pairs_join | pairs_collect | sig)")
+          s"unknown leg '$other' (pairs | pairs_join | pairs_collect | sig | " +
+            "jaccard_join | jaccard_collect)")
       }
       out.write.parquet(s"$root/out")
       val sec = (System.nanoTime() - t0) / 1e9

@@ -216,6 +216,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccard pair strategies collect ≡ join: property over random corpora and df caps") {
+    // tiny vocabulary forces heavy shingle sharing, including over-cap
+    // shingles; both strategies must agree on pairs AND the exact
+    // jaccard_permille values under every drawn cap
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val gen = for {
+      nDocs <- Gen.choose(2, 12)
+      cap <- Gen.oneOf(2L, 3L, 1000000L)
+      tau <- Gen.oneOf(1, 300, 700)
+      docs <- Gen.listOfN(nDocs, Gen.listOfN(6, word).map(_.mkString(" ")))
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, cap, tau)
+    val prop = Prop.forAll(gen) { case (rows, cap, tau) =>
+      val df = rows.toDF("doc_id", "text")
+      def run(strategy: String): Set[(Long, Long, Long)] = {
+        spark.conf.set(Dedup.JaccardPairStrategyKey, strategy)
+        try Dedup.jaccardPairs(df, col("doc_id"), col("text"), n = 3,
+            minJaccardPermille = tau, maxShingleFreq = cap)
+          .select("a_id", "b_id", "jaccard_permille")
+          .as[(Long, Long, Long)].collect().toSet
+        finally spark.conf.unset(Dedup.JaccardPairStrategyKey)
+      }
+      run("collect") == run("join")
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(25))
+    assert(res.passed, res.status.toString)
+  }
+
   test("LSH pair strategies collect ≡ join: property over random signature tables and caps") {
     // small value domain forces heavy bucket collisions (including
     // over-cap buckets and multi-band shared pairs); both strategies
