@@ -45,12 +45,14 @@ object AnnRecallBench {
     def recallOf(df: DataFrame): Double =
       exact.intersect(pairSet(df)).size.toDouble / exact.size
 
+    // ALL numeric fields format under Locale.ROOT: the f-interpolator is
+    // locale-sensitive and a comma-decimal default locale would corrupt
+    // the one-line-JSON contract (same hazard JobBreakdown escapes)
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val lsh = recallOf(Similarity.lshTopK(
       queries, emb, k = 5, planes = 6, Similarity.quantizedDot,
       probeBits = 2, tables = 8))
-    val ivf = recallOf(Similarity.ivfTopK(
-      queries, emb, k = 5, nlist = 16, nprobe = 8,
-      Similarity.quantizedDot, maxIter = 3))
     // recall-vs-nprobe curve (r11): the published basis for q37's
     // registered nprobe — one point per probe width at the registered
     // nlist/maxIter, so a user picking the recall/cost trade has the
@@ -61,7 +63,10 @@ object AnnRecallBench {
         queries, emb, k = 5, nlist = 16, nprobe = np,
         Similarity.quantizedDot, maxIter = 3))
     }
-    val curveJson = curve.map { case (np, r) => f""""$np":$r%.3f""" }.mkString("{", ",", "}")
+    // q37's registered config (nprobe=8) is a point ON the curve — read
+    // it off rather than paying a duplicate full IVF pass
+    val ivf = curve.toMap.apply(8)
+    val curveJson = curve.map { case (np, r) => s""""$np":${f3(r)}""" }.mkString("{", ",", "}")
     val int8 = recallOf(Similarity.lshTopKInt8(
       queries, emb, k = 5, planes = 6, probeBits = 2, tables = 8))
 
@@ -93,7 +98,7 @@ object AnnRecallBench {
     val violations = sem.groupBy(_._2).valuesIterator
       .map(rows => rows.map(r => find(r._1)).distinct.length - 1).sum
 
-    println(f"""{"metric":"ann_recall","sf_dir":"$sfDir","n_vectors":${emb.count()},"n_queries":${queries.count()},"k":5,"exact_pairs":${exact.size},"recall_at_5":{"q27_lsh":$lsh%.3f,"q37_ivf":$ivf%.3f,"q52_int8":$int8%.3f},"ivf_recall_vs_nprobe":$curveJson,"semdedup":{"exact_tau_pairs":${exactPairs.size},"recall":$semRecall%.3f,"soundness_violations":$violations}}""")
+    println(s"""{"metric":"ann_recall","sf_dir":"$sfDir","n_vectors":${emb.count()},"n_queries":${queries.count()},"k":5,"exact_pairs":${exact.size},"recall_at_5":{"q27_lsh":${f3(lsh)},"q37_ivf":${f3(ivf)},"q52_int8":${f3(int8)}},"ivf_recall_vs_nprobe":$curveJson,"semdedup":{"exact_tau_pairs":${exactPairs.size},"recall":${f3(semRecall)},"soundness_violations":$violations}}""")
     spark.stop()
   }
 }

@@ -41,11 +41,7 @@ object ComponentsBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the operators' own sizing/decision lines (sketch load factor,
-    // stitch-edge counts) are INFO — keep them visible under the WARN
-    // root so a bench log carries the numbers its walls depend on
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "graft", org.apache.logging.log4j.Level.INFO)
+    BenchUtil.enableOperatorInfoLogs()
 
     val perChain = (chainLen - 1).toLong
     val nChains = nEdges / perChain

@@ -22,8 +22,11 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 object IoProbe {
 
   /** Write `totalMb` MiB to a scratch file under `dir`, fsync, delete.
-    * Returns throughput in MB/s. */
+    * Returns throughput in MB/s. The final chunk is trimmed to the
+    * remainder, so the reported rate divides by EXACTLY the bytes
+    * written for any `totalMb`. */
   def writeMbps(dir: String, totalMb: Int = 2048): Double = {
+    require(totalMb > 0, s"totalMb must be positive, got $totalMb")
     val parent = Paths.get(dir)
     Files.createDirectories(parent)
     val path = parent.resolve(s"__io_probe_${System.nanoTime()}.bin")
@@ -36,11 +39,13 @@ object IoProbe {
       StandardOpenOption.TRUNCATE_EXISTING)
     try {
       val t0 = System.nanoTime()
-      var written = 0
-      while (written < totalMb) {
-        buf.rewind()
+      var writtenMb = 0
+      while (writtenMb < totalMb) {
+        val mb = math.min(chunkMb, totalMb - writtenMb)
+        buf.clear()
+        buf.limit(mb * 1024 * 1024)
         while (buf.hasRemaining) ch.write(buf)
-        written += chunkMb
+        writtenMb += mb
       }
       ch.force(false)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -53,9 +58,11 @@ object IoProbe {
   }
 
   /** One standard JSON probe row: `when` is "pre" or "post" relative to
-    * the measurement it brackets. */
+    * the measurement it brackets. The dir is JSON-escaped — a path with
+    * a quote or backslash must not corrupt the one-line contract. */
   def row(when: String, dir: String, totalMb: Int = 2048): String = {
     val mbps = writeMbps(dir, totalMb)
-    f"""{"metric":"io_probe","when":"$when","dir":"$dir","mb_per_s":$mbps%.0f}"""
+    val rate = String.format(java.util.Locale.ROOT, "%.0f", Double.box(mbps))
+    s"""{"metric":"io_probe","when":"$when","dir":"${BenchUtil.jsonEscape(dir)}","mb_per_s":$rate}"""
   }
 }

@@ -27,12 +27,10 @@ object JobBreakdown {
         Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
           val sec = String.format(java.util.Locale.ROOT, "%.2f",
             Double.box((System.nanoTime() - t0) / 1e9))
-          // the site is a free-form stage callsite string — JSON-escape
-          // it (backslash first, then quote/control chars) or a site
-          // containing `"` corrupts the one-line-JSON bench contract
-          val escaped = site.takeWhile(_ != '\n')
-            .replace("\\", "\\\\").replace("\"", "\\\"")
-            .replace("\t", "\\t").replace("\r", "\\r")
+          // the site is a free-form stage callsite string — truncate to
+          // its first line and JSON-escape it (BenchUtil.jsonEscape) or a
+          // site containing `"` corrupts the one-line-JSON bench contract
+          val escaped = BenchUtil.jsonEscape(site.takeWhile(_ != '\n'))
           log.add(s"""{"job":${je.jobId},"sec":$sec,"site":"$escaped"}""")
         }
       }

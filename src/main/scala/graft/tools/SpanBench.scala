@@ -57,11 +57,7 @@ object SpanBench {
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the operators' own sizing/decision lines (sketch load factor,
-    // stitch-edge counts) are INFO — keep them visible under the WARN
-    // root so a bench log carries the numbers its walls depend on
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "graft", org.apache.logging.log4j.Level.INFO)
+    BenchUtil.enableOperatorInfoLogs()
     import spark.implicits._
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
 

@@ -216,6 +216,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccardPairs: a NULL-id row is dropped identically under both strategies") {
+    // struct(doc, sz) is never null even when doc is, so an unfiltered
+    // collect branch would keep a NULL doc inside the posting and emit
+    // (NULL, b) garbage pairs where the join branch's a < b predicate
+    // silently drops them — the up-front id filter pins both to the same
+    // (r10) behavior
+    val df = Seq((Some(1L), "x y z x y z"), (Some(2L), "x y z x y z"),
+      (None: Option[Long], "x y z x y z")).toDF("doc_id", "text")
+    for (strategy <- Seq("collect", "join")) {
+      spark.conf.set(Dedup.JaccardPairStrategyKey, strategy)
+      try {
+        val got = Dedup.jaccardPairs(df, col("doc_id"), col("text"), n = 3,
+          minJaccardPermille = 500)
+          .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+        assert(got == Set((1L, 2L)), s"$strategy: $got")
+      } finally spark.conf.unset(Dedup.JaccardPairStrategyKey)
+    }
+  }
+
   test("jaccard pair strategies collect ≡ join: property over random corpora and df caps") {
     // tiny vocabulary forces heavy shingle sharing, including over-cap
     // shingles; both strategies must agree on pairs AND the exact
