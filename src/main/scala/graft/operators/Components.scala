@@ -346,10 +346,22 @@ object Components {
         uf.count() // materialize before members' blocks go away
         Some(uf)
       } else {
+        // the stitch loop's partitioner is sized to the ROOT graph, not
+        // the corpus: the root graph is boundary-sized by construction
+        // (often orders of magnitude below the edge set), and reusing the
+        // corpus-wide `part` schedules rounds of mostly-empty tasks —
+        // measured as q78's dominant toy cost (fixed per-round scheduler
+        // overhead on a few-hundred-edge graph under 32 partitions), and
+        // the same waste shape on a 1000-executor cluster whose
+        // shuffle.partitions is in the thousands. ~100k symmetrized rows
+        // (~3 MB) per stitch partition; never more than `part` itself.
+        val rootPart = new org.apache.spark.HashPartitioner(
+          math.max(1L, math.min(part.numPartitions.toLong,
+            (2L * nRootEdges) / 100000L + 1L)).toInt)
         val symRoots = rootEdges
           .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-          .partitionBy(part).persist(MEMORY_AND_DISK)
-        val l = minLabelLoopRdd(symRoots, part, maxIter, reliableDir)
+          .partitionBy(rootPart).persist(MEMORY_AND_DISK)
+        val l = minLabelLoopRdd(symRoots, rootPart, maxIter, reliableDir)
         symRoots.unpersist(blocking = false) // l is truncated + materialized
         Some(l)
       }

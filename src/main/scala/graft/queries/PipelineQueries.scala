@@ -357,12 +357,17 @@ object PipelineQueries {
     // worst-case diameter the RDD min-label loop exists for. threshold 0
     // forces the distributed gate at BOTH levels. The oracle is closed
     // form (component min = the block floor), so DuckDB hash-checks the
-    // loop's labels exactly at every SF. Toy cost (~3.5 s at sf0.1, the
+    // loop's labels exactly at every SF. Toy cost (~2.5 s at sf0.1, the
     // suite's most expensive query) is FIXED stitch-round overhead: the
     // ~30-fragment root chains take ~4 fused label rounds, each a
     // scheduler round-trip over a few-hundred-edge graph — the same
     // documented price q75/q76 pay for oracling an at-scale plan path,
     // amortized to noise on a real >10M-edge graph (ComponentsBench).
+    // Measuring this cost paid for itself once already: it surfaced that
+    // the stitch loop reused the CORPUS-sized partitioner for the
+    // boundary-sized root graph (rounds of mostly-empty tasks — the same
+    // waste at cluster shuffle.partitions), fixed in Components by a
+    // root-graph-sized partitioner (3.50 → 2.51 s here, same-session).
     "q78_chain_components_dist" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val edges = docs
