@@ -134,6 +134,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "html_text(str) - structural (tokenizer) markup strip: quote-aware attrs, pre fidelity, numeric entities, alt/title text", 1) {
       args => graft.functions.HtmlText(args.head, attrText = true)
     }
+    // an AggregateFunction expression: the analyzer wraps it in an
+    // AggregateExpression when it appears under GROUP BY
+    register(ext, "bounded_sorted_collect",
+      "bounded_sorted_collect(expr, min_size, cap) - array_sort(collect_list(expr)) fused with the [min_size, cap] size filter; the cap bounds the aggregation buffer itself (over-cap groups -> NULL without materializing)", 3) {
+      args => graft.functions.BoundedSortedCollect(args.head,
+        foldableInt(args(1), "bounded_sorted_collect min_size"),
+        foldableInt(args(2), "bounded_sorted_collect cap"))
+    }
   }
 
   private def foldableStringSeq(e: Expression, what: String): Seq[String] = {

@@ -75,6 +75,17 @@ private[operators] object Prefix {
   val TwoPassMinBytesKey = "spark.graft.prefix.twoPassMinBytes"
   val TwoPassMinBytesDefault: Long = 128L * 1024 * 1024
 
+  /** Ceiling (bytes, MEASURED not estimated — see the non-AQE hint site)
+    * above which the two-pass branch's offsets table is NOT force-broadcast
+    * in non-AQE sessions and the offsets join degrades to a shuffled join
+    * instead. Guards the pathological high-cardinality group key (millions
+    * of distinct groups ⇒ multi-GB offsets table) from the forced
+    * `broadcast()` hint's driver/executor OOM — the hint bypasses every
+    * built-in size threshold. Default matches Spark's own
+    * autoBroadcastJoinThreshold default (10 MB). */
+  val OffsetsBroadcastMaxBytesKey = "spark.graft.prefix.offsetsBroadcastMaxBytes"
+  val OffsetsBroadcastMaxBytesDefault: Long = 10L * 1024 * 1024
+
   private def resolveOrFail(frame: DataFrame, cols: Seq[Column]): Unit =
     try frame.select(cols: _*).queryExecution.analyzed
     catch {
@@ -154,12 +165,28 @@ private[operators] object Prefix {
       // collects first and still sees BroadcastHashJoin) and degrades
       // the huge case to a shuffled join, slow-but-alive. With AQE
       // DISABLED nothing performs that conversion and the tiny offsets
-      // table would drive a corpus-scale sort-merge shuffle of `local`
-      // — so there we restore the hint and accept the (session-owner's)
-      // cardinality responsibility, keeping non-AQE sessions fast.
+      // table would drive a corpus-scale sort-merge shuffle of `local` —
+      // so there we restore the hint, but GATED on the offsets table's
+      // MEASURED size: plan-time estimates inflate through the window +
+      // aggregate chain (they read corpus-sized here even for 3 groups),
+      // so the gate counts the rows instead — one aggregate-only job over
+      // the ALREADY-materialized range shuffle (`base`'s map outputs are
+      // reused through the same RDD identity the two consumers below
+      // rely on; cost is a metadata-sized stage, paid only in non-AQE
+      // sessions). Tiny offsets keep the fast broadcast path; a
+      // pathological group key degrades to a shuffled join, slow-but-
+      // alive, matching the AQE branch's behavior instead of OOMing.
       val offsetsHinted =
         if (spark.sessionState.conf.adaptiveExecutionEnabled) offsets
-        else broadcast(offsets)
+        else {
+          val maxBytes = spark.sessionState.conf
+            .getConfString(OffsetsBroadcastMaxBytesKey, OffsetsBroadcastMaxBytesDefault.toString)
+            .toLong
+          // fixed-width fields dominate (pid, offset, group key); the
+          // +16 covers per-row object overhead in the broadcast relation
+          val rowBytes = offsets.schema.map(_.dataType.defaultSize).sum + 16L
+          if (totals.count() * rowBytes <= maxBytes) broadcast(offsets) else offsets
+        }
       local.join(offsetsHinted,
           col("__pfx_pid") === col("__pfx_tpid") && (group <=> col("__pfx_tg")))
         .withColumn(out, (col("__pfx_cum") + coalesce(col("__pfx_off"), lit(0))).cast(sumType))

@@ -216,6 +216,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("LSH: a NULL-id row is dropped identically under both strategies, cap included") {
+    // without the up-front id filter the strategies DIVERGE on bucket
+    // SIZE: the join branch's count window counts a NULL-id row (its
+    // a < b predicate only drops the pairs), while collect skips it
+    // inside the bucket — a bucket straddling the cap is then capped
+    // under one strategy but not the other. Docs 1/2 + a NULL row share
+    // every band; cap=2 keeps the pair only if the NULL row is excluded
+    // from the size on BOTH strategies.
+    val sig = Seq(
+      (Some(1L), 5L, 15L, 25L, 35L),
+      (Some(2L), 5L, 15L, 25L, 35L),
+      (None: Option[Long], 5L, 15L, 25L, 35L))
+      .toDF("doc", "mh_0", "mh_1", "mh_2", "mh_3")
+    for (strategy <- Seq("collect", "join")) {
+      spark.conf.set(Dedup.LshPairStrategyKey, strategy)
+      try {
+        val got = Dedup.lshCandidates(sig, k = 4, bands = 4, maxBucketSize = 2)
+          .as[(Long, Long)].collect().toSet
+        assert(got == Set((1L, 2L)), s"$strategy: $got")
+      } finally spark.conf.unset(Dedup.LshPairStrategyKey)
+    }
+  }
+
   test("jaccardPairs: a NULL-id row is dropped identically under both strategies") {
     // struct(doc, sz) is never null even when doc is, so an unfiltered
     // collect branch would keep a NULL doc inside the posting and emit

@@ -178,6 +178,45 @@ class SamplingScaleSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("non-AQE offsets hint is size-gated: tiny offsets broadcast, over-gate degrades shuffled") {
+    // with AQE off nothing converts the offsets join at runtime, so the
+    // two-pass branch decides the hint itself — from the offsets table's
+    // MEASURED row count (plan-time estimates read corpus-sized here),
+    // so a pathological high-cardinality group key degrades to a
+    // shuffled join instead of a forced-broadcast OOM
+    def withConf[A](key: String, v: String)(body: => A): A = {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, v)
+      try body
+      finally prev match {
+        case Some(x) => spark.conf.set(key, x)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val df = spark.range(0, 2000).select(
+      col("id"), pmod(col("id"), lit(3)).cast("string").as("g"), lit(1L).as("w"))
+    def run(maxBytes: Long) =
+      withConf("spark.sql.adaptive.enabled", "false") {
+        withConf(Prefix.OffsetsBroadcastMaxBytesKey, maxBytes.toString) {
+          withTwoPassMinBytes(0L) {
+            val res = Sampling.budgetSelect(df, col("g"), Seq(col("id").asc), col("w"), 100L)
+            (res.select("id", "cum_weight", "kept").as[(Long, Long, Boolean)].collect().toSet,
+              res.queryExecution.executedPlan.toString)
+          }
+        }
+      }
+    val want = naive(df, col("g"), Seq(col("id").asc), col("w"), 100L)
+      .select("id", "cum_weight", "kept").as[(Long, Long, Boolean)].collect().toSet
+    val (gotTiny, planTiny) = run(Prefix.OffsetsBroadcastMaxBytesDefault)
+    assert(gotTiny == want)
+    assert(planTiny.contains("BroadcastHashJoin"),
+      s"tiny offsets under the default gate must keep the broadcast fast path:\n$planTiny")
+    val (gotHuge, planHuge) = run(0L)
+    assert(gotHuge == want)
+    assert(!planHuge.contains("BroadcastHashJoin"),
+      s"an over-gate offsets table must degrade to a shuffled join:\n$planHuge")
+  }
+
   test("hashSampleK on duplicate keys still returns exactly k rows per group (both paths)") {
     // every key appears twice — a flat violation of the unique-key
     // precondition; the ROWS-frame prefix count must still hand ties
