@@ -37,6 +37,15 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       filter.forall(_.exists(name.contains))
     }
+    // measurement-protocol probes (README): the host's I/O band swings
+    // 2-10× between sessions, so the suite brackets itself with a direct
+    // write probe — round-over-round toy comparisons self-annotate
+    // instead of needing same-day forensics (r11's q32 "+28%" was a band
+    // tick). 1 GiB (vs the standalone harnesses' 2) keeps the probe cost
+    // proportionate to the ~30 s toy suite while a degraded band is
+    // still unmistakable vs the healthy ~800-900 MB/s.
+    val probeDir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val probePre = graft.tools.IoProbe.row("pre", probeDir, totalMb = 1024)
     val results = selected.map { case (name, fn) =>
       val sec =
         try {
@@ -59,19 +68,24 @@ object Bench {
     // executions (after one warmup) — the round-over-round comparison
     // contract, so a reader knows jitter is already floored out.
     //
-    // Two lines, per-query map FIRST and a short summary LAST: the
-    // harvesting side captures a bounded output tail, and with 70 queries
-    // a single line no longer fits — a truncated line loses the headline
-    // total (round-6 bench artifact was machine-unreadable). The final
-    // line is small and constant-size, so any bounded tail parses it.
+    // Per-query map FIRST and the short summary LAST: the harvesting
+    // side captures a bounded output tail, and with 70+ queries a single
+    // line no longer fits — a truncated line loses the headline total
+    // (round-6 bench artifact was machine-unreadable). The final line is
+    // small and constant-size, so any bounded tail parses it; the two
+    // io_probe rows are likewise small and bracket the queries they
+    // qualify (pre before the map, post right after).
+    val probePost = graft.tools.IoProbe.row("post", probeDir, totalMb = 1024)
     val queriesLine =
       s"""{"metric":"queries","runs":$timedRuns,"sf":"$sfDir","queries":$qs}"""
     val totalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"nQueries":${results.size},"errors":$errs,"sf":"$sfDir"}"""
+    println(probePre)
     println(queriesLine)
+    println(probePost)
     println(totalLine)
     // The harvested stdout tail is bounded and can truncate mid-map (the
-    // round-8 artifact lost q01–q14), so the full two-line JSON also
+    // round-8 artifact lost q01–q14), so the full JSON also
     // lands in a file — the self-contained per-query record for
     // round-over-round diffs. Path override: SPARK_GRAFT_BENCH_OUT.
     // A FILTERED dev run never touches the default artifact (it would
@@ -81,7 +95,8 @@ object Bench {
     val outPath = outOverride.getOrElse("bench_full.json")
     if (filter.isEmpty || outOverride.isDefined) {
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(outPath), queriesLine + "\n" + totalLine + "\n")
+        java.nio.file.Paths.get(outPath),
+        probePre + "\n" + queriesLine + "\n" + probePost + "\n" + totalLine + "\n")
       catch { case e: java.io.IOException =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
       }
