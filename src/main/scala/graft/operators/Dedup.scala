@@ -42,8 +42,43 @@ object Dedup {
   val SketchCellsPerByteKey = "spark.graft.spans.sketchCellsPerByte"
   val SketchCellsPerByteDefault: Double = 2.0
   val SketchMaxBytesKey = "spark.graft.spans.sketchMaxBytes"
-  val SketchMaxBytesDefault: Long = 1024L * 1024 * 1024
   val SketchBuildKey = "spark.graft.spans.sketchBuild"
+
+  /** MEMORY-AWARE default for [[SketchMaxBytesKey]] (unset ⇒ this; an
+    * explicit conf always wins): total bitplane bytes = 1/8 of the heap
+    * each live sketch shares, divided by how many sketches the build
+    * strategy holds CONCURRENTLY — `shared` builds ONE JVM-wide sketch
+    * (denominator 1); `perTask` holds one per concurrent build task
+    * (executor cores — the class-doc sizing formula, now applied
+    * automatically). The r11 30M step-up showed why a FIXED cap cannot
+    * be the default: the 1 GiB cap that sizes correctly on an 8 GB heap
+    * left the 30M-doc sketch at load 0.634 (75% false-positive rate —
+    * the "pre-filter" passed 3/4 of the singleton mass) and the stage at
+    * 649 s, where the SAME session with planes sized to the corpus
+    * (load 0.226) ran 252 s — 2.6×, identical rows (SpanBench r12).
+    * heap/8 reproduces the old default exactly on the 8 GB heap it was
+    * implicitly tuned for, and scales with the hardware the way a real
+    * cluster sizes every other memory region. Floored at 64 MB PER
+    * SKETCH (2.7e8 cells — enough to discriminate on a just-above-gate
+    * input, whose desired cells are ~3e8): the floor must stay small
+    * because perTask multiplies it by task concurrency, so a bigger
+    * floor would reintroduce the very over-budget build the divisor
+    * exists to prevent. */
+  private[operators] def autoSketchMaxBytes(spark: org.apache.spark.sql.SparkSession): Long = {
+    val sc = spark.sparkContext
+    val resolved = spark.sessionState.conf.getConfString(SketchBuildKey, "auto") match {
+      case "auto" => if (sc.isLocal) "shared" else "perTask"
+      case s => s
+    }
+    val (heapBytes, concurrent) =
+      if (sc.isLocal)
+        (Runtime.getRuntime.maxMemory,
+          if (resolved == "shared") 1 else math.max(sc.defaultParallelism, 1))
+      else
+        (sc.getConf.getSizeAsBytes("spark.executor.memory", "1g"),
+          if (resolved == "shared") 1 else math.max(sc.getConf.getInt("spark.executor.cores", 1), 1))
+    math.max(heapBytes / (8L * concurrent), 64L * 1024 * 1024)
+  }
 
   /** Minimum achievable/desired cell ratio below which [[duplicateSpans]]
     * SKIPS the sketch and keeps the lazy exact count: a sketch capped far
@@ -53,7 +88,21 @@ object Dedup {
     * 12× undersized cap: the saturated-sketch path cost 222 s where the
     * plain lazy exchange costs ~98 s. At a corpus scale whose desired
     * cells exceed any constructible plane (a true 100 TB input), this is
-    * the branch that fires — the exact exchange is then intrinsic. */
+    * the branch that fires — the exact exchange is then intrinsic.
+    *
+    * 0.25 is calibrated by the r12 30M-doc three-leg measurement, which
+    * bounds the break-even from both sides: at ratio 0.253 (4×
+    * undersized — the old fixed 1 GiB cap) the sketch ran load 0.634 /
+    * 75% false-positive rate and the stage took 649 s, yet STILL beat
+    * the lazy branch, which never finished — its two full postings
+    * exchanges exhausted 65 GB of shuffle scratch (the sketch path's
+    * sliver kept the same stage inside it). A corpus-sized plane (load
+    * 0.226, [[autoSketchMaxBytes]]'s sizing) ran 252 s, same session,
+    * identical rows. So: even a saturated-but-standing sketch prunes
+    * the ~25% that decides whether the exchange fits the disk — the
+    * floor should only fire when the sketch genuinely cannot
+    * discriminate (the 12× regime above), not merely when it is
+    * degraded. Do not raise it without re-measuring both legs. */
   val SketchMinSizingRatioKey = "spark.graft.spans.sketchMinSizingRatio"
   val SketchMinSizingRatioDefault: Double = 0.25
 
@@ -994,7 +1043,10 @@ object Dedup {
     *    ContextCleaner once the frame is unreachable. Sketch sizing:
     *    `spark.graft.spans.sketchCellsPerByte` (default 2.0) cells per
     *    optimizer-estimated input byte, capped by
-    *    `spark.graft.spans.sketchMaxBytes` (default 1 GiB of bitplanes);
+    *    `spark.graft.spans.sketchMaxBytes` (bitplane bytes; default is
+    *    MEMORY-AWARE, see [[autoSketchMaxBytes]] — heap-proportional per
+    *    concurrent sketch, so a bigger executor buys a sketch that keeps
+    *    discriminating at a bigger corpus);
     *    an undersized sketch only grows the candidate sliver, never
     *    changes the result — `GramCountSketch.loadFactor` is the
     *    observability knob — and a sketch capped below
@@ -1036,7 +1088,10 @@ object Dedup {
     val gate = conf(BroadcastGateMinBytesKey, BroadcastGateMinBytesDefault.toString).toLong
     val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val cellsPerByte = conf(SketchCellsPerByteKey, SketchCellsPerByteDefault.toString).toDouble
-    val maxPlaneBytes = conf(SketchMaxBytesKey, SketchMaxBytesDefault.toString).toLong
+    val maxPlaneBytes = {
+      val explicit = conf(SketchMaxBytesKey, "")
+      if (explicit.nonEmpty) explicit.toLong else autoSketchMaxBytes(spark)
+    }
     // clamp BEFORE the ×4: a pathological conf value > 2^61 would
     // overflow Long and turn the min negative
     val capCells = math.min(maxPlaneBytes, graft.functions.GramCountSketch.MaxCells / 4) * 4L

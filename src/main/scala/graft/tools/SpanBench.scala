@@ -23,7 +23,9 @@ import scala.jdk.CollectionConverters._
   * stage measures a different (much heavier) workload than the DAG's.
   *
   * Usage: runMain graft.tools.SpanBench [nDocs] [runs] [leg ...]
-  * where each leg is `shared` or `perTask`, optionally suffixed
+  * where each leg is `shared`, `perTask`, or `lazy` (forces the
+  * sketch-skip exact-count branch — the beyond-plane-scale shape),
+  * optionally suffixed
   * `@<planeBytes>` (sizes the bitplane cap — the per-task memory knob a
   * small-executor cluster turns, e.g. perTask@268435456 for 256 MB)
   * and/or `-nocache` (disables the cross-pass gram-array cache,
@@ -52,8 +54,10 @@ object SpanBench {
       .config("spark.local.dir", "/tmp/graft_span_scratch")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "128m")
-      // the perTask legs fetch ONE merged sketch to the driver
-      // (2×planeBytes — up to ~2.1 GiB at the default 1 GiB plane cap)
+      // the perTask legs fetch ONE merged sketch to the driver (the
+      // plane bytes; the memory-aware default divides by task
+      // concurrency, so this stays comfortably under 4g — an explicit
+      // @planeBytes leg is the operator's responsibility)
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -100,7 +104,12 @@ object SpanBench {
         case Array(s, b) => (s, Some(b.toLong))
         case Array(s) => (s, None)
       }
-      spark.conf.set(Dedup.SketchBuildKey, strategy)
+      // `lazy` leg: force the sketch-skip branch (the exact global count
+      // the operator takes when no constructible plane can discriminate
+      // — the true beyond-plane-scale shape), by setting the sizing
+      // floor unreachably high instead of a build strategy
+      if (strategy == "lazy") spark.conf.set(Dedup.SketchMinSizingRatioKey, "1e18")
+      else spark.conf.set(Dedup.SketchBuildKey, strategy)
       planeBytes.foreach(b => spark.conf.set(Dedup.SketchMaxBytesKey, b.toString))
       if (noCache) spark.conf.set(Dedup.GramCacheMaxBytesKey, "0")
       try {
@@ -135,6 +144,7 @@ object SpanBench {
         spark.conf.unset(Dedup.SketchBuildKey)
         spark.conf.unset(Dedup.SketchMaxBytesKey)
         spark.conf.unset(Dedup.GramCacheMaxBytesKey)
+        spark.conf.unset(Dedup.SketchMinSizingRatioKey)
       }
     }
     val legsJson = best.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
