@@ -114,7 +114,7 @@ object AnnRecallBench {
       s""""nlist=$nl,nassign=$na":{"recall":${f3(r)},"soundness_violations":$v}"""
     }.mkString("{", ",", "}")
     // q39's registered config is a point ON the surface — read it off
-    val (semRecall, violations) = semCurve.toMap.apply((16, 2))
+    val (semRecall, violations) = semCurve.toMap.apply((16, 3))
 
     println(s"""{"metric":"ann_recall","sf_dir":"$sfDir","n_vectors":${emb.count()},"n_queries":${queries.count()},"k":5,"exact_pairs":${exact.size},"recall_at_5":{"q27_lsh":${f3(lsh)},"q37_ivf":${f3(ivf)},"q52_int8":${f3(int8)}},"ivf_recall_vs_nprobe":$curveJson,"semdedup":{"exact_tau_pairs":${exactPairs.size},"recall":${f3(semRecall)},"soundness_violations":$violations},"semdedup_recall_vs_config":$semCurveJson}""")
     spark.stop()
