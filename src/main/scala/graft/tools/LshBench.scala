@@ -114,7 +114,11 @@ object LshBench {
           s"unknown leg '$other' (pairs | pairs_join | pairs_collect | sig | " +
             "jaccard_join | jaccard_collect)")
       }
-      out.write.parquet(s"$root/out")
+      // overwrite, not create: a concurrent or crashed prior invocation
+      // can leave /out between this run's delete and write — the mode
+      // makes the write self-contained instead of killing the whole
+      // multi-leg session on PATH_ALREADY_EXISTS
+      out.write.mode("overwrite").parquet(s"$root/out")
       val sec = (System.nanoTime() - t0) / 1e9
       jobs.drain(l => println(s"""{"leg":"$leg","run":$run,$l""".replace("{\"job\"", "\"job\"")))
       val rows = spark.read.parquet(s"$root/out").count()
