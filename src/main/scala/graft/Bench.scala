@@ -43,9 +43,14 @@ object Bench {
     // instead of needing same-day forensics (r11's q32 "+28%" was a band
     // tick). 1 GiB (vs the standalone harnesses' 2) keeps the probe cost
     // proportionate to the ~30 s toy suite while a degraded band is
-    // still unmistakable vs the healthy ~800-900 MB/s.
+    // still unmistakable vs the healthy ~800-900 MB/s. CONTRACT RUNS
+    // ONLY: a filtered dev-loop iteration is not a published number, and
+    // on a floor-degraded band (~25 MB/s) two probes cost ~85 s — more
+    // than the whole suite.
     val probeDir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val probePre = graft.tools.IoProbe.row("pre", probeDir, totalMb = 1024)
+    def probe(when: String): Option[String] =
+      if (filter.isEmpty) Some(graft.tools.IoProbe.row(when, probeDir, totalMb = 1024)) else None
+    val probePre = probe("pre")
     val results = selected.map { case (name, fn) =>
       val sec =
         try {
@@ -75,14 +80,14 @@ object Bench {
     // small and constant-size, so any bounded tail parses it; the two
     // io_probe rows are likewise small and bracket the queries they
     // qualify (pre before the map, post right after).
-    val probePost = graft.tools.IoProbe.row("post", probeDir, totalMb = 1024)
+    val probePost = probe("post")
     val queriesLine =
       s"""{"metric":"queries","runs":$timedRuns,"sf":"$sfDir","queries":$qs}"""
     val totalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$timedRuns,"nQueries":${results.size},"errors":$errs,"sf":"$sfDir"}"""
-    println(probePre)
+    probePre.foreach(println)
     println(queriesLine)
-    println(probePost)
+    probePost.foreach(println)
     println(totalLine)
     // The harvested stdout tail is bounded and can truncate mid-map (the
     // round-8 artifact lost q01–q14), so the full JSON also
@@ -96,7 +101,8 @@ object Bench {
     if (filter.isEmpty || outOverride.isDefined) {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outPath),
-        probePre + "\n" + queriesLine + "\n" + probePost + "\n" + totalLine + "\n")
+        (probePre.toSeq ++ Seq(queriesLine) ++ probePost.toSeq :+ totalLine)
+          .mkString("", "\n", "\n"))
       catch { case e: java.io.IOException =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
       }

@@ -59,7 +59,13 @@ case class BoundedSortedCollect(
   extends TypedImperativeAggregate[BoundedCollectBuffer] with UnaryLike[Expression] {
 
   require(minSize >= 0, s"minSize must be >= 0, got $minSize")
-  require(cap >= 1, s"cap must be >= 1, got $cap")
+  // cap may be ANY Int: a non-positive cap makes every non-empty group
+  // overflow on its first value (update's length >= cap check) and so
+  // evaluate to NULL — exactly the empty result the unfused
+  // collect_list → size-filter formulation (and the dedup operators'
+  // `join` strategy) produce for the same argument; rejecting it here
+  // would make the two strategies diverge (exception vs empty) on
+  // identical inputs
 
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def nullable: Boolean = true
@@ -107,7 +113,11 @@ case class BoundedSortedCollect(
   }
 
   override def eval(buffer: BoundedCollectBuffer): Any = {
-    if (buffer.overflowed || buffer.values.length < minSize) null
+    // the length > cap arm is reachable only for cap <= 0 (overflow
+    // fires before length can exceed a positive cap): an all-null group
+    // never overflows yet its empty array must still fail a negative cap,
+    // as the unfused size filter does
+    if (buffer.overflowed || buffer.values.length < minSize || buffer.values.length > cap) null
     else {
       val arr = buffer.values.toArray
       java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]],

@@ -708,8 +708,13 @@ object Dedup {
   def cappedLshBuckets(
       df: DataFrame, id: Column, text: Column,
       n: Int, k: Int, bands: Int, maxBucketSize: Int = 10000): DataFrame = {
+    // same NULL-id filter as bucketedPairs: the observability dial must
+    // report the bucket sizes the pair pipeline actually caps on, and
+    // since r12 that pipeline excludes NULL-id rows up front — without
+    // the mirror filter a bucket at exactly the cap plus one NULL row
+    // would be reported capped here while the pairs survive there
     val base = df.select(id.as("doc"), minhashSigArray(text, n, k).as("__sig"))
-      .filter(col("__sig").isNotNull)
+      .filter(col("doc").isNotNull && col("__sig").isNotNull)
     base.select(posexplode(array(bandSignatures(col("__sig"), k, bands): _*)).as(Seq("band", "sig")))
       .groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("bucket_size"))
@@ -829,14 +834,22 @@ object Dedup {
       oldDocs: DataFrame, oldId: Column, oldText: Column,
       n: Int, k: Int, bands: Int, minJaccardPermille: Int,
       maxBucketSize: Int = 10000): DataFrame = {
-    // increment side: per-row signature + shingles (kept for the verify)
+    // increment side: per-row signature + shingles (kept for the verify).
+    // NULL ids are dropped on BOTH sides before banding, mirroring the
+    // batch operator's up-front filter (bucketedPairs): without it a
+    // NULL-id row still counts toward the bucket-size window below, so a
+    // bucket at exactly maxBucketSize real members would be capped here
+    // but not in the batch run on the union — breaking the spec-pinned
+    // incremental ≡ batch contract at the cap boundary.
     val newSide = newDocs.select(newId.as("new_id"), shingleHashes(newText, n).as("new_hs"))
+      .filter(col("new_id").isNotNull)
       .withColumn("__sig", Bridge.column(MinHashSig(Bridge.expression(col("new_hs")), k)))
       .filter(col("__sig").isNotNull)
       .select(col("new_id"), col("new_hs"), col("__sig").as("new_mh")) // already array<long>(k)
     // stored-index side: band signatures from the persisted mh_i columns
     val oldSide = oldSig.select(col("doc").as("old_id"),
       array((0 until k).map(i => col(s"mh_$i")): _*).as("old_mh"))
+      .filter(col("old_id").isNotNull)
     // SLIM 3-column band rows — never the signature/shingle arrays — and
     // both sides through ONE union so the bucket count sees the full
     // old∪new population (the bucket a merged-corpus batch run counts)

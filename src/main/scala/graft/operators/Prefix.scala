@@ -169,13 +169,19 @@ private[operators] object Prefix {
       // so there we restore the hint, but GATED on the offsets table's
       // MEASURED size: plan-time estimates inflate through the window +
       // aggregate chain (they read corpus-sized here even for 3 groups),
-      // so the gate counts the rows instead — one aggregate-only job over
-      // the ALREADY-materialized range shuffle (`base`'s map outputs are
-      // reused through the same RDD identity the two consumers below
-      // rely on; cost is a metadata-sized stage, paid only in non-AQE
-      // sessions). Tiny offsets keep the fast broadcast path; a
-      // pathological group key degrades to a shuffled join, slow-but-
-      // alive, matching the AQE branch's behavior instead of OOMing.
+      // so the gate counts the rows instead. Honest cost accounting for
+      // that count job (non-AQE sessions only): it is the FIRST action
+      // over `base`, so it runs the range shuffle's corpus-scale MAP
+      // side eagerly at construction time — work the operator's
+      // call-time contract already front-loads in part (boundary
+      // sampling) and that the later real execution would do anyway; the
+      // map outputs are produced ONCE and reused through the same RDD
+      // identity the two consumers below rely on, so nothing is paid
+      // twice — but a caller that constructs and then DISCARDS the frame
+      // has paid for the shuffle map stage plus the aggregate over it.
+      // Tiny offsets keep the fast broadcast path; a pathological group
+      // key degrades to a shuffled join, slow-but-alive, matching the
+      // AQE branch's behavior instead of OOMing.
       val offsetsHinted =
         if (spark.sessionState.conf.adaptiveExecutionEnabled) offsets
         else {

@@ -18,8 +18,11 @@ class BoundedSortedCollectSpec extends SparkSpec {
       g <- Gen.choose(0, 5)
       v <- Gen.option(Gen.choose(0L, 20L))
     } yield (g, v)
+    // cap range includes 0 and negative: non-positive caps must yield
+    // the unfused formulation's empty result (every group NULL), not an
+    // exception — the join strategies return empty for the same argument
     val prop = Prop.forAll(
-      Gen.listOfN(60, genRow), Gen.choose(1, 8), Gen.choose(0, 3)) {
+      Gen.listOfN(60, genRow), Gen.choose(-1, 8), Gen.choose(0, 3)) {
       (rows: List[(Int, Option[Long])], cap: Int, minSize: Int) =>
         val df = rows.toDF("g", "v").repartition(4)
         val fused = df.groupBy(col("g"))

@@ -466,6 +466,33 @@ class DedupSpec extends SparkSpec {
     assert(inc.exists(r => r._1 == 11L && r._2 == 7L), "uncapped buckets keep their pairs")
   }
 
+  test("incremental ≡ batch with a NULL-id index row straddling the cap boundary") {
+    // three identical old docs + one NULL-id copy share every band
+    // bucket; one identical new doc joins them. With NULL ids excluded
+    // (the batch operator's r12 contract) the bucket holds exactly
+    // cap=4 members and the pairs SURVIVE; an incremental side that
+    // still counted the NULL row would see 5 > cap and silently cap the
+    // bucket — the divergence this test pins shut.
+    val text = "shared boilerplate header exactly the same for all docs"
+    val oldDocs = (Seq(1L, 2L, 3L).map(i => (Some(i), text)) :+
+      ((None: Option[Long], text))).toDF("doc_id", "text")
+    val newDocs = Seq((10L, text)).toDF("doc_id", "text")
+    val (n, k, bands, tau, cap) = (3, 8, 4, 300, 4)
+    val oldSig = Dedup.minhashSignatures(oldDocs, col("doc_id"), col("text"), n, k)
+    val inc = Dedup.incrementalNearDupPairs(
+      newDocs, col("doc_id"), col("text"), oldSig,
+      oldDocs, col("doc_id"), col("text"), n, k, bands, tau, maxBucketSize = cap)
+      .select("new_id", "dup_of_id").as[(Long, Long)].collect().toSet
+    val batch = Dedup.minhashNearDupPairs(
+      oldDocs.unionByName(newDocs), col("doc_id"), col("text"), n, k, bands, tau,
+      maxBucketSize = cap)
+      .filter(col("b_id") >= 10L)
+      .select(col("b_id"), col("a_id")).as[(Long, Long)].collect().toSet
+    assert(batch == Set((10L, 1L), (10L, 2L), (10L, 3L)),
+      s"batch must keep the exactly-at-cap bucket's pairs, got $batch")
+    assert(inc == batch, s"incremental $inc != batch $batch")
+  }
+
   test("duplicateSpans: cross-doc span, island merge, within-doc repeat") {
     val docs = Seq(
       // docs 1+2 share the 5-token run "one two three four five" →

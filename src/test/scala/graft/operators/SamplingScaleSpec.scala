@@ -17,18 +17,22 @@ import graft.SparkSpec
 class SamplingScaleSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Force the gated path for a block: 0 → always two-pass, Long.MaxValue
-    * → always the naive window (the session is shared across suites, so
+  /** Scoped conf set/restore (the session is shared across suites, so
     * always restore). */
-  private def withTwoPassMinBytes[A](v: Long)(body: => A): A = {
-    val prev = spark.conf.getOption(Prefix.TwoPassMinBytesKey)
-    spark.conf.set(Prefix.TwoPassMinBytesKey, v.toString)
+  private def withConf[A](key: String, v: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, v)
     try body
     finally prev match {
-      case Some(x) => spark.conf.set(Prefix.TwoPassMinBytesKey, x)
-      case None => spark.conf.unset(Prefix.TwoPassMinBytesKey)
+      case Some(x) => spark.conf.set(key, x)
+      case None => spark.conf.unset(key)
     }
   }
+
+  /** Force the gated path for a block: 0 → always two-pass, Long.MaxValue
+    * → always the naive window. */
+  private def withTwoPassMinBytes[A](v: Long)(body: => A): A =
+    withConf(Prefix.TwoPassMinBytesKey, v.toString)(body)
 
   private def naive(df: org.apache.spark.sql.DataFrame, group: org.apache.spark.sql.Column,
       order: Seq[org.apache.spark.sql.Column], weight: org.apache.spark.sql.Column,
@@ -184,15 +188,6 @@ class SamplingScaleSpec extends SparkSpec {
     // MEASURED row count (plan-time estimates read corpus-sized here),
     // so a pathological high-cardinality group key degrades to a
     // shuffled join instead of a forced-broadcast OOM
-    def withConf[A](key: String, v: String)(body: => A): A = {
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, v)
-      try body
-      finally prev match {
-        case Some(x) => spark.conf.set(key, x)
-        case None => spark.conf.unset(key)
-      }
-    }
     val df = spark.range(0, 2000).select(
       col("id"), pmod(col("id"), lit(3)).cast("string").as("g"), lit(1L).as("w"))
     def run(maxBytes: Long) =
