@@ -149,10 +149,28 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int, nprobe: Int,
       score: (Column, Column) => Column, seed: Long = 42L,
       maxIter: Int = 10): DataFrame = {
-    require(k >= 1 && nlist >= 1 && nprobe >= 1,
-      s"ivfTopK needs k/nlist/nprobe >= 1, got k=$k nlist=$nlist nprobe=$nprobe " +
+    require(nlist >= 1, s"ivfTopK needs nlist >= 1, got $nlist")
+    ivfTopKWithCentroids(queries, corpus, k, nprobe,
+      fitCells(corpus, nlist, seed, maxIter), score)
+  }
+
+  /** [[ivfTopK]]'s ENTIRE query path with the coarse quantizer supplied
+    * instead of trained: (cell_id, centroid) rows from any source —
+    * [[fitCells]] (what [[ivfTopK]] passes), a persisted index, or a
+    * LITERAL table. The split exists so the plan path is hash-oracle-able:
+    * a trained k-means quantizer is float iteration order no external
+    * engine replays, but with FIXED centroids every stage downstream of
+    * training — cell assignment, nprobe probing, the cell-keyed equi-join,
+    * exact re-rank — is closed-form integer arithmetic DuckDB can replay
+    * bit-for-bit (the q75/q76/q78 pattern: oracle the at-scale plan path
+    * under a twin query with a deterministic input). The trained config
+    * stays quality-pinned by the published recall-vs-nprobe curve. */
+  def ivfTopKWithCentroids(
+      queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+      centroids: DataFrame, score: (Column, Column) => Column): DataFrame = {
+    require(k >= 1 && nprobe >= 1,
+      s"ivfTopK needs k/nprobe >= 1, got k=$k nprobe=$nprobe " +
         "(a non-positive nprobe would silently probe nothing and return an empty result)")
-    val centroids = fitCells(corpus, nlist, seed, maxIter)
     val corpusCells = assignCells(
       corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
       "neighbor_id", "c_emb", centroids, 1, score)
@@ -187,10 +205,23 @@ object Similarity {
       corpus: DataFrame, nlist: Int, minScoreQ: Long,
       score: (Column, Column) => Column, seed: Long = 42L,
       maxIter: Int = 10, nassign: Int = 1): DataFrame = {
-    require(nlist >= 1 && nassign >= 1,
-      s"semDedup needs nlist/nassign >= 1, got nlist=$nlist nassign=$nassign " +
+    require(nlist >= 1, s"semDedup needs nlist >= 1, got $nlist")
+    semDedupWithCentroids(corpus,
+      fitCells(corpus, nlist, seed, maxIter), minScoreQ, score, nassign)
+  }
+
+  /** [[semDedup]]'s ENTIRE dedup path with the cell table supplied instead
+    * of trained — same split, same reason as [[ivfTopKWithCentroids]]:
+    * with FIXED centroids, overlap assignment → within-cell τ-pairs →
+    * connected components → min-id keeper is exact integer/compare
+    * arithmetic end to end, so a twin query over a literal cell table
+    * hash-oracles every stage the trained config runs. */
+  def semDedupWithCentroids(
+      corpus: DataFrame, centroids: DataFrame, minScoreQ: Long,
+      score: (Column, Column) => Column, nassign: Int = 1): DataFrame = {
+    require(nassign >= 1,
+      s"semDedup needs nassign >= 1, got nassign=$nassign " +
         "(a non-positive nassign would silently mine zero pairs and mark every doc keep=true)")
-    val centroids = fitCells(corpus, nlist, seed, maxIter)
     // overlap assignment (`nassign` > 1): each vector joins its top-n
     // cells, so a pair straddling a cell boundary still meets in the
     // runner-up cell — the standard recall fix for loose duplicate sets;

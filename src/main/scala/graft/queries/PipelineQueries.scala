@@ -440,6 +440,38 @@ object PipelineQueries {
       // as q37's nprobe=8 (SemDedupSpec pins soundness and the
       // fixture-level recall ordering)
 
+    // q79: q37's ENTIRE IVF query path (assignCells → nprobe probing →
+    // cell-keyed equi-join → exact re-rank) forced under a HASH oracle via
+    // a fixed quantizer — cell table = the first 16 corpus embeddings, so
+    // the only stage the oracle can't replay (trained k-means) is replaced
+    // by a closed-form input and everything downstream is exact integer
+    // arithmetic DuckDB replays bit-for-bit. Same twin pattern as
+    // q75/q76/q78: the trained config (q37) stays quality-pinned by its
+    // published recall curve; THIS query value-proves the plan path.
+    "q79_ann_ivf_fixed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cell_id"), col("embedding").as("centroid"))
+      Similarity.ivfTopKWithCentroids(
+        emb.filter(col("vec_id") < 64), emb, k = 5, nprobe = 4, cents,
+        Similarity.quantizedDot)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("score"))
+    }),
+
+    // q80: q39's ENTIRE SemDeDup path (overlap assignment → within-cell
+    // τ-pairs → connected components → min-id keeper) under a HASH oracle
+    // via the same fixed quantizer as q79 — nassign=3 mirrors q39's
+    // registered point so the overlap fan-out (a pair meeting in several
+    // shared cells, deduped before Components) is the path exercised.
+    "q80_semdedup_fixed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cell_id"), col("embedding").as("centroid"))
+      Similarity.semDedupWithCentroids(
+        emb, cents, minScoreQ = 400000L, Similarity.quantizedDot, nassign = 3)
+    }),
+
     // incremental dedup: docs with doc_id % 7 == 0 play today's crawl
     // increment, the rest the already-indexed corpus (signatures persisted,
     // only candidates re-shingled — see Dedup.incrementalNearDupPairs)
@@ -1624,6 +1656,57 @@ object PipelineQueries {
     // iteration order an external engine cannot replay). The driver
     // records rows-only checks; SimilaritySpec / SemDedupSpec assert
     // recall, reconstruction error and soundness vs the exact forms.
+    // Their PLAN PATHS, however, are hash-oracled by the q79/q80 twins
+    // below: fixed centroids (= the first 16 corpus embeddings) make every
+    // stage downstream of training closed-form integer arithmetic.
+
+    // shared by q79/q80: (vector, cell) exact quantized dot + the
+    // (score DESC, cell_id ASC) assignment ranking — the SQL replay of
+    // Similarity.assignCells' array_sort over struct(-score, cell_id)
+    val cellRankCte =
+      s"""qv AS (SELECT vec_id, $quant AS e FROM embeddings),
+         |cents AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, e AS ce FROM qv WHERE vec_id < 16),
+         |cdots AS (SELECT qv.vec_id, cents.cell_id,
+         |    CAST(list_sum(list_transform(list_zip(qv.e, cents.ce), p -> p[1] * p[2])) AS BIGINT) AS dq
+         |  FROM qv, cents),
+         |cranked AS (SELECT vec_id, cell_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dq DESC, cell_id) AS r
+         |  FROM cdots)""".stripMargin
+
+    m += "q79_ann_ivf_fixed" ->
+      s"""WITH $cellRankCte,
+         |ca AS (SELECT vec_id AS neighbor_id, cell_id FROM cranked WHERE r = 1),
+         |qa AS (SELECT vec_id AS query_id, cell_id FROM cranked WHERE r <= 4 AND vec_id < 64),
+         |scored AS (SELECT qa.query_id, ca.neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) AS BIGINT) AS score
+         |  FROM qa JOIN ca USING (cell_id)
+         |  JOIN qv a ON a.vec_id = qa.query_id
+         |  JOIN qv b ON b.vec_id = ca.neighbor_id
+         |  WHERE qa.query_id <> ca.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin
+
+    // q80: overlap assignment (r <= nassign=3) → within-cell τ-pairs
+    // (deduped — a pair can meet in up to nassign² shared cells) →
+    // min-reachability closure (the q32 oracle pattern) → min-id keeper
+    m += "q80_semdedup_fixed" ->
+      s"""WITH RECURSIVE $cellRankCte,
+         |asg AS (SELECT vec_id, cell_id FROM cranked WHERE r <= 3),
+         |pairs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  JOIN qv ea ON ea.vec_id = a.vec_id
+         |  JOIN qv eb ON eb.vec_id = b.vec_id
+         |  WHERE CAST(list_sum(list_transform(list_zip(ea.e, eb.e), p -> p[1] * p[2])) AS BIGINT) >= 400000),
+         |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+         |reach(id, rr) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.rr)
+         |SELECT id AS vec_id, MIN(rr) AS component_id, id = MIN(rr) AS keep
+         |FROM reach GROUP BY id""".stripMargin
+
     m.result()
   }
 

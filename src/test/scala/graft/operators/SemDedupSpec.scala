@@ -95,4 +95,29 @@ class SemDedupSpec extends SparkSpec {
     assert(comp(20L) == 20L && comp(30L) == 30L)
     assert(got.filter(_._3).map(_._1).toSet == Set(1L, 10L, 20L, 30L))
   }
+
+  test("semDedupWithCentroids: overlap assignment recovers boundary pairs (the q80 twin path)") {
+    // fixed axis cells; b0/b1 straddle the cell boundary — their exact
+    // quantized dot (1.8e6) clears τ but nassign=1 assigns them to
+    // DIFFERENT cells, so the pair is only minable with overlap. This is
+    // exactly the recall mechanism q39's nassign=3 buys, pinned closed-form.
+    val cents = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("cell_id", "centroid")
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.9f)),   // cell 0 (dot 1e6 vs 0.9e6)
+      (1L, Seq(0.9f, 1.0f)),   // cell 1 — b0·b1 = 1.8e6 ≥ τ
+      (2L, Seq(1.0f, 0.0f)),   // cell 0 singleton (dot vs 0: 1e6 < τ)
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val tau = 1500000L
+    def run(nassign: Int): Map[Long, (Long, Boolean)] =
+      Similarity.semDedupWithCentroids(vecs, cents, tau, Similarity.quantizedDot, nassign)
+        .select("vec_id", "component_id", "keep")
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val single = run(1)
+    assert(single(0L) == ((0L, true)) && single(1L) == ((1L, true)),
+      "nassign=1 must miss the boundary pair by construction")
+    val overlap = run(2)
+    assert(overlap(0L) == ((0L, true)) && overlap(1L) == ((0L, false)),
+      "nassign=2 must mine the boundary pair and keep the min id")
+    assert(overlap(2L) == ((2L, true)) && overlap(3L) == ((3L, true)))
+  }
 }

@@ -57,6 +57,40 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("ivfTopKWithCentroids: fixed cells route probing exactly (the q79 twin path)") {
+    // hand-checkable geometry: two fixed cells on the axes; v0/v1 live in
+    // cell 0, v2/v3 in cell 1 (quantized dot decides assignment)
+    val cents = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("cell_id", "centroid")
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.1f)),
+      (1L, Seq(0.9f, 0.2f)),
+      (2L, Seq(0.1f, 1.0f)),
+      (3L, Seq(0.2f, 0.9f))).toDF("vec_id", "embedding")
+    val q0 = vecs.filter(col("vec_id") === 0)
+    // nprobe=1: only cell 0 is searched — v2/v3 are unreachable by design
+    val near = Similarity.ivfTopKWithCentroids(q0, vecs, k = 3, nprobe = 1,
+      cents, Similarity.quantizedDot)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    assert(near == Set((1L, 1)))
+    // nprobe=2: both cells — full ranking by exact quantized dot:
+    // v1 = 900*1000+200*100 = 920000, v3 = 290000, v2 = 200000
+    val all = Similarity.ivfTopKWithCentroids(q0, vecs, k = 3, nprobe = 2,
+      cents, Similarity.quantizedDot)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    assert(all == Set((1L, 1), (3L, 2), (2L, 3)))
+  }
+
+  test("ivfTopKWithCentroids under fitCells centroids ≡ ivfTopK (same path by construction)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val cents = Similarity.fitCells(emb, nlist = 4, maxIter = 2)
+    val viaWith = Similarity.ivfTopKWithCentroids(queries, emb, 3, 2, cents,
+      Similarity.quantizedDot).collect().toSet
+    val direct = Similarity.ivfTopK(queries, emb, 3, nlist = 4, nprobe = 2,
+      Similarity.quantizedDot, maxIter = 2).collect().toSet
+    assert(viaWith == direct)
+  }
+
   test("int8Quantize: reconstruction within a quantization step, zero-vector safe") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").limit(100)
