@@ -47,7 +47,14 @@ object Bench {
     // ONLY: a filtered dev-loop iteration is not a published number, and
     // on a floor-degraded band (~25 MB/s) two probes cost ~85 s — more
     // than the whole suite.
-    val probeDir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    // Probe the volume the queries actually shuffle on: spark.local.dir
+    // when set (first entry of the comma list — Spark round-robins but
+    // they are normally mounts of the same device class), else the JVM
+    // tmpdir Spark defaults its scratch to. A probe of a different mount
+    // could report a clean band while the shuffle volume is degraded.
+    val probeDir = spark.sparkContext.getConf.getOption("spark.local.dir")
+      .map(_.split(",").head.trim).filter(_.nonEmpty)
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     def probe(when: String): Option[String] =
       if (filter.isEmpty) Some(graft.tools.IoProbe.row(when, probeDir, totalMb = 1024)) else None
     val probePre = probe("pre")

@@ -58,12 +58,17 @@ object Dedup {
     * (load 0.226) ran 252 s — 2.6×, identical rows (SpanBench r12).
     * heap/8 reproduces the old default exactly on the 8 GB heap it was
     * implicitly tuned for, and scales with the hardware the way a real
-    * cluster sizes every other memory region. Floored at 64 MB PER
-    * SKETCH (2.7e8 cells — enough to discriminate on a just-above-gate
-    * input, whose desired cells are ~3e8): the floor must stay small
-    * because perTask multiplies it by task concurrency, so a bigger
-    * floor would reintroduce the very over-budget build the divisor
-    * exists to prevent. */
+    * cluster sizes every other memory region. The 64 MB floor (2.7e8
+    * cells — enough to discriminate on a just-above-gate input, whose
+    * desired cells are ~3e8) applies to the TOTAL budget BEFORE the
+    * concurrency divide: a per-sketch floor would multiply by task
+    * concurrency on small executors (1 GB heap × 8 cores ⇒ 8 × 64 MB =
+    * 512 MB of bitplanes, 4× the heap/8 budget the divisor exists to
+    * protect), reintroducing the very over-budget build it guards
+    * against. A tiny per-sketch share on such hosts (e.g. 16 MB) may
+    * saturate — and then [[SketchMinSizingRatioKey]]'s gate skips the
+    * sketch, which is the correct degradation: honest memory bound
+    * first, sketch second. */
   private[operators] def autoSketchMaxBytes(spark: org.apache.spark.sql.SparkSession): Long = {
     val sc = spark.sparkContext
     val resolved = spark.sessionState.conf.getConfString(SketchBuildKey, "auto") match {
@@ -77,7 +82,7 @@ object Dedup {
       else
         (sc.getConf.getSizeAsBytes("spark.executor.memory", "1g"),
           if (resolved == "shared") 1 else math.max(sc.getConf.getInt("spark.executor.cores", 1), 1))
-    math.max(heapBytes / (8L * concurrent), 64L * 1024 * 1024)
+    math.max(heapBytes / 8L, 64L * 1024 * 1024) / concurrent
   }
 
   /** Minimum achievable/desired cell ratio below which [[duplicateSpans]]
@@ -357,6 +362,13 @@ object Dedup {
     // filter makes both strategies identical by construction
     val docs = df.select(id.as("doc"), shingleHashes(text, n).as("hs"))
       .filter(col("doc").isNotNull && size(col("hs")) > 0)
+    // ONE effective cap, clamped at the entry so both strategies see the
+    // same value: the collect branch's bounded aggregate takes an Int cap,
+    // and clamping only there would let the two strategies theoretically
+    // diverge for maxShingleFreq > 2^31−1 (unreachable — a >2B-element
+    // posting cannot materialize — but the contract should not depend on
+    // that argument)
+    val effMaxFreq = math.min(maxShingleFreq, Int.MaxValue.toLong)
     // The per-doc size rides along in the index rows (one long per row), so
     // the Jaccard denominator never needs a join back to a sizes table —
     // that join-back is two extra doc-keyed shuffles at corpus scale. The
@@ -397,7 +409,7 @@ object Dedup {
         // JaccardPairStrategyKey).
         index.groupBy(col("h"))
           .agg(boundedSortedCollect(struct(col("doc"), col("sz")), 2,
-            math.min(maxShingleFreq, Int.MaxValue.toLong).toInt).as("__ps"))
+            effMaxFreq.toInt).as("__ps"))
           .filter(col("__ps").isNotNull)
           .select(posexplode(col("__ps")).as(Seq("__i", "__a")), col("__ps"))
           .select(col("__a"),
@@ -422,7 +434,7 @@ object Dedup {
         // materialized once by AQE's ReuseExchange.
         val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
         val pruned = index.withColumn("df_count", count(lit(1)).over(wh))
-          .filter(col("df_count") <= maxShingleFreq && col("df_count") >= 2)
+          .filter(col("df_count") <= effMaxFreq && col("df_count") >= 2)
           .drop("df_count")
         pruned.select(col("h"), col("doc").as("a_id"), col("sz").as("a_size"))
           .hint("shuffle_hash")

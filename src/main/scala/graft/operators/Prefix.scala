@@ -107,7 +107,15 @@ private[operators] object Prefix {
     * nulls) would make a null-weight row's running total depend on which
     * range SLICE it landed in (a slice whose seen weights are all null
     * sums to NULL, not 0), breaking the slice-boundary-invariance
-    * contract; pinning null→0 makes the two branches agree on any data. */
+    * contract; pinning null→0 makes the two branches agree on any data.
+    *
+    * Laziness contract: with AQE enabled (the default) construction is
+    * lazy like every other operator here. With AQE DISABLED, the two-pass
+    * branch runs ONE eager job at construction time (the broadcast gate's
+    * size measurement, which executes the range shuffle's map side); the
+    * map outputs are reused by the real execution, so nothing is paid
+    * twice — but a caller that constructs and then discards the frame has
+    * paid a shuffle map stage. See the in-body cost note. */
   def runningSum(
       df: DataFrame, group: Column, order: Seq[Column], weight: Column,
       out: String): DataFrame = {
@@ -188,10 +196,25 @@ private[operators] object Prefix {
           val maxBytes = spark.sessionState.conf
             .getConfString(OffsetsBroadcastMaxBytesKey, OffsetsBroadcastMaxBytesDefault.toString)
             .toLong
-          // fixed-width fields dominate (pid, offset, group key); the
-          // +16 covers per-row object overhead in the broadcast relation
-          val rowBytes = offsets.schema.map(_.dataType.defaultSize).sum + 16L
-          if (totals.count() * rowBytes <= maxBytes) broadcast(offsets) else offsets
+          // Row width: fixed-width fields (pid, offset) estimate by type
+          // (+16 per-row object overhead in the broadcast relation), but a
+          // VARIABLE-length group key is MEASURED — defaultSize counts a
+          // string as 20 bytes, so a high-cardinality key with long string
+          // values could pass the gate while the actual relation is orders
+          // of magnitude larger (the OOM the gate exists to prevent). The
+          // measurement rides the same single aggregate job as the count.
+          val fixedBytes = offsets.schema.filter(_.name != "__pfx_tg")
+            .map(_.dataType.defaultSize).sum + 16L
+          val keyBytes = offsets.schema.find(_.name == "__pfx_tg").get.dataType match {
+            case org.apache.spark.sql.types.StringType |
+                 org.apache.spark.sql.types.BinaryType =>
+              octet_length(col("__pfx_tg")).cast("long")
+            case dt => lit(dt.defaultSize.toLong)
+          }
+          val measured = totals.select(count(lit(1)).as("__n"),
+            coalesce(sum(keyBytes), lit(0L)).as("__kb")).head()
+          if (measured.getLong(0) * fixedBytes + measured.getLong(1) <= maxBytes)
+            broadcast(offsets) else offsets
         }
       local.join(offsetsHinted,
           col("__pfx_pid") === col("__pfx_tpid") && (group <=> col("__pfx_tg")))

@@ -493,26 +493,28 @@ class DedupSpec extends SparkSpec {
     assert(inc == batch, s"incremental $inc != batch $batch")
   }
 
-  test("autoSketchMaxBytes: strategy-aware divisor, floor, and explicit-conf precedence") {
+  test("autoSketchMaxBytes: strategy-aware divisor, total-budget floor, and explicit-conf precedence") {
     val heap = Runtime.getRuntime.maxMemory
     // local master ⇒ auto resolves shared ⇒ ONE sketch: heap/8 (above
     // the 64 MB floor on any real test heap)
     val sharedCap = Dedup.autoSketchMaxBytes(spark)
     assert(sharedCap == math.max(heap / 8, 64L * 1024 * 1024), s"shared cap $sharedCap")
-    // explicit perTask on local divides by local task concurrency
+    // explicit perTask on local divides by local task concurrency —
+    // the 64 MB floor lifts the TOTAL budget before the divide, never
+    // each sketch (a per-sketch floor times concurrency blew the heap/8
+    // budget on small executors: 1g × 8 cores ⇒ 512 MB of bitplanes)
     spark.conf.set(Dedup.SketchBuildKey, "perTask")
     try {
       val par = spark.sparkContext.defaultParallelism
       val perTaskCap = Dedup.autoSketchMaxBytes(spark)
-      assert(perTaskCap == math.max(heap / (8L * par), 64L * 1024 * 1024),
+      assert(perTaskCap == math.max(heap / 8, 64L * 1024 * 1024) / par,
         s"perTask cap $perTaskCap for parallelism $par")
       assert(perTaskCap <= sharedCap)
+      // the budget invariant the r12 review flagged: sketches × per-sketch
+      // bytes never exceeds the floored total budget
+      assert(perTaskCap * par <= math.max(heap / 8, 64L * 1024 * 1024),
+        "concurrent sketch bytes must fit the total budget")
     } finally spark.conf.unset(Dedup.SketchBuildKey)
-    // the floor: a divisor big enough to push below 64 MB clamps there
-    // (arithmetically — verified via the perTask formula above when
-    // heap/(8·par) < 64 MB; on big test heaps this branch is the
-    // math.max itself, exercised by construction in both asserts)
-    assert(Dedup.autoSketchMaxBytes(spark) >= 64L * 1024 * 1024)
   }
 
   test("duplicateSpans: cross-doc span, island merge, within-doc repeat") {

@@ -212,6 +212,37 @@ class SamplingScaleSpec extends SparkSpec {
       s"an over-gate offsets table must degrade to a shuffled join:\n$planHuge")
   }
 
+  test("non-AQE offsets gate MEASURES variable-length group keys, not defaultSize") {
+    // 30 groups × ~4 KB string keys ≈ 120 KB of key bytes; defaultSize
+    // prices each string at 20 bytes (~3.7 KB total). Gate at 16 KB: the
+    // old fixed-width estimate would broadcast (under-gate), the measured
+    // width must degrade to a shuffled join — the r12 review's OOM path.
+    val longKey = concat(lit("k" * 4096), pmod(col("id"), lit(30)).cast("string"))
+    val df = spark.range(0, 600).select(col("id"), longKey.as("g"), lit(1L).as("w"))
+    def run(maxBytes: Long) =
+      withConf("spark.sql.adaptive.enabled", "false") {
+        withConf(Prefix.OffsetsBroadcastMaxBytesKey, maxBytes.toString) {
+          withTwoPassMinBytes(0L) {
+            val res = Sampling.budgetSelect(df, col("g"), Seq(col("id").asc), col("w"), 100L)
+            (res.select("id", "cum_weight", "kept").as[(Long, Long, Boolean)].collect().toSet,
+              res.queryExecution.executedPlan.toString)
+          }
+        }
+      }
+    val want = naive(df, col("g"), Seq(col("id").asc), col("w"), 100L)
+      .select("id", "cum_weight", "kept").as[(Long, Long, Boolean)].collect().toSet
+    val (gotTight, planTight) = run(16L * 1024)
+    assert(gotTight == want)
+    assert(!planTight.contains("BroadcastHashJoin"),
+      s"measured key bytes exceed the gate — must not broadcast:\n$planTight")
+    // same data under a roomy gate still broadcasts (the measurement is
+    // an estimate refinement, not a blanket disable)
+    val (gotRoomy, planRoomy) = run(64L * 1024 * 1024)
+    assert(gotRoomy == want)
+    assert(planRoomy.contains("BroadcastHashJoin"),
+      s"under-gate measured size must keep the broadcast fast path:\n$planRoomy")
+  }
+
   test("hashSampleK on duplicate keys still returns exactly k rows per group (both paths)") {
     // every key appears twice — a flat violation of the unique-key
     // precondition; the ROWS-frame prefix count must still hand ties
