@@ -138,8 +138,28 @@ object Bpe {
     * count-1 word is provably outside the top-maxWords cut (the order
     * is count desc first), so the sort runs over the multi-occurrence
     * words only. The probe costs one count over the slim (word, count)
-    * aggregate, persisted across its two consumers — never the corpus. */
-  def wordHistogram(df: DataFrame, text: Column, maxWords: Int): Array[(String, Long)] = {
+    * aggregate, persisted across its two consumers — never the corpus.
+    *
+    * The filter is LOAD-BEARING, not just faster (r13 `BpeBench`, 10M
+    * docs × 20 tokens, Zipf-1 with Heaps β=1.0 — 35.0M distinct words,
+    * 24.3M singletons): without it the sort+limit's TakeOrdered driver
+    * merge ships each partition's singleton-inflated local head and
+    * ABORTS on spark.driver.maxResultSize (1038 MiB > the 1 GiB
+    * default, both runs), where the filtered leg completes in 17.6 s.
+    * In the multi-dominated regime (β=0.8: 4.33M distinct, 96% multi)
+    * the branch fires but has nothing to trim — measured parity
+    * (11.98 vs 12.16 s), identical heads. */
+  def wordHistogram(df: DataFrame, text: Column, maxWords: Int): Array[(String, Long)] =
+    wordHistogramImpl(df, text, maxWords, preFilter = true)
+
+  /** [[wordHistogram]] with the singleton pre-filter switchable — the
+    * `preFilter = false` leg exists ONLY so `graft.tools.BpeBench` can
+    * A/B the filter against the plain sort+limit on a Heaps-law
+    * vocabulary (the regime the filter was built for); production calls
+    * go through the public method and always pre-filter. */
+  private[graft] def wordHistogramImpl(
+      df: DataFrame, text: Column, maxWords: Int,
+      preFilter: Boolean): Array[(String, Long)] = {
     require(maxWords > 0, s"maxWords must be positive, got $maxWords")
     val counts = df.select(explode(split(text, "\\s+")).as("w"))
       .filter(col("w") =!= "")
@@ -147,7 +167,8 @@ object Bpe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val multi = counts.filter(col("c") >= 2)
-      val base = if (multi.count() >= maxWords) multi else counts
+      val base =
+        if (preFilter && multi.count() >= maxWords) multi else counts
       base.orderBy(col("c").desc, col("w").asc)
         .limit(maxWords)
         .collect()

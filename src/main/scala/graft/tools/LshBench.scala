@@ -110,9 +110,30 @@ object LshBench {
           try Dedup.jaccardPairs(corpus, $"doc_id", $"text", n = 3,
             minJaccardPermille = 800, maxShingleFreq = 100L)
           finally spark.conf.unset(Dedup.JaccardPairStrategyKey)
+        case capped if capped == "capped" || capped.startsWith("capped_") =>
+          // the cap observability dial at the DAG's LSH parameters:
+          // which (band, sig) buckets exceed `cap` (default = the
+          // operator default 10000; `capped_500` probes a tighter cap),
+          // with the accounting the README's LSH section publishes —
+          // dropped bucket mass and the implied candidate-pair bound
+          // (Σ C(size,2); an actual PAIR is lost only when every shared
+          // band is capped, so this bounds recall cost from above). The
+          // counts are exact data, not walls — band-independent.
+          val cap = if (capped == "capped") 10000
+            else capped.stripPrefix("capped_").toInt
+          val dial = Dedup.cappedLshBuckets(corpus, $"doc_id", $"text", 3, 8, 4, cap)
+          val acct = dial.agg(
+            count(lit(1)).as("n_buckets"),
+            coalesce(sum($"bucket_size"), lit(0L)).as("dropped_mass"),
+            coalesce(sum(expr("bucket_size * (bucket_size - 1) DIV 2")), lit(0L))
+              .as("pair_bound")).head()
+          println(s"""{"leg":"$capped","cap":$cap,"n_capped_buckets":${acct.getLong(0)},""" +
+            s""""dropped_mass":${acct.getLong(1)},"candidate_pair_bound":${acct.getLong(2)}}""")
+          Seq((cap, acct.getLong(0), acct.getLong(1), acct.getLong(2)))
+            .toDF("cap", "n_capped_buckets", "dropped_mass", "candidate_pair_bound")
         case other => throw new IllegalArgumentException(
           s"unknown leg '$other' (pairs | pairs_join | pairs_collect | sig | " +
-            "jaccard_join | jaccard_collect)")
+            "jaccard_join | jaccard_collect | capped[_N])")
       }
       // overwrite, not create: a concurrent or crashed prior invocation
       // can leave /out between this run's delete and write — the mode

@@ -167,6 +167,21 @@ class DedupSpec extends SparkSpec {
       n = 3, k = 8, bands = 4, maxBucketSize = 5)
       .select("band", "bucket_size").as[(Int, Long)].collect().toSet
     assert(reported == (0 until 4).map(b => (b, 6L)).toSet, s"got $reported")
+    // the dial's ACCOUNTING (what LshBench's `capped` leg publishes) must
+    // bound what the pair pipeline actually dropped: per capped bucket the
+    // candidate-occurrence bound is C(size, 2); a PAIR is lost only when
+    // every shared band is capped, so Σ C(size,2) ≥ pairs lost. Here the
+    // cluster floods all 4 bands: bound = 4 × C(6,2) = 60, actual loss =
+    // C(6,2) = 15 (the uncapped-minus-capped delta computed above).
+    val acct = Dedup.cappedLshBuckets(df, col("id"), col("text"),
+      n = 3, k = 8, bands = 4, maxBucketSize = 5)
+      .agg(sum(col("bucket_size")).as("mass"),
+        sum(expr("bucket_size * (bucket_size - 1) DIV 2")).as("pair_bound"))
+      .as[(Long, Long)].head()
+    assert(acct == ((24L, 60L)), s"got $acct")
+    val lost = uncapped.size - capped.size
+    assert(lost == 15 && lost <= acct._2,
+      s"pairs lost $lost must be within the dial's bound ${acct._2}")
   }
 
   test("hot-bucket cap keeps a pair whose FIRST shared band is capped but a later band survives") {
