@@ -344,22 +344,34 @@ object PipelineQueries {
     // only the threshold differs, by construction.
     "q76_dup_components_dist" -> ((s, d) => dupComponents(s, d, 0L)),
 
+    // Block width 24 (r13, was 50): the loop's round count follows the
+    // root-chain diameter ≈ log₂(fragments/chain), and the loop
+    // property worth oracling is MULTI-PAIR propagation — labels
+    // flowing between fused round-pairs — which needs ≥2 WORKING pairs,
+    // i.e. diameter in [5, 16] under path halving. Measured same
+    // session at sf0.1 (GRAFT_CC_DEBUG round logs): block 50 → ~15
+    // fragments/chain, 3 working pairs + detect, 2.79 s; block 12 →
+    // ~3 fragments, pair 1 finishes everything (propagation NOT
+    // exercised — too far); block 24 → 2 working pairs + detect
+    // (sums change across pairs), 2.63 s. So 24 is the geometry
+    // minimum that keeps the loop-forcing property; the residual cost
+    // is the contraction/assignment jobs, not excess rounds.
     // q78: the contraction's partitioner-aware min-label stitch LOOP,
     // forced at oracle scale. q76 cannot reach it: the toy dup graph's
     // components are single pairs, each contracted inside its own
     // partition, so the stitched root graph has ZERO edges and the loop
     // trivially skips — the loop's arithmetic was only ever spec-tested.
     // This query builds a graph the loop MUST solve: map-side chain
-    // edges (doc_id → doc_id−1 within blocks of 50), hash-repartitioned
+    // edges (doc_id → doc_id−1 within blocks of 24), hash-repartitioned
     // on src so every chain straddles many partitions — level 1's
     // per-partition union-find then yields multiple roots per chain and
     // the stitched root graph is itself chain-shaped, exactly the
     // worst-case diameter the RDD min-label loop exists for. threshold 0
     // forces the distributed gate at BOTH levels. The oracle is closed
     // form (component min = the block floor), so DuckDB hash-checks the
-    // loop's labels exactly at every SF. Toy cost (~2.5 s at sf0.1, the
+    // loop's labels exactly at every SF. Toy cost (~2.6 s at sf0.1, the
     // suite's most expensive query) is FIXED stitch-round overhead: the
-    // ~30-fragment root chains take ~4 fused label rounds, each a
+    // fragmented root chains take multiple fused label rounds, each a
     // scheduler round-trip over a few-hundred-edge graph — the same
     // documented price q75/q76 pay for oracling an at-scale plan path,
     // amortized to noise on a real >10M-edge graph (ComponentsBench).
@@ -371,7 +383,7 @@ object PipelineQueries {
     "q78_chain_components_dist" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val edges = docs
-        .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .filter(pmod(col("doc_id"), lit(24)) =!= 0)
         .select(col("doc_id").as("src"), (col("doc_id") - 1L).as("dst"))
         .repartition(32, col("src"))
       Components.connectedComponents(
@@ -921,11 +933,11 @@ object PipelineQueries {
     // q76: the distributed contraction path must be EXACT — same oracle
     m += "q76_dup_components_dist" -> q32Sql
 
-    // q78: block-chain graph (doc_id → doc_id−1 within blocks of 50), so
+    // q78: block-chain graph (doc_id → doc_id−1 within blocks of 24), so
     // the component min is the block floor in closed form — no recursive
     // CTE needed, and the stitch loop's labels hash-check exactly
     m += "q78_chain_components_dist" ->
-      """SELECT doc_id, doc_id - doc_id % 50 AS component_id
+      """SELECT doc_id, doc_id - doc_id % 24 AS component_id
         |FROM documents""".stripMargin
 
     // q32's component closure + q48's hash-bucket assignment, keyed on the
