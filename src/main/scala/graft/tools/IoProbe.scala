@@ -18,6 +18,13 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * under ~3 s on a healthy volume while being large enough that a
   * degraded band (≪ the healthy ~800-900 MB/s this host shows idle)
   * is unmistakable.
+  *
+  * "Direct" above means direct ByteBuffers, NOT O_DIRECT — the write
+  * goes through the page cache and the fsync pays buffered WRITEBACK,
+  * deliberately: that is the path Spark shuffle spills take, and this
+  * host throttles it specifically (r13 measured the buffered probe at
+  * 26-106 MB/s in the same minutes an O_DIRECT `dd` ran 333-651).
+  * An O_DIRECT spot check is therefore NOT comparable to these rows.
   */
 object IoProbe {
 
