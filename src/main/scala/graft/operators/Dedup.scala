@@ -455,6 +455,29 @@ object Dedup {
       .filter(col("jaccard_permille") >= minJaccardPermille)
   }
 
+  /** Observability dial for [[jaccardPairs]]' hot-shingle cap — the
+    * jaccard-side sibling of [[cappedLshBuckets]]: which shingle hashes
+    * exceed `maxShingleFreq` document frequency (and so are dropped from
+    * the inverted index by BOTH pair strategies), with their exact df.
+    * Dropping a shingle from the index removes it from `common` but not
+    * from the Jaccard DENOMINATOR (per-doc sizes count it), so the dial's
+    * rows are exactly the per-pair intersection mass the cap can shave.
+    *
+    * Scale shape: one map-side-combined aggregate over the slim
+    * (hash) explode — hot shingles are precisely the keys partial
+    * aggregation collapses best; nothing corpus-sized shuffles. The
+    * NULL-id / empty-shingle filters mirror [[jaccardPairs]]' entry
+    * filters so the dial counts the df the pipeline actually sees.
+    * → (h, df_count), df_count > maxShingleFreq. */
+  def hotShingles(
+      df: DataFrame, id: Column, text: Column, n: Int,
+      maxShingleFreq: Long): DataFrame =
+    df.select(id.as("doc"), shingleHashes(text, n).as("hs"))
+      .filter(col("doc").isNotNull && size(col("hs")) > 0)
+      .select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") > maxShingleFreq)
+
   /** Bag-of-words cosine near-dup pairs over token-FREQUENCY vectors —
     * the sparse-vector sibling of [[jaccardPairs]] (Jaccard sees a
     * shingle once; cosine weights by how often a token repeats, so it

@@ -484,6 +484,15 @@ object PipelineQueries {
         emb, cents, minScoreQ = 400000L, Similarity.quantizedDot, nassign = 3)
     }),
 
+    // q81: the hot-shingle cap's observability dial (jaccard-side
+    // sibling of cappedLshBuckets) — which shingle hashes exceed the df
+    // cap, with exact df. Threshold 5 is calibrated to the testdata (max
+    // df 9/7/25 at sf0.001/0.01/0.1) so the dial returns rows at EVERY
+    // SF — an always-empty oracle would prove nothing.
+    "q81_hot_shingles" -> ((s, d) =>
+      Dedup.hotShingles(Tables.documents(s, d), col("doc_id"), col("text"),
+        n = 3, maxShingleFreq = 5L)),
+
     // incremental dedup: docs with doc_id % 7 == 0 play today's crawl
     // increment, the rest the already-indexed corpus (signatures persisted,
     // only candidates re-shingled — see Dedup.incrementalNearDupPairs)
@@ -1718,6 +1727,14 @@ object PipelineQueries {
          |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.rr)
          |SELECT id AS vec_id, MIN(rr) AS component_id, id = MIN(rr) AS keep
          |FROM reach GROUP BY id""".stripMargin
+
+    // q81: the same shingle-hash space as every dedup oracle; the dial
+    // is plain SQL — df per hash over the per-doc DISTINCT shingles
+    m += "q81_hot_shingles" ->
+      s"""WITH ${DuckSql.shingleCtes}
+         |SELECT h, COUNT(*) AS df_count
+         |FROM (SELECT doc_id, unnest(hs) AS h FROM hashed)
+         |GROUP BY h HAVING COUNT(*) > 5""".stripMargin
 
     m.result()
   }

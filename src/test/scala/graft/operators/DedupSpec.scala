@@ -508,6 +508,38 @@ class DedupSpec extends SparkSpec {
     assert(inc == batch, s"incremental $inc != batch $batch")
   }
 
+  test("hotShingles: the dial reports exactly the shingles the jaccard cap drops") {
+    // 6 docs share the boilerplate run "copyright footer text" (one hot
+    // 3-gram, df=6); docs 7/8 share a private near-dup 3-gram (df=2)
+    val df = ((1 to 6).map(i => (i.toLong, s"copyright footer text unique$i ending$i")) ++ Seq(
+      (7L, "the quick brown fox leaps"),
+      (8L, "the quick brown fox sleeps")))
+      .toDF("doc_id", "text")
+    // dial at cap 5: ONLY the boilerplate shingle is hot
+    val hot = Dedup.hotShingles(df, col("doc_id"), col("text"), n = 3, maxShingleFreq = 5L)
+      .as[(Long, Long)].collect()
+    assert(hot.map(_._2).toSeq == Seq(6L), s"got ${hot.toSeq}")
+    // and the reported hash is the boilerplate 3-gram's hash
+    val expectedHash = df.filter(col("doc_id") === 1)
+      .select(explode(Dedup.shingleHashes(col("text"), 3)).as("h"))
+      .intersect(df.filter(col("doc_id") === 2)
+        .select(explode(Dedup.shingleHashes(col("text"), 3)).as("h")))
+      .as[Long].collect().toSet
+    assert(hot.map(_._1).toSet == expectedHash)
+    // the cap's effect on the pair pipeline matches the dial: with the
+    // hot shingle dropped, docs 1-6 share NOTHING (their other grams are
+    // unique), so no 1-6 pair reaches any threshold; 7/8 survive. The
+    // dial row is precisely the intersection mass the cap shaved.
+    val pairs = Dedup.jaccardPairs(df, col("doc_id"), col("text"), n = 3,
+      minJaccardPermille = 1, maxShingleFreq = 5L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((7L, 8L)), s"got $pairs")
+    // uncapped control: the boilerplate pairs come back
+    val all = Dedup.jaccardPairs(df, col("doc_id"), col("text"), n = 3,
+      minJaccardPermille = 1).count()
+    assert(all == 15 + 1)
+  }
+
   test("autoSketchMaxBytes: strategy-aware divisor, total-budget floor, and explicit-conf precedence") {
     val heap = Runtime.getRuntime.maxMemory
     // local master ⇒ auto resolves shared ⇒ ONE sketch: heap/8 (above

@@ -91,6 +91,20 @@ class SimilaritySpec extends SparkSpec {
     assert(viaWith == direct)
   }
 
+  test("saveCells/loadCells round-trip: the persisted quantizer serves identically") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val cents = Similarity.fitCells(emb, nlist = 4, maxIter = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cells").toString
+    Similarity.saveCells(cents, s"$dir/cells")
+    val loaded = Similarity.loadCells(spark, s"$dir/cells")
+    val fresh = Similarity.ivfTopKWithCentroids(queries, emb, 3, 2, cents,
+      Similarity.quantizedDot).collect().toSet
+    val served = Similarity.ivfTopKWithCentroids(queries, emb, 3, 2, loaded,
+      Similarity.quantizedDot).collect().toSet
+    assert(served == fresh)
+  }
+
   test("int8Quantize: reconstruction within a quantization step, zero-vector safe") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").limit(100)
