@@ -212,6 +212,17 @@ object CurationBench {
       // 10M docs — broadcasting them keeps the corpus-carrying side of
       // stages 05c/06b map-side instead of shuffling 6 GB of text
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "128m")
+      // SPARK_GRAFT_BENCH_CODEC=zstd shrinks the materialized stage
+      // parquet ~30-40% vs the snappy default — the knob that lets the
+      // 60M point fit a scratch volume it no longer fits under snappy
+      // (r13: two 60M attempts died at 05c on device space with ~79 GB
+      // free; the DAG transiently holds stage outputs + the 05c corpus
+      // shuffle). Changing the codec changes the CPU/IO trade, so walls
+      // under zstd are their own series — never compare them to the
+      // published snappy walls; the codec is stamped into every JSON
+      // row for exactly that reason.
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CODEC", "snappy"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     BenchUtil.enableOperatorInfoLogs()
@@ -396,8 +407,9 @@ object CurationBench {
     val stagesJson = stages.map { case (k, v) =>
       f""""$k":{"sec":${v.min}%.2f,"rows_out":${rowsOut(k)}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"curation_stages","n_docs":$n,"runs":$runs,"skew":$skew,"bpe":$bpe,"stages":$stagesJson}""")
-    println(f"""{"metric":"curation_total","n_docs":$n,"skew":$skew,"bpe":$bpe,"sec":$total%.2f,"docs_per_sec":${n / total}%.0f,"final_rows":${rowsOut.last._2}}""")
+    val codec = spark.conf.get("spark.sql.parquet.compression.codec")
+    println(s"""{"metric":"curation_stages","n_docs":$n,"runs":$runs,"skew":$skew,"bpe":$bpe,"codec":"$codec","stages":$stagesJson}""")
+    println(f"""{"metric":"curation_total","n_docs":$n,"skew":$skew,"bpe":$bpe,"codec":"$codec","sec":$total%.2f,"docs_per_sec":${n / total}%.0f,"final_rows":${rowsOut.last._2}}""")
     println(IoProbe.row("post", root))
     fs.delete(new Path(root), true)
     spark.stop()
