@@ -118,7 +118,11 @@ object BpeBench {
         if (expect == null) expect = head
         else require(expect.sameElements(head),
           s"leg '$leg' run $run produced a different head — the pre-filter must be exact")
-        best(leg) = math.min(best.getOrElse(leg, Double.MaxValue), sec)
+        // a -1 failure sentinel from an earlier run is REPLACED by a
+        // real wall, not min'd with it (min(-1, sec) would report the
+        // failure forever even after a successful run)
+        val prior = best.get(leg).filter(_ >= 0)
+        best(leg) = math.min(prior.getOrElse(Double.MaxValue), sec)
         println(f"""{"leg":"$leg","run":$run,"sec":$sec%.2f,"head_rows":${head.length}}""")
       } catch { case e: Throwable =>
         jobs.clear()
