@@ -48,7 +48,22 @@ import graft.operators.Bpe
   */
 object BpeBench {
 
-  private val TokensPerDoc = 20
+  private[tools] val TokensPerDoc = 20
+
+  /** The Zipf/Heaps generator (see object doc): `TokensPerDoc` words per
+    * doc, each token (d, j) drawing rank = ⌊V^u⌋ with u ∈ (0,1) from
+    * xxhash64(d, j) and V = (n · TokensPerDoc)^β — P(rank = r) ∝ 1/r.
+    * Deterministic function of doc_id; factored out of main so the spec
+    * can pin the law the published pre-filter claim rests on. */
+  private[tools] def synth(spark: SparkSession, n: Long, beta: Double): org.apache.spark.sql.DataFrame = {
+    val vocab = math.pow(n.toDouble * TokensPerDoc, beta)
+    val mod = 1073741824L // 2^30: u resolution
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(TokensPerDoc)), j =>
+        concat(lit("w"), floor(exp(
+          ((pmod(xxhash64(col("id"), j), lit(mod)).cast("double") + 0.5) / mod.toDouble)
+            * math.log(vocab))).cast("long")))).as("text"))
+  }
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
@@ -78,15 +93,8 @@ object BpeBench {
       if (beta == 0.8) s"$root/corpus_$n" else f"$root/corpus_${n}_b$beta%.2f")
     if (fs.exists(corpusPath) && !fs.exists(new Path(corpusPath, "_SUCCESS")))
       fs.delete(corpusPath, true)
-    if (!fs.exists(corpusPath)) {
-      val mod = 1073741824L // 2^30: u resolution
-      spark.range(n).select(col("id").as("doc_id"),
-        concat_ws(" ", transform(sequence(lit(1), lit(TokensPerDoc)), j =>
-          concat(lit("w"), floor(exp(
-            ((pmod(xxhash64(col("id"), j), lit(mod)).cast("double") + 0.5) / mod.toDouble)
-              * math.log(vocab))).cast("long")))).as("text"))
-        .write.parquet(corpusPath.toString)
-    }
+    if (!fs.exists(corpusPath))
+      synth(spark, n, beta).write.parquet(corpusPath.toString)
     val corpus = spark.read.parquet(corpusPath.toString)
 
     // one stats pass so the published row states whether the branch fires
