@@ -334,6 +334,8 @@ object Components {
     log.info(s"components contraction: $nRootEdges stitch edges")
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(s"[cc] contraction: $nRootEdges stitch edges")
+    lastStitchLoopStats.set((-1, -1)) // reset: a single-task or zero-edge
+    // stitch must not report a PREVIOUS call's loop stats
     val rootLabels: Option[org.apache.spark.rdd.RDD[(Long, Long)]] =
       if (nRootEdges == 0L) None // every component was partition-local
       // the threshold contract is stated in SYMMETRIZED rows, so the
@@ -385,6 +387,19 @@ object Components {
         org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("comp", org.apache.spark.sql.types.LongType, nullable = false))))
   }
+
+  /** Spec observability seam: (workingPairs, totalPairs) of the most
+    * recent RDD stitch loop run on THIS thread — workingPairs counts the
+    * fused round-pairs whose label sum CHANGED (the propagation the q78
+    * chain oracle exists to force; its geometry claim is that ≥2 such
+    * pairs run, i.e. labels flow BETWEEN pairs), totalPairs includes the
+    * final convergence-detect pair. (-1, -1) = the loop did not run in
+    * the last [[connectedComponents]] call (zero root edges, or the
+    * single-task union-find branch). Thread-local because test suites
+    * share one JVM in parallel; the loop's actions run synchronously on
+    * the calling thread, so the value is complete when the call returns. */
+  private[graft] val lastStitchLoopStats: ThreadLocal[(Int, Int)] =
+    ThreadLocal.withInitial(() => (-1, -1))
 
   /** Min-label + path-halving fixpoint over a symmetrized,
     * `part`-partitioned, persisted edge RDD — the iterative half of the
@@ -440,6 +455,8 @@ object Components {
     }
     var converged = false
     var i = 0
+    var workingPairs = 0
+    var totalPairs = 0
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && i < maxIter) {
       // fused pair: labels only ever decrease, so checking convergence
@@ -462,10 +479,13 @@ object Components {
       prev.unpersist(blocking = false)
       reliableDir.foreach(pruneCheckpoints(sc, _, keepLowest = 1))
       converged = s == prevSum
+      totalPairs += 1
+      if (!converged) workingPairs += 1
       prevSum = s
       i += steps
       if (dbg) println(s"[cc] rdd round $i sum=$s")
     }
+    lastStitchLoopStats.set((workingPairs, totalPairs))
     labels
   }
 

@@ -148,4 +148,31 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(5L -> 5L, 6L -> 6L))
   }
+
+  test("q78 geometry: block-24 chains force >= 2 WORKING stitch pairs") {
+    // the q78 oracle exists to value-test MULTI-PAIR label propagation
+    // (labels flowing between fused round-pairs). That property holds
+    // only while the chain geometry fragments each block into a root
+    // chain of diameter >= 5 — this pins it as data (via the loop-stats
+    // seam) so a partitioning or block-width drift can't silently
+    // reduce q78 to a single-working-pair oracle. Same shape as the
+    // registered query: blocks of 24, hash-repartitioned on src,
+    // threshold 0 forcing the distributed gate at both levels.
+    val n = 2400L
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+    val edges = docs
+      .filter(pmod(col("doc_id"), lit(24)) =!= 0)
+      .select(col("doc_id").as("src"), (col("doc_id") - 1L).as("dst"))
+      .repartition(32, col("src"))
+    val labels = Components.connectedComponents(
+      docs.select(col("doc_id").as("id")), edges, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect()
+    // correctness first: component min = the block floor, closed form
+    assert(labels.forall { case (id, comp) => comp == id - id % 24 })
+    val (working, total) = Components.lastStitchLoopStats.get()
+    assert(working >= 2,
+      s"q78's chain geometry must force >= 2 working stitch pairs, got ($working, $total)")
+    assert(total == working + 1,
+      s"the loop should spend exactly one convergence-detect pair, got ($working, $total)")
+  }
 }
