@@ -1751,7 +1751,9 @@ object PipelineQueries {
       "recall vs exact top-k is pinned in SimilaritySpec and MEASURED in this " +
       "registered config (nlist=16, nprobe=8) at 0.819 recall@5 vs brute force " +
       "at sf0.1, chosen off the published recall-vs-nprobe curve " +
-      "2/4/6/8/12/16 -> 0.33/0.57/0.72/0.82/0.94/1.00 (graft.tools.AnnRecallBench)",
+      "2/4/6/8/12/16 -> 0.33/0.57/0.72/0.82/0.94/1.00 (graft.tools.AnnRecallBench); " +
+      "the PLAN PATH (assignment, probing, cell join, re-rank) is hash-oracled " +
+      "end to end by the fixed-centroid twin q79_ann_ivf_fixed",
       Seq("query_id" -> "bigint", "neighbor_id" -> "bigint",
         "rank" -> "bigint", "score" -> "bigint"))),
     "q39_semdedup" -> (("SemDeDup cells are a trained k-means artifact; " +
@@ -1760,6 +1762,8 @@ object PipelineQueries {
       "0.850 of exact tau-pairs co-clustered, 0 soundness violations, chosen off " +
       "the published recall-vs-(nlist, nassign) surface — nassign 1/2/3/4 at " +
       "nlist=16 -> 0.238/0.605/0.850/0.959, all 12 swept configs violation-free " +
-      "(graft.tools.AnnRecallBench)",
+      "(graft.tools.AnnRecallBench); the PLAN PATH (overlap assignment, tau-pairs, " +
+      "components, keeper) is hash-oracled end to end by the fixed-centroid twin " +
+      "q80_semdedup_fixed",
       Seq("vec_id" -> "bigint", "component_id" -> "bigint", "keep" -> "boolean"))))
 }
