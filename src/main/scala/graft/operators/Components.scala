@@ -127,6 +127,13 @@ object Components {
     require(strategy == "contract" || strategy == "loop",
       s"$DistStrategyKey=$strategy: must be 'contract' or 'loop' — " +
         "refusing to silently pick a strategy for a typo")
+    // Reset the stitch-loop spec seam at ENTRY, not inside the contraction
+    // branch: the single-task union-find path and the distStrategy=loop
+    // path never reach the contraction, and without this a later
+    // small-graph call on the same thread would report a PREVIOUS call's
+    // loop stats — the documented (-1, -1) contract must hold on every
+    // path through this method.
+    lastStitchLoopStats.set((-1, -1))
     val sc = vertices.sparkSession.sparkContext
     // save the RAW checkpoint dir: setCheckpointDir appends a UUID segment
     // on every call, so restoring through the public setter would nest the
@@ -334,8 +341,8 @@ object Components {
     log.info(s"components contraction: $nRootEdges stitch edges")
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(s"[cc] contraction: $nRootEdges stitch edges")
-    lastStitchLoopStats.set((-1, -1)) // reset: a single-task or zero-edge
-    // stitch must not report a PREVIOUS call's loop stats
+    // (lastStitchLoopStats is reset at connectedComponents entry, so a
+    // zero-edge or single-task stitch here correctly reports (-1, -1))
     val rootLabels: Option[org.apache.spark.rdd.RDD[(Long, Long)]] =
       if (nRootEdges == 0L) None // every component was partition-local
       // the threshold contract is stated in SYMMETRIZED rows, so the

@@ -471,12 +471,19 @@ object Dedup {
     * → (h, df_count), df_count > maxShingleFreq. */
   def hotShingles(
       df: DataFrame, id: Column, text: Column, n: Int,
-      maxShingleFreq: Long): DataFrame =
+      maxShingleFreq: Long): DataFrame = {
+    // the SAME entry clamp as jaccardPairs, so dial and pipeline share one
+    // effective cap by construction — an unclamped filter here would make
+    // the dial's rows diverge from the set of shingles the pipeline drops
+    // for maxShingleFreq > 2^31−1 (the exact theoretical divergence the
+    // shared-cap contract exists to rule out)
+    val effMaxFreq = math.min(maxShingleFreq, Int.MaxValue.toLong)
     df.select(id.as("doc"), shingleHashes(text, n).as("hs"))
       .filter(col("doc").isNotNull && size(col("hs")) > 0)
       .select(explode(col("hs")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") > maxShingleFreq)
+      .filter(col("df_count") > effMaxFreq)
+  }
 
   /** Bag-of-words cosine near-dup pairs over token-FREQUENCY vectors —
     * the sparse-vector sibling of [[jaccardPairs]] (Jaccard sees a

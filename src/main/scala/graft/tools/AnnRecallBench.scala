@@ -6,12 +6,19 @@ import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
 /** Measured-recall artifact for the approximate-similarity tier — the
-  * number the `no_oracle_by_design` declarations (q27/q37/q39/q52) cite:
-  * those queries cannot hash-match a SQL oracle because their candidate
-  * generation is probabilistic (LSH) or a trained artifact (k-means
-  * cells), so their published contract is recall measured against the
-  * EXACT operators on the same data ([[Similarity.bruteForceTopK]] for
-  * top-k, the all-pairs threshold graph for SemDeDup).
+  * quality number the `rowsOnlyByDesign` declarations (q37 IVF, q39
+  * SemDeDup — the ONLY two oracle-less queries; q27 LSH and q52 int8
+  * are hash-oracled in the green surface) cite: those two cannot
+  * hash-match a SQL oracle because their candidate generation depends
+  * on trained k-means cells, so their published contract is (a) recall
+  * measured against the EXACT operators on the same data
+  * ([[Similarity.bruteForceTopK]] for top-k, the all-pairs threshold
+  * graph for SemDeDup), and (b) the fixed-centroid twins q79/q80 that
+  * hash-oracle their post-training plan paths end to end.
+  *
+  * The hash-oracled approximate queries (q27, q52) still run here for
+  * their recall curves — recall is their quality dial even though their
+  * determinism is already hash-proven.
   *
   * Each approximate query runs in ITS REGISTERED CONFIGURATION (the
   * exact parameters of q27/q37/q39/q52 in `PipelineQueries`), so the

@@ -132,7 +132,14 @@ object BpeBench {
         val prior = best.get(leg).filter(_ >= 0)
         best(leg) = math.min(prior.getOrElse(Double.MaxValue), sec)
         println(f"""{"leg":"$leg","run":$run,"sec":$sec%.2f,"head_rows":${head.length}}""")
-      } catch { case e: Throwable =>
+      } catch {
+        // the head-identity require above throws IllegalArgumentException —
+        // that is a CORRECTNESS divergence between the on/off legs, and it
+        // must abort the session (as the doc promises), not be swallowed
+        // into a {"sec":-1,"err":...} row indistinguishable from an infra
+        // death. Only genuine leg deaths (maxResultSize etc.) are recorded.
+        case e: IllegalArgumentException => throw e
+        case e: Throwable =>
         jobs.clear()
         best.getOrElseUpdate(leg, -1.0)
         val msg = BenchUtil.jsonEscape(

@@ -34,6 +34,11 @@ import graft.operators.{Bpe, Components, Contamination, Dedup, Packing, Pii, Sam
   * Per-stage rows in/out are printed as one JSON line per stage, runs
   * are repeated (min-of-2 by default) and a constant-size summary line
   * prints LAST (tail-truncation-proof, same contract as graft.Bench).
+  * The near-dup stage additionally emits its cap-observability dials
+  * ([[Dedup.cappedLshBuckets]] / [[Dedup.hotShingles]] at 05a's exact
+  * parameters, run 0 only, outside the stage timers) so the run itself
+  * records whether its caps were loose — the summary line carries them
+  * under `"dials"`.
   *
   * Usage: runMain graft.tools.CurationBench [nDocs] [runs] [skew] [proxy]
   * — the `skew` flag swaps in the adversarial corpus (see [[synth]]):
@@ -232,6 +237,10 @@ object CurationBench {
     // stage name -> (run -> sec); insertion-ordered for the report
     val stages = scala.collection.mutable.LinkedHashMap.empty[String, Array[Double]]
     val rowsOut = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // dial name -> JSON fragment; the cap-observability rows the summary
+    // line carries so an at-scale run can SHOW its caps were loose (or
+    // exactly how much they bit) without a separate LshBench session
+    val dials = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     for (run <- 0 until runs) {
       fs.delete(new Path(root), true)
@@ -314,6 +323,33 @@ object CurationBench {
       //        replaces was corpus-sized on both sides)
       val pairs = stage("05a_lsh_pairs") {
         Dedup.minhashNearDupPairs(exact, $"doc_id", $"text", 3, 8, 4, 800)
+      }
+      // Cap-observability dials for the near-dup stage, at 05a's exact
+      // parameters — the audit question an at-scale run must answer about
+      // itself: did the LSH bucket cap (operator default 10000) silently
+      // shave candidate mass on THIS corpus, and is there hot-shingle df
+      // mass a jaccard-side pass would cap? COUNTS — exact, deterministic
+      // across runs (dial once, run 0) and band-independent — computed
+      // OUTSIDE the stage timer so walls stay comparable to prior rounds.
+      // Columns mirror LshBench's capped-leg accounting (a lost PAIR
+      // needs every shared band capped, so pair_bound is an upper bound
+      // on recall cost).
+      if (run == 0) {
+        val lsh = Dedup.cappedLshBuckets(exact, $"doc_id", $"text", 3, 8, 4, 10000)
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum($"bucket_size"), lit(0L)).as("mass"),
+            coalesce(sum(expr("bucket_size * (bucket_size - 1) DIV 2")), lit(0L))
+              .as("bound")).head()
+        dials("05a_lsh_bucket_cap") =
+          s""""cap":10000,"n_capped_buckets":${lsh.getLong(0)},""" +
+            s""""dropped_mass":${lsh.getLong(1)},"candidate_pair_bound":${lsh.getLong(2)}"""
+        val hot = Dedup.hotShingles(exact, $"doc_id", $"text", 3, 1000000L)
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum($"df_count"), lit(0L)).as("mass")).head()
+        dials("05a_hot_shingles") =
+          s""""max_shingle_freq":1000000,"n_hot_shingles":${hot.getLong(0)},""" +
+            s""""hot_df_mass":${hot.getLong(1)}"""
+        dials.foreach { case (k, v) => println(s"""{"dial":"$k","n_docs":$n,$v}""") }
       }
       val verdicts = stage("05b_dedup_verdicts") {
         val touched = pairs.select($"a_id".as("id"))
@@ -408,7 +444,8 @@ object CurationBench {
       f""""$k":{"sec":${v.min}%.2f,"rows_out":${rowsOut(k)}}"""
     }.mkString("{", ",", "}")
     val codec = spark.conf.get("spark.sql.parquet.compression.codec")
-    println(s"""{"metric":"curation_stages","n_docs":$n,"runs":$runs,"skew":$skew,"bpe":$bpe,"codec":"$codec","stages":$stagesJson}""")
+    val dialsJson = dials.map { case (k, v) => s""""$k":{$v}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"curation_stages","n_docs":$n,"runs":$runs,"skew":$skew,"bpe":$bpe,"codec":"$codec","dials":$dialsJson,"stages":$stagesJson}""")
     println(f"""{"metric":"curation_total","n_docs":$n,"skew":$skew,"bpe":$bpe,"codec":"$codec","sec":$total%.2f,"docs_per_sec":${n / total}%.0f,"final_rows":${rowsOut.last._2}}""")
     println(IoProbe.row("post", root))
     fs.delete(new Path(root), true)

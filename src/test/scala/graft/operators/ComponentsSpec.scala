@@ -174,5 +174,17 @@ class ComponentsSpec extends SparkSpec {
       s"q78's chain geometry must force >= 2 working stitch pairs, got ($working, $total)")
     assert(total == working + 1,
       s"the loop should spend exactly one convergence-detect pair, got ($working, $total)")
+
+    // reset contract: a later call on the SAME thread that never reaches
+    // the stitch loop (here: the single-task union-find path) must report
+    // (-1, -1), not this call's stats — the reset happens at
+    // connectedComponents entry, so it covers every path, including the
+    // localUnionFind and distStrategy=loop branches that never enter the
+    // contraction
+    val tiny = Seq((1L, 2L)).toDF("src", "dst")
+    Components.connectedComponents(
+      Seq(1L, 2L).toDF("id"), tiny).as[(Long, Long)].collect()
+    assert(Components.lastStitchLoopStats.get() == ((-1, -1)),
+      "a small-graph call must not report a previous call's loop stats")
   }
 }

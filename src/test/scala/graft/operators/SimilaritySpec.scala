@@ -105,6 +105,32 @@ class SimilaritySpec extends SparkSpec {
     assert(served == fresh)
   }
 
+  test("loadCells serves the q79 twin identically: the persisted table IS the quantizer") {
+    // the serving shape's actual claim, pinned on the HASH-ORACLED q79
+    // fixture itself: save the q79 fixed cell table, load it back, run the
+    // exact registered configuration (k=5, nprobe=4, quantizedDot over the
+    // first-64-vec query set) through the loaded quantizer, and assert
+    // row-set equality with the registered query — so the persisted
+    // artifact provably reproduces a result whose value surface DuckDB
+    // hash-verifies every round.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val registered = graft.SparkEntry.queries("q79_ann_ivf_fixed")(spark, sfDir)
+      .collect().toSet
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell_id"), col("embedding").as("centroid"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cells_q79").toString
+    Similarity.saveCells(cents, s"$dir/cells")
+    val loaded = Similarity.loadCells(spark, s"$dir/cells")
+    val served = Similarity.ivfTopKWithCentroids(
+      emb.filter(col("vec_id") < 64), emb, k = 5, nprobe = 4, loaded,
+      Similarity.quantizedDot)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        col("score"))
+      .collect().toSet
+    assert(served == registered)
+    assert(served.nonEmpty)
+  }
+
   test("int8Quantize: reconstruction within a quantization step, zero-vector safe") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").limit(100)
