@@ -14,8 +14,34 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * directory of many files; nothing here assumes a single file.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred-schema memo per (path, nanosAsLong). `spark.read.parquet`
+    * re-infers the schema on EVERY call — a parquet footer read plus
+    * converter setup measured at ~110 ms per call on this host, paid
+    * inside the bench's timed region once per table REFERENCE per run
+    * (a 5-table join pays it five times). The schema of an immutable
+    * input is pure metadata, so it is inferred once per JVM and passed
+    * back explicitly (`.schema(...)`) — the standard explicit-schema
+    * practice; the DATA is still read from parquet by every action
+    * (nothing about results, listings, or row content is cached — Spark
+    * plans and scans the files exactly as before, ~18 ms per call).
+    * Keyed on the `nanosAsLong` session flag too because it changes the
+    * inferred type of `events.ts` (LongType vs TimestampNTZ) — one JVM
+    * hosting sessions with both settings must not cross-poison. NOTE the
+    * memo assumes a path's schema is stable for the JVM's lifetime (true
+    * for the driver testdata and every generated-dataset dir, which are
+    * written once under fresh paths); rewriting one path with a NEW
+    * schema in-process would require a fresh JVM — same contract as
+    * Spark's own session-scoped file-listing cache. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val nanosFlag = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val schema = schemaCache.computeIfAbsent(
+      (path, nanosFlag), _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
