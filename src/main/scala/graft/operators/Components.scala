@@ -74,6 +74,22 @@ object Components {
     * silently diverge from the library default. */
   val DefaultLocalEdgeThreshold: Long = 10000000L
 
+  /** Byte gate for broadcasting the LABELS side of the final
+    * vertex-assignment join. The labels table is touched-vertex-sized
+    * (≤ symmetrized edge rows — pair-graph-sized, orders of magnitude
+    * below the corpus), but it is RDD-backed, so Catalyst sees UNKNOWN
+    * stats (`defaultSizeInBytes` = huge) and can never choose broadcast
+    * on its own: the plan was a SortMergeJoin that exchanged and sorted
+    * the CORPUS-sized vertex table just to attach pair-sized labels.
+    * The operator has already MEASURED the edge count (the same count
+    * that picks the execution path), so the gate is measured bytes —
+    * 16 B/label row, bounded by symCount — not an estimate. Above the
+    * gate the shuffled join stands: at that size the broadcast would
+    * strain the driver and every executor, and the corpus exchange is
+    * the honest cost. Conf, not hardcode: executor/driver memory varies. */
+  val BroadcastLabelsMaxBytesKey = "spark.graft.components.broadcastLabelsMaxBytes"
+  val BroadcastLabelsMaxBytesDefault: Long = 64L * 1024 * 1024
+
   /** → (id, component_id = min reachable id). `vertices` must have column
     * `id`; `edges` columns `src`/`dst` (undirected: both orientations are
     * generated internally). Isolated vertices keep their own id.
@@ -209,14 +225,26 @@ object Components {
               symSnap.release()
               ll
             } else {
-              val ll = contractedLabels(raw, maxIter, ourDir, localEdgeThreshold)
+              val ll = contractedLabels(raw, symCount, maxIter, ourDir, localEdgeThreshold)
               rawSnap.release()
               ll
             }
           l
         }
+      // attach labels to the full vertex set. Labels cover only
+      // edge-touched vertices (≤ symCount rows, 16 B each); when that
+      // measured bound fits the broadcast gate, hint it — the corpus
+      // side then streams map-side with NO exchange and NO sort (the
+      // un-hinted plan was a SortMergeJoin exchanging the corpus-sized
+      // vertex table, because the RDD-backed labels frame has unknown
+      // stats and auto-broadcast never fires on it).
+      val gate = vertices.sparkSession.sessionState.conf
+        .getConfString(BroadcastLabelsMaxBytesKey, BroadcastLabelsMaxBytesDefault.toString).toLong
+      val labelsRenamed = labels.withColumnRenamed("id", "__lid")
+      val labelsHinted =
+        if (symCount * 16L <= gate) broadcast(labelsRenamed) else labelsRenamed
       vertices.select(col("id"))
-        .join(labels.withColumnRenamed("id", "__lid"), col("id") === col("__lid"), "left")
+        .join(labelsHinted, col("id") === col("__lid"), "left")
         .select(col("id"),
           coalesce(col("comp"), col("id").cast("long")).as("component_id"))
     } finally {
@@ -314,13 +342,23 @@ object Components {
     * local component containing it, hence always itself a root — so the
     * min over its root-graph component is exactly the component min. */
   private def contractedLabels(
-      raw: DataFrame, maxIter: Int, reliableDir: Option[String],
+      raw: DataFrame, symCount: Long, maxIter: Int, reliableDir: Option[String],
       localEdgeThreshold: Long): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = raw.sparkSession
     val reliable = reliableDir.isDefined
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val part = new org.apache.spark.HashPartitioner(nPart)
+    // Partitioner sized to the MEASURED edge mass, capped by
+    // shuffle.partitions — the same ~100k-sym-rows-per-partition rule the
+    // stitch loop's rootPart already applies. Above threshold on a real
+    // corpus (>10M sym rows) this saturates to shuffle.partitions, so
+    // production plans are unchanged; a small FORCED graph (threshold 0 —
+    // the oracle twins, or a spec) stops scheduling `shuffle.partitions`
+    // mostly-empty tasks per contraction stage (level-2 exchange, minRoot,
+    // stitch distinct, assignment join — measured as fixed per-stage
+    // scheduler cost at 32 partitions on few-hundred-edge graphs).
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1L, math.min(nPart.toLong, symCount / 100000L + 1L)).toInt)
     // level 1: narrow contraction (zero shuffle), then ONE vertex-keyed
     // exchange of the (vertex, local root) rows — ≤ one row per touched
     // vertex per partition, i.e. vertex-sized plus boundary overlap

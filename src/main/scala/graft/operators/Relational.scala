@@ -26,15 +26,113 @@ object Relational {
 
   /** Keep exactly one row per group: the first under `order`. Deterministic
     * iff `order` is a total order within each group (callers append a unique
-    * id as the last sort key). Implemented as a rank-window rather than
-    * `groupBy(min_by)` so ALL columns of the winning row survive without
-    * packing into a struct; at scale this is one shuffle on `partitionBy`.
+    * id as the last sort key).
+    *
+    * Execution: when every sort key is encodable as an order-preserving
+    * struct field (any type ascending; descending for numeric / date /
+    * timestamp via negation), the winner is computed as
+    * `min(struct(encodedKeys…, originalRow))` — ONE hash aggregate with
+    * map-side partial aggregation, so each map partition ships at most one
+    * candidate row per group through the exchange and nothing is ever
+    * sorted (optimization-guide §2.3 "aggregate before you shuffle": the
+    * former rank-window shape sorted every partition in full and, via its
+    * partial WindowGroupLimit, serialized that full sort onto the scan
+    * stage's tasks). A sort spec outside the encodable set (descending
+    * strings, descending nulls-first intervals, …) falls back to the
+    * rank-window shape, plan-for-plan the r13 form. Both paths return the
+    * winning row with ALL original columns; with a total order the winner
+    * is identical by construction (encodings are strictly
+    * order-preserving), which the q10/q11/q12 DuckDB hash oracles check
+    * end to end.
+    *
+    * Caller note: the aggregate path packs the row into a struct, which
+    * column pruning cannot see through — `.select(...)` the columns you
+    * actually keep BEFORE calling when `df` is wide (guide §2.3), or the
+    * scan reads every column.
     */
-  def topOnePerGroup(df: DataFrame, partitionBy: Seq[Column], order: Seq[Column]): DataFrame = {
+  def topOnePerGroup(df: DataFrame, partitionBy: Seq[Column], order: Seq[Column]): DataFrame =
+    aggTopOne(df, partitionBy, order).getOrElse(windowTopOne(df, partitionBy, order))
+
+  /** The rank-window shape — the fallback for sort specs outside
+    * [[aggTopOne]]'s encodable set, and the deliberate choice where a
+    * same-keyed exchange + sort ALREADY exists in the plan (see
+    * [[relativeThresholdTopOne]]): there the rank rides that sort for
+    * free, and the aggregate would only add per-row struct work. */
+  private def windowTopOne(
+      df: DataFrame, partitionBy: Seq[Column], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(partitionBy: _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  /** The aggregate path of [[topOnePerGroup]]: None when a sort key is not
+    * order-preservingly encodable (the caller then uses the window path).
+    *
+    * Encoding, per sort key, as struct fields compared lexicographically:
+    *   - a null-rank INT first (0/1 by nulls-first/last), so the encoding
+    *     NEVER relies on how struct comparison orders a null field;
+    *   - the value itself for ascending (nulls replaced by a typed
+    *     neutral constant — the null-rank has already decided);
+    *   - for descending numerics the NEGATED value widened first (int →
+    *     long, long → decimal(20,0)) so MinValue cannot overflow; floats
+    *     and doubles get an extra NaN-rank field (descending places NaN
+    *     first — negation alone would send it last); dates/timestamps
+    *     negate their epoch day/micros.
+    *
+    * Every encoding is strictly order-preserving, so min over the encoded
+    * struct picks exactly the row the rank window ranked first whenever
+    * `order` is a total order per group. (When it is NOT total the window
+    * pick was partition-dependent — the aggregate's full-row min is at
+    * least deterministic.) */
+  private def aggTopOne(
+      df: DataFrame, partitionBy: Seq[Column], order: Seq[Column]): Option[DataFrame] = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types._
+    // duplicate column names cannot be packed into (and restored from) a
+    // payload struct unambiguously — window path handles them as before
+    if (df.columns.distinct.length != df.columns.length) return None
+    val specs: Seq[(Column, Boolean, Boolean)] = order.map { c =>
+      Bridge.sortSpec(c).getOrElse((c, false, false)) // bare column: asc nulls first
+    }
+    // resolve the sort keys' types without executing anything
+    val types = df.select(specs.zipWithIndex.map { case ((c, _, _), i) => c.as(s"__t$i") }: _*)
+      .schema.map(_.dataType)
+    // a null VALUE field is only ever compared against another null (the
+    // null-rank decided mixed cases already), and null == null is a
+    // consistent tie in struct comparison — no coalesce needed anywhere
+    val encoded: Seq[Option[Seq[Column]]] = specs.zip(types).map { case ((c, desc, nullsLast), t) =>
+      val nullRank = when(c.isNull, lit(if (nullsLast) 1 else 0))
+        .otherwise(lit(if (nullsLast) 0 else 1))
+      if (!desc) Some(Seq(nullRank, c))
+      else t match {
+        case ByteType | ShortType | IntegerType =>
+          Some(Seq(nullRank, -c.cast("long"))) // widened: MinValue-safe
+        case LongType =>
+          Some(Seq(nullRank, -c.cast(DecimalType(20, 0))))
+        case FloatType | DoubleType =>
+          // descending places NaN FIRST (NaN is greatest); negation alone
+          // would keep NaN last, so a NaN-rank field decides before it
+          val nanRank = when(c.isNull, lit(1)).when(isnan(c), lit(0)).otherwise(lit(1))
+          Some(Seq(nullRank, nanRank, -c.cast("double")))
+        case DateType =>
+          Some(Seq(nullRank, -unix_date(c).cast("long")))
+        case TimestampType =>
+          Some(Seq(nullRank, -unix_micros(c)))
+        case TimestampNTZType => // tz shift of the cast is monotone: order-preserving
+          Some(Seq(nullRank, -unix_micros(c.cast(TimestampType))))
+        case _: DecimalType =>
+          Some(Seq(nullRank, -c))
+        case _ => None // descending strings/binary/etc: window path
+      }
+    }
+    if (encoded.exists(_.isEmpty)) return None
+    val sortFields = encoded.flatMap(_.get).zipWithIndex.map { case (c, i) => c.as(s"__s$i") }
+    val payload = struct(df.columns.map(col): _*).as("__p")
+    val win = df
+      .groupBy(partitionBy: _*)
+      .agg(min(struct(sortFields :+ payload: _*)).as("__w"))
+    Some(win.select(df.columns.map(n => col(s"__w.__p.`$n`")): _*))
   }
 
   /** SURVEY A4 (`src/benchmark.py:43-49,128-133`): within each group, drop
@@ -53,7 +151,12 @@ object Relational {
       .withColumn("__maxscore", max(score).over(wAll))
       .filter(score * factor >= col("__maxscore"))
       .drop("__maxscore")
-    topOnePerGroup(kept, partitionBy, order)
+    // window, not the aggregate path: the threshold window above has
+    // already exchanged AND sorted on `partitionBy`, so the rank window
+    // reuses that one exchange/sort for free — measured (r14, q11): the
+    // aggregate here was ~+0.1 s of pure per-row struct-build overhead
+    // with zero exchanges saved
+    windowTopOne(kept, partitionBy, order)
   }
 
   /** SURVEY A5/S7: resolve key conflicts deterministically — the row ranked

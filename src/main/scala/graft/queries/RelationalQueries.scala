@@ -127,10 +127,14 @@ object RelationalQueries {
         .agg(array_join(sort_array(collect_set(col("l_returnflag"))), ",").as("flags"))
     }),
 
-    // A3/W1: argmin-per-group, THE reference pattern (src/main.py:242)
+    // A3/W1: argmin-per-group, THE reference pattern (src/main.py:242).
+    // Explicit pre-projection: topOnePerGroup's aggregate path packs the
+    // surviving row into a struct, which Catalyst cannot prune through —
+    // selecting the needed columns FIRST keeps the scan at 3 columns
+    // (optimization guide §2.3, "project before the exchange").
     "q10_argmin_group" -> ((s, d) => {
       Relational.topOnePerGroup(
-        Tables.orders(s, d),
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
         Seq(col("o_custkey")),
         Seq(col("o_orderdate").asc_nulls_last, col("o_orderkey").asc))
         .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
@@ -141,7 +145,8 @@ object RelationalQueries {
     // keep candidates ≥ max/10, pick (earliest, then highest score))
     "q11_threshold_rank" -> ((s, d) => {
       Relational.relativeThresholdTopOne(
-        Tables.orders(s, d),
+        Tables.orders(s, d) // pre-projected: same pruning note as q10
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
         Seq(col("o_custkey")),
         col("o_totalprice"), 10.0,
         Seq(col("o_orderdate").asc_nulls_last, col("o_totalprice").desc, col("o_orderkey").asc))
@@ -154,7 +159,8 @@ object RelationalQueries {
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
       // the returnflag tiebreak makes the projected output a total order.
       Relational.lastWriteWins(
-        Tables.lineitem(s, d),
+        Tables.lineitem(s, d) // pre-projected: same pruning note as q10
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus")),
         Seq(col("l_orderkey")),
         Seq(col("l_linenumber").desc, col("l_returnflag").asc, col("l_linestatus").asc))
         .select(col("l_orderkey"), col("l_linenumber").as("last_line"),

@@ -15,6 +15,20 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Decompose a sort Column (`col.asc` / `col.desc_nulls_first` / …) into
+    * (child, isDescending, isNullsLast). Spark 4 Columns wrap a
+    * `ColumnNode`, so the SortOrder is an `sql.internal` node, not a
+    * Catalyst expression — pattern-matching `Bridge.expression` output
+    * sees only an opaque lazy wrapper. None for a non-sort Column
+    * (callers treat it as asc nulls-first, Spark's own default). */
+  def sortSpec(c: Column): Option[(Column, Boolean, Boolean)] = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      Some((Column(so.child),
+        so.sortDirection == org.apache.spark.sql.internal.SortOrder.Descending,
+        so.nullOrdering == org.apache.spark.sql.internal.SortOrder.NullsLast))
+    case _ => None
+  }
+
   /** Lift an `InternalRow` RDD back into a DataFrame (`private[sql]` on
     * the session). Lets an operator hold the RDD REFERENCE across a
     * truncation boundary — `Dataset.localCheckpoint` hides its RDD, so
