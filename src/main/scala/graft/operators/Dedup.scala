@@ -817,8 +817,14 @@ object Dedup {
     // cheap (scan + shingle + minhash measured ~19 s end-to-end in
     // LshBench's `sig` leg). The two-scan shape stays.
     val cand = bucketedPairs(base, k, bands, maxBucketSize)
-    val candIds = cand.select(col("a_id").as("doc"))
-      .unionByName(cand.select(col("b_id").as("doc")))
+    // ONE reference to cand, not a union of two selects: each reference
+    // instantiates the whole post-band-exchange pair-generation subtree
+    // (bucket merge + pair explode + pair aggregate) again in the plan —
+    // the band exchange itself is deduped by ReusedExchange, the stages
+    // above it are not. explode(array(a, b)) yields the same id multiset
+    // (hence the same distinct set) from a single instantiation.
+    val candIds = cand
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc"))
       .distinct()
     // the shingle kernel sits ABOVE the semi join (same rule as the
     // incremental operator's verify): only candidate docs are

@@ -120,17 +120,20 @@ object Sampling {
     // prevent. The cluster map is aggregated per id (slim — pair-endpoint
     // sized) and a conflicting assignment fails the job at run time;
     // exact duplicate (id, comp) rows collapse harmlessly.
-    // ignoreNulls on BOTH aggregates: countDistinct already skips NULLs,
-    // so a map holding (id, NULL) next to (id, comp) passes the conflict
-    // guard with __lfs_nc=1 — and first() with ignoreNulls=false would
-    // then return NULL or comp depending on partition order, flipping the
-    // row's split key between the id-fallback and the real component
-    // across runs. With ignoreNulls=true the pick is the real component
-    // whenever one exists, and a NULL-only id deterministically falls
-    // back to its own id (singleton cluster) — NULL means "no cluster".
+    // The guard is min/max, not first+countDistinct: "more than one
+    // distinct non-NULL component" ⟺ min(comp) ≠ max(comp) (both skip
+    // NULLs), and on every non-failing input all non-NULL comps per id
+    // are equal, so min IS the pick first(ignoreNulls) made. countDistinct
+    // planned as TWO exchanges (expand on (id, comp), then regroup on id)
+    // with no map-side partial aggregation; min/max is ONE id-keyed
+    // exchange with partial aggregation — each map task ships at most one
+    // candidate per id (guide §2.3). NULL semantics unchanged: a map
+    // holding (id, NULL) beside (id, comp) resolves to comp (min skips
+    // NULLs), and a NULL-only id yields NULL → the id fallback below —
+    // NULL means "no cluster". Both behaviors stay spec-pinned.
     val c = c0.groupBy(col("__lfs_id"))
-      .agg(first(col("__lfs_comp"), ignoreNulls = true).as("__lfs_comp"),
-        countDistinct(col("__lfs_comp")).as("__lfs_nc"))
+      .agg(min(col("__lfs_comp")).as("__lfs_comp"),
+        max(col("__lfs_comp")).as("__lfs_max"))
     val compType = c.schema("__lfs_comp").dataType
     // the singleton-cluster fallback is id.cast(compType); a lossy or
     // unrepresentable cast (string doc ids vs numeric component ids)
@@ -143,15 +146,18 @@ object Sampling {
         s"component_id type $compType — the singleton-cluster fallback would produce NULLs " +
         "and collapse every unclustered row onto one split key; align the types (e.g. build " +
         "the cluster map with component_id cast to the id's type)")
+    // NULL-safe inequality is unnecessary: min/max are either both NULL
+    // (no non-NULL comp — no conflict) or both non-NULL, and `=!=` on two
+    // NULLs yields NULL → otherwise-branch, exactly the no-conflict path
     val joined = df.join(c, id === col("__lfs_id"), "left")
       .withColumn("component_id",
-        when(col("__lfs_nc") > 1,
+        when(col("__lfs_comp") =!= col("__lfs_max"),
           raise_error(concat(
             lit("leakFreeSplit: the cluster map assigns multiple component_ids to id "),
             col("__lfs_id").cast("string"),
             lit(" — a document would land in more than one split"))).cast(compType))
           .otherwise(coalesce(col("__lfs_comp"), id.cast(compType))))
-      .drop("__lfs_id", "__lfs_comp", "__lfs_nc")
+      .drop("__lfs_id", "__lfs_comp", "__lfs_max")
     hashSplit(joined, col("component_id"), splitsPermille, salt)
   }
 
