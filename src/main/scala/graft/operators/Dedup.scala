@@ -1406,8 +1406,13 @@ object Dedup {
       df: DataFrame, id: Column, pairs: DataFrame,
       order: Seq[Column],
       checkpointDir: Option[String] = None): DataFrame = {
-    val touched = pairs.select(col("a_id").as("id"))
-      .unionByName(pairs.select(col("b_id").as("id"))).distinct()
+    // one reference to pairs, not a union of two selects — same
+    // plan-copy rationale as minhashNearDupPairs' candIds: when `pairs`
+    // is a lazy mining DAG, every reference re-instantiates its
+    // pair-generation stages above the ReusedExchange-deduped band
+    // exchange
+    val touched = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
     val comp = Components.connectedComponents(
       touched, pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
       checkpointDir = checkpointDir)
